@@ -1,0 +1,160 @@
+"""Core types, Morton codes, octree build, eigenvalues, k-NN — golden unit tests
+(SURVEY.md §4 plan item 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from treee_tpu.cloud import PointCloud
+from treee_tpu.ops import eigen, morton, neighbors, octree
+
+
+def test_pointcloud_padding_and_bounds():
+    pos = np.array([[0.0, 1.0, 2.0], [3.0, -1.0, 5.0]], np.float32)
+    pc = PointCloud.from_numpy(pos, capacity=16)
+    assert pc.capacity == 16
+    assert int(pc.count) == 2
+    lo, hi = pc.bounds()
+    np.testing.assert_allclose(np.asarray(lo), [0.0, -1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(hi), [3.0, 1.0, 5.0])
+
+
+def test_pointcloud_empty_bounds():
+    pc = PointCloud.empty(8)
+    lo, hi = pc.bounds()
+    np.testing.assert_allclose(np.asarray(lo), 0.0)
+    np.testing.assert_allclose(np.asarray(hi), 0.0)
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(0)
+    cells = rng.integers(0, morton.MORTON_SIZE, size=(1000, 3)).astype(np.uint32)
+    keys = morton.encode(jnp.asarray(cells))
+    back = np.asarray(morton.decode(keys))
+    np.testing.assert_array_equal(back, cells)
+
+
+def test_morton_order_locality():
+    # points in the same octant share high key bits
+    a = morton.encode(jnp.array([[0, 0, 0]], jnp.uint32))
+    b = morton.encode(jnp.array([[511, 511, 511]], jnp.uint32))
+    c = morton.encode(jnp.array([[512, 512, 512]], jnp.uint32))
+    assert int(a[0]) >> 27 == int(b[0]) >> 27 == 0
+    assert int(c[0]) >> 27 == 7
+
+
+def test_octree_build_sorted_and_ranks():
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+    valid = np.ones(500, bool)
+    valid[490:] = False
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    keys = np.asarray(tree.keys)
+    assert np.all(np.diff(keys) >= 0)
+    # invalid points pushed to the end
+    assert np.all(keys[-10:] == int(octree.INVALID_KEY))
+    # inverse permutation consistent
+    order = np.asarray(tree.order)
+    inv = np.asarray(tree.inv)
+    np.testing.assert_array_equal(order[inv], np.arange(500))
+
+
+def test_octree_lod_nested():
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 100, size=(2000, 3)).astype(np.float32)
+    valid = np.ones(2000, bool)
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    m_coarse = np.asarray(octree.lod_mask(tree, level=2))
+    m_fine = np.asarray(octree.lod_mask(tree, level=5))
+    # every coarse representative also survives at finer level
+    assert m_coarse.sum() <= m_fine.sum()
+    assert np.all(m_fine[m_coarse])
+
+
+def test_node_table_counts():
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 100, size=(1000, 3)).astype(np.float32)
+    valid = np.ones(1000, bool)
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    table = octree.node_table(tree, level=1, max_nodes=16)
+    n = int(table.n)
+    assert 1 <= n <= 8
+    counts = np.asarray(table.count)[:n]
+    assert counts.sum() == 1000
+
+
+def test_eigvals_match_numpy():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(200, 3, 3)).astype(np.float32)
+    sym = (a + np.transpose(a, (0, 2, 1))) / 2
+    ours = np.asarray(eigen.eigvals_sym3(jnp.asarray(sym)))
+    ref = np.linalg.eigvalsh(sym.astype(np.float64))[:, ::-1]
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_eigvals_diagonal():
+    d = jnp.asarray(np.diag([3.0, 1.0, 2.0]).astype(np.float32))[None]
+    out = np.asarray(eigen.eigvals_sym3(d))[0]
+    np.testing.assert_allclose(out, [3.0, 2.0, 1.0])
+
+
+def test_knn_bruteforce_exact():
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
+    valid = np.ones(300, bool)
+    idx, dist = neighbors.knn_bruteforce(jnp.asarray(pos), jnp.asarray(valid), k=5, tile=64)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    # oracle
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    ref_sorted = np.sort(d2, axis=1)[:, :5]
+    np.testing.assert_allclose(np.sort(dist, axis=1), ref_sorted, atol=1e-4)
+    # self is a neighbor at distance 0
+    assert np.all(dist.min(axis=1) < 1e-6)
+
+
+def test_knn_bruteforce_respects_valid():
+    pos = np.zeros((10, 3), np.float32)
+    pos[:, 0] = np.arange(10)
+    valid = np.ones(10, bool)
+    valid[5:] = False
+    idx, _ = neighbors.knn_bruteforce(jnp.asarray(pos), jnp.asarray(valid), k=3, tile=8)
+    assert np.all(np.asarray(idx)[:5] < 5)
+
+
+def test_knn_grid_matches_bruteforce_on_dense_cloud():
+    rng = np.random.default_rng(6)
+    pos = rng.uniform(0, 4, size=(2000, 3)).astype(np.float32)
+    valid = np.ones(2000, bool)
+    k = 8
+    bi, bd = neighbors.knn_bruteforce(jnp.asarray(pos), jnp.asarray(valid), k=k)
+    gi, gd = neighbors.knn_grid(
+        jnp.asarray(pos), jnp.asarray(valid), cell_size=1.0, k=k,
+        cell_capacity=64, tile=256,
+    )
+    bd, gd = np.asarray(bd), np.asarray(gd)
+    # distances agree for the overwhelming majority (grid is approximate only
+    # at cell-cap overflow)
+    match = np.isclose(np.sort(gd, 1), np.sort(bd, 1), atol=1e-4).mean()
+    assert match > 0.98
+
+
+def test_neighbor_covariance_plane():
+    # points on the y=0 plane: smallest eigenvalue ~0 -> curvature ~0
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    pos[:, 1] = 0.0
+    idx, _ = neighbors.knn_bruteforce(jnp.asarray(pos), jnp.ones(100, bool), k=10)
+    cov = neighbors.neighbor_covariance(jnp.asarray(pos), idx)
+    curve = np.asarray(eigen.curvature_from_cov(cov))
+    assert np.all(curve < 1e-3)
+
+
+def test_neighbor_covariance_sphere():
+    # isotropic blob: eigenvalues similar -> curvature near 1
+    rng = np.random.default_rng(8)
+    pos = rng.normal(size=(500, 3)).astype(np.float32)
+    idx, _ = neighbors.knn_bruteforce(jnp.asarray(pos), jnp.ones(500, bool), k=100)
+    cov = neighbors.neighbor_covariance(jnp.asarray(pos), idx)
+    curve = np.asarray(eigen.curvature_from_cov(cov))
+    assert curve.mean() > 0.3

@@ -1,0 +1,62 @@
+"""LAS ingest round-trip and synthetic-scan tests."""
+
+import numpy as np
+
+from treee_tpu.io import las
+
+
+def test_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-50, 50, size=(5000, 3)).astype(np.float32)
+    path = str(tmp_path / "scan.las")
+    las.write_las(path, pos)
+    scan = las.load(path)
+    assert scan.header.num_points == 5000
+    assert not scan.header.compressed
+    # loader recenters on the scan midpoint; undo to compare
+    recovered = scan.pos + scan.world_offset.astype(np.float32)
+    np.testing.assert_allclose(recovered, pos, atol=2e-3)
+
+
+def test_load_respects_center_override(tmp_path):
+    pos = np.array([[0.0, 0.0, 0.0], [10.0, 10.0, 10.0]], np.float32)
+    path = str(tmp_path / "two.las")
+    las.write_las(path, pos)
+    scan = las.load(path, center=np.zeros(3))
+    np.testing.assert_allclose(scan.pos, pos, atol=2e-3)
+
+
+def test_load_max_points(tmp_path):
+    pos = np.random.default_rng(1).uniform(0, 1, (1000, 3)).astype(np.float32)
+    path = str(tmp_path / "cap.las")
+    las.write_las(path, pos)
+    scan = las.load(path, max_points=100)
+    assert scan.pos.shape[0] == 100
+
+
+def test_bad_signature_rejected(tmp_path):
+    p = tmp_path / "bad.las"
+    p.write_bytes(b"NOPE" + b"\0" * 400)
+    try:
+        las.load(str(p))
+        raise AssertionError("should have raised")
+    except ValueError as e:
+        assert "signature" in str(e)
+
+
+def test_header_swizzled_bounds(tmp_path):
+    pos = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    path = str(tmp_path / "b.las")
+    las.write_las(path, pos)
+    scan = las.load(path)
+    # swizzled bounds (y-up) should cover the y-up positions
+    lo = scan.lo + scan.world_offset.astype(np.float32)
+    hi = scan.hi + scan.world_offset.astype(np.float32)
+    assert np.all(pos >= lo - 1e-2) and np.all(pos <= hi + 1e-2)
+
+
+def test_synthetic_forest_shape():
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=1000, ground_points=500)
+    assert pts.shape == (4500, 3)
+    assert pts[:, 1].min() > -1.0  # ground near y=0
+    assert pts[:, 1].max() > 5.0   # crowns above

@@ -1,0 +1,131 @@
+"""Configuration for the treee-tpu framework.
+
+The reference (antonWetzel/treee) has no config system: every tunable is an egui
+widget or a hardcoded constant (see SURVEY.md §5 "Config / flag system").  Here the
+same knobs are first-class dataclasses with the reference's defaults:
+
+- segmentation max distance 0.75 m, slider 0.1-2.0  (treee/src/segmenting.rs:16,82)
+- characteristics slice width 0.1 m                 (treee/src/calculations.rs:17)
+- curvature neighbor count k=31                     (treee/src/calculations.rs:279)
+- camera 45 deg FOV, near 0.1, far 10000            (treee/src/camera.rs:7,24-25)
+- point size 0.1, slider 0.01-1.0                   (treee/src/program.rs:156,109)
+- eye-dome strength 0.7, color black                (treee/src/program.rs:160)
+- background color (0.3, 0.5, 0.7)                  (treee/src/program.rs:200)
+- ground search height 1.0 m, min-area scale 1.5,
+  min crown diameter 2.0 m                          (treee/src/calculations.rs:204-206)
+- brush radius default 0.5, slider 0.1-10           (treee/src/interactive/mod.rs:259,455-463)
+
+Capacity fields are new: TPU kernels need static shapes, so every variable-size
+collection in the reference (per-segment Vecs, per-slice trees, chunk lists) becomes
+a padded array whose capacity is fixed at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def round_up(x: int, m: int) -> int:
+    """Round ``x`` up to a multiple of ``m`` (TPU lane/sublane alignment)."""
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Tree segmentation parameters.
+
+    The reference segments by building per-1m-height-slice convex "tree" polygons
+    merged under ``max_distance`` and tracking centroids top-down
+    (treee/src/segmenting.rs:110-235).  The TPU redesign keeps the same observable
+    knobs but runs grid connected-components per band + centroid tracking via
+    ``lax.scan`` + nearest-centroid (Voronoi-equivalent) point assignment.
+    """
+
+    max_distance: float = 0.75          # segmenting.rs:16 DEFAULT_MAX_DISTANCE
+    band_height: float = 1.0            # loading.rs:98-101 1m y-slices
+    # filter: reference drops trees with polygon area < d^2/4 (segmenting.rs:472)
+    min_area_factor: float = 0.25
+    # matching radius: centroids match to the band above within 2*d (segmenting.rs:499)
+    match_radius_factor: float = 2.0
+    # --- static capacities (new; TPU fixed shapes) ---
+    max_bands: int = 64                 # max height bands (64 m of canopy)
+    max_trees_per_band: int = 512       # max clusters in one band
+    max_segments: int = 4096            # max live segments in a scene
+    grid_size: int = 1024               # CC occupancy grid resolution per axis
+    cc_iters: int = 16                  # min-label propagation sweeps per doubling
+    cc_rounds: int = 8                  # pointer-jump rounds
+
+
+@dataclasses.dataclass(frozen=True)
+class CharacteristicsConfig:
+    """Per-segment characteristics parameters (treee/src/calculations.rs)."""
+
+    slice_width: float = 0.1            # calculations.rs:17 SLICE_WIDTH
+    ground_max_search_height: float = 1.0   # calculations.rs:204
+    ground_min_area_scale: float = 1.5      # calculations.rs:205
+    min_crown_diameter: float = 2.0         # calculations.rs:206
+    neighbors: int = 31                 # calculations.rs:279 neighbor count for curvature
+    min_area_floor: float = 0.5         # calculations.rs:227 `.max(0.5)`
+    # --- static capacities ---
+    max_slices: int = 512               # 51.2 m of tree at 0.1 m slices
+    hull_directions: int = 64           # support directions for 2-D hull area
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    """Grid-hash k-NN parameters (replaces the k-nearest KD-tree crate)."""
+
+    k: int = 31
+    # candidate cap per neighboring cell; 27 cells * cap = candidate pool
+    cell_capacity: int = 16
+    # brute-force threshold: segments smaller than this use exact tiled brute force
+    brute_force_max: int = 65536
+    query_tile: int = 1024              # queries per brute-force tile
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Splat renderer parameters (render/src/*.wgsl semantics)."""
+
+    width: int = 1280
+    height: int = 720
+    fov_y: float = 45.0 * math.tau / 360.0  # camera.rs:7
+    near: float = 0.1                   # camera.rs:24
+    far: float = 10_000.0               # camera.rs:25
+    point_size: float = 0.1             # program.rs:156 (view-space splat radius)
+    background: tuple[float, float, float] = (0.3, 0.5, 0.7)  # program.rs:200
+    eye_dome_strength: float = 0.7      # program.rs:160
+    eye_dome_color: tuple[float, float, float] = (0.0, 0.0, 0.0)  # eye_dome.rs:93
+    palette: str = "turbo"              # program.rs:174
+    # max splat footprint half-extent in pixels (static unroll bound)
+    max_splat_radius: int = 3
+    # property range filter (point_cloud.wgsl:44-49); u32 range semantics
+    prop_min: int = 0
+    prop_max: int = 0xFFFFFFFF
+
+
+@dataclasses.dataclass(frozen=True)
+class InteractiveConfig:
+    """Interactive editing parameters (treee/src/interactive/mod.rs)."""
+
+    draw_radius: float = 0.5            # mod.rs:259
+    # default proj string (UTM zone 32, Europe) mod.rs:53
+    source_location: str = "+proj=utm\n+ellps=GRS80\n+zone=32"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level framework configuration."""
+
+    segmentation: SegmentationConfig = dataclasses.field(default_factory=SegmentationConfig)
+    characteristics: CharacteristicsConfig = dataclasses.field(default_factory=CharacteristicsConfig)
+    neighbors: NeighborConfig = dataclasses.field(default_factory=NeighborConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    interactive: InteractiveConfig = dataclasses.field(default_factory=InteractiveConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = Config()

@@ -1,0 +1,313 @@
+"""LAS/LAZ ingest: header parse, point-record decode, synthetic-scan writer.
+
+Mirrors the observable behavior of the reference loader (treee/src/laz.rs):
+
+- LAS public header block parsed from the 375-byte packed layout (laz.rs:228-268;
+  the layout itself is the public ASPRS LAS 1.4 spec).
+- legacy point count fallback (laz.rs:279-281) and "LASF" signature check
+  (laz.rs:282-284).
+- Point decode: int32 (x,y,z) * scale + offset in f64, then axis swizzle
+  (x,y,z) -> (x, z, -y) so y is up, recentered on the scan center and cast to f32
+  (laz.rs:202-213).  The world center is the midpoint of the header bounds unless
+  a caller supplies one (laz.rs:74; Interactive::add_points passes the session
+  offset, interactive/mod.rs:341).
+
+Decode is a single vectorized numpy pass (a strided structured view over the raw
+record bytes) instead of the reference's per-point loop + rayon chunk pool; the
+optional C++ decoder (native/las_decode.cpp) threads the same transform for large
+files.  LAZ (compressed) files are recognized by the LASzip VLR; decompression is
+handled by the native codec when built, else a clear error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import struct
+import numpy as np
+
+LAS_SIGNATURE = b"LASF"
+
+# (name, struct format) pairs for the LAS public header block through 1.4.
+_HEADER_FMT = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d8sQIQ15Q"
+_HEADER_SIZE_V14 = struct.calcsize(_HEADER_FMT)  # 375
+assert _HEADER_SIZE_V14 == 375
+
+
+@dataclasses.dataclass
+class LasHeader:
+    signature: bytes
+    version_major: int
+    version_minor: int
+    header_size: int
+    offset_to_point_data: int
+    num_vlrs: int
+    point_format: int
+    point_length: int
+    num_points: int
+    scale: np.ndarray    # f64[3]
+    offset: np.ndarray   # f64[3]
+    min_xyz: np.ndarray  # f64[3] LAS-space min
+    max_xyz: np.ndarray  # f64[3] LAS-space max
+    compressed: bool = False
+
+    @classmethod
+    def parse(cls, data: bytes) -> "LasHeader":
+        if len(data) < 227:
+            raise ValueError("file too small for a LAS header")
+        buf = data[:_HEADER_SIZE_V14]
+        if len(buf) < _HEADER_SIZE_V14:
+            buf = buf + b"\0" * (_HEADER_SIZE_V14 - len(buf))
+        f = struct.unpack(_HEADER_FMT, buf)
+        (sig, _src, _enc, _g1, _g2, _g3, _g4, vmaj, vmin, _sys, _sw, _day, _yr,
+         header_size, offset_to_points, num_vlrs, pt_format, pt_length,
+         legacy_count, *rest) = f
+        legacy_returns = rest[:5]
+        doubles = rest[5:17]
+        # rest[17]=waveform offset, rest[18]=first EVLR, rest[19]=#EVLRs
+        num_points_14 = rest[20]
+        if sig != LAS_SIGNATURE:
+            raise ValueError("corrupt file: bad LAS signature")
+        num_points = legacy_count if legacy_count != 0 else num_points_14
+        sx, sy, sz, ox, oy, oz, maxx, minx, maxy, miny, maxz, minz = doubles
+        # bit 7 of the point format flags LAZ compression (LASzip convention)
+        compressed = bool(pt_format & 0x80)
+        del legacy_returns
+        return cls(
+            signature=sig,
+            version_major=vmaj,
+            version_minor=vmin,
+            header_size=header_size,
+            offset_to_point_data=offset_to_points,
+            num_vlrs=num_vlrs,
+            point_format=pt_format & 0x7F,
+            point_length=pt_length,
+            num_points=int(num_points),
+            scale=np.array([sx, sy, sz]),
+            offset=np.array([ox, oy, oz]),
+            min_xyz=np.array([minx, miny, minz]),
+            max_xyz=np.array([maxx, maxy, maxz]),
+            compressed=compressed,
+        )
+
+
+def _find_laszip_vlr(data: bytes, header: LasHeader) -> bytes | None:
+    """Return the LASzip VLR record payload if present."""
+    pos = header.header_size
+    for _ in range(header.num_vlrs):
+        if pos + 54 > len(data):
+            return None
+        user_id = data[pos + 2 : pos + 18].rstrip(b"\0")
+        record_id, length = struct.unpack_from("<HH", data, pos + 18)
+        payload = data[pos + 54 : pos + 54 + length]
+        if user_id == b"laszip encoded" and record_id == 22204:
+            return payload
+        pos += 54 + length
+    return None
+
+
+@dataclasses.dataclass
+class LoadedScan:
+    """Decoded scan: y-up centered f32 positions + world metadata."""
+
+    pos: np.ndarray          # f32[N,3] (x, z_up, -y) - center
+    world_offset: np.ndarray # f64[3] center in swizzled LAS space
+    lo: np.ndarray           # f32[3] swizzled bounds (laz.rs:120-121)
+    hi: np.ndarray
+    header: LasHeader
+
+
+def swizzle_bounds(header: LasHeader) -> tuple[np.ndarray, np.ndarray]:
+    """Header bounds in y-up space: min=(minx, minz, -maxy), max=(maxx, maxz, -miny)
+    (laz.rs:72-73)."""
+    mn, mx = header.min_xyz, header.max_xyz
+    lo = np.array([mn[0], mn[2], -mx[1]])
+    hi = np.array([mx[0], mx[2], -mn[1]])
+    return lo, hi
+
+
+def decode_records(
+    raw: np.ndarray | bytes,
+    point_length: int,
+    scale: np.ndarray,
+    offset: np.ndarray,
+    center: np.ndarray,
+) -> np.ndarray:
+    """Vectorized i32-record -> centered y-up f32 decode (laz.rs:202-213)."""
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else raw
+    n = buf.size // point_length
+    rec = buf[: n * point_length]
+    dt = np.dtype(
+        {"names": ["x", "y", "z"], "formats": ["<i4", "<i4", "<i4"],
+         "offsets": [0, 4, 8], "itemsize": point_length}
+    )
+    xyz = rec.view(dt)
+    x = xyz["x"].astype(np.float64) * scale[0] + offset[0]
+    y = xyz["y"].astype(np.float64) * scale[1] + offset[1]
+    z = xyz["z"].astype(np.float64) * scale[2] + offset[2]
+    out = np.empty((n, 3), np.float32)
+    out[:, 0] = x - center[0]
+    out[:, 1] = z - center[1]
+    out[:, 2] = (-y) - center[2]
+    return out
+
+
+def load(source, center: np.ndarray | None = None, max_points: int | None = None) -> LoadedScan:
+    """Load a .las (or .laz via the native codec) file or bytes buffer."""
+    if isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    elif hasattr(source, "read"):
+        data = source.read()
+    else:
+        with open(source, "rb") as fh:
+            data = fh.read()
+
+    header = LasHeader.parse(data)
+    vlr = _find_laszip_vlr(data, header)
+    compressed = header.compressed or vlr is not None
+
+    n = header.num_points
+    if max_points is not None:
+        n = min(n, max_points)
+
+    # world center in swizzled space: midpoint of swizzled bounds (laz.rs:72-74)
+    lo_w, hi_w = swizzle_bounds(header)
+    if center is None:
+        center = (lo_w + hi_w) / 2.0
+
+    if compressed:
+        from . import laz_native  # deferred; requires built native codec
+
+        raw = laz_native.decompress(data, header, vlr, n)
+    else:
+        start = header.offset_to_point_data
+        raw = np.frombuffer(
+            data, np.uint8, count=n * header.point_length, offset=start
+        )
+
+    # threaded C++ decode for big scans, numpy otherwise (same transform)
+    from . import native_build
+
+    lib = native_build.load_library(required=False) if n >= 1_000_000 else None
+    if lib is not None:
+        pos = native_build.las_decode(
+            lib, raw, header.point_length, header.scale, header.offset, center
+        )[:n]
+    else:
+        pos = decode_records(
+            raw, header.point_length, header.scale, header.offset, center
+        )[:n]
+    return LoadedScan(
+        pos=pos,
+        world_offset=center,
+        lo=(lo_w - center).astype(np.float32),
+        hi=(hi_w - center).astype(np.float32),
+        header=header,
+    )
+
+
+def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001) -> None:
+    """Write y-up positions back to a minimal LAS 1.2 / point-format-0 file.
+
+    Inverse of the load swizzle: (x, y_up, z) -> LAS (x, -z, y_up).  Used by the
+    synthetic-scan generators and round-trip tests.
+    """
+    las = np.empty((pos_up.shape[0], 3), np.float64)
+    las[:, 0] = pos_up[:, 0]
+    las[:, 1] = -pos_up[:, 2]
+    las[:, 2] = pos_up[:, 1]
+    mins, maxs = las.min(axis=0), las.max(axis=0)
+    offset = mins
+    point_length = 20
+    n = las.shape[0]
+
+    header_size = 227
+    buf = _io.BytesIO()
+    legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
+    buf.write(
+        struct.pack(
+            legacy_fmt,
+            LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 2,
+            b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
+            1, 2026, header_size, header_size, 0, 0, point_length,
+            n, 0, 0, 0, 0, 0,
+            scale, scale, scale, offset[0], offset[1], offset[2],
+            maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
+        )
+    )
+    ints = np.round((las - offset) / scale).astype(np.int32)
+    rec = np.zeros((n, point_length), np.uint8)
+    rec[:, 0:12] = ints.astype("<i4").view(np.uint8).reshape(n, 12)
+    buf.write(rec.tobytes())
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# Synthetic scans (test/bench data; the reference has none — SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+def synthetic_tree(
+    rng: np.random.Generator,
+    base: np.ndarray,
+    trunk_height: float = 4.0,
+    crown_height: float = 6.0,
+    crown_radius: float = 2.5,
+    trunk_radius: float = 0.25,
+    n_points: int = 20_000,
+) -> np.ndarray:
+    """One tree: trunk cylinder + crown ellipsoid, y-up, rooted at ``base``."""
+    n_trunk = n_points // 5
+    n_crown = n_points - n_trunk
+    theta = rng.uniform(0, 2 * np.pi, n_trunk)
+    r = trunk_radius * np.sqrt(rng.uniform(0, 1, n_trunk))
+    h = rng.uniform(0, trunk_height, n_trunk)
+    trunk = np.stack([r * np.cos(theta), h, r * np.sin(theta)], axis=1)
+
+    u = rng.normal(size=(n_crown, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    rad = rng.uniform(0, 1, n_crown) ** (1 / 3)
+    crown = u * rad[:, None]
+    crown[:, 0] *= crown_radius
+    crown[:, 2] *= crown_radius
+    crown[:, 1] = crown[:, 1] * (crown_height / 2) + trunk_height + crown_height / 2
+    pts = np.concatenate([trunk, crown]).astype(np.float32)
+    return pts + base.astype(np.float32)
+
+
+def synthetic_forest(
+    n_trees: int = 16,
+    spacing: float = 8.0,
+    points_per_tree: int = 20_000,
+    ground_points: int = 40_000,
+    seed: int = 0,
+    jitter: float = 1.5,
+) -> np.ndarray:
+    """Grid of trees + noisy ground plane; y-up, centered near origin."""
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_trees)))
+    half = (side - 1) * spacing / 2
+    trees = []
+    for t in range(n_trees):
+        gx, gz = t % side, t // side
+        base = np.array(
+            [gx * spacing - half + rng.uniform(-jitter, jitter), 0.0,
+             gz * spacing - half + rng.uniform(-jitter, jitter)]
+        )
+        trees.append(
+            synthetic_tree(
+                rng, base,
+                trunk_height=rng.uniform(3.0, 6.0),
+                crown_height=rng.uniform(4.0, 8.0),
+                crown_radius=rng.uniform(1.5, 3.0),
+                n_points=points_per_tree,
+            )
+        )
+    extent = half + spacing
+    ground = np.stack(
+        [rng.uniform(-extent, extent, ground_points),
+         rng.normal(0.0, 0.05, ground_points),
+         rng.uniform(-extent, extent, ground_points)],
+        axis=1,
+    ).astype(np.float32)
+    return np.concatenate(trees + [ground]).astype(np.float32)

@@ -1,0 +1,116 @@
+"""Build + ctypes binding for the native C++ ingest codec (native/*.cpp).
+
+The reference's runtime-around-the-GPU is native Rust (rayon chunk decode,
+treee/src/laz.rs:130-180); ours is C++ bound through ctypes.  ``load_library``
+compiles on first use (g++, cached by source mtime) and degrades to None so the
+pure-numpy path keeps working when no toolchain is present.
+
+Run ``python -m treee_tpu.io.native_build`` to force a (re)build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtreee_native.so")
+
+_SOURCES = ["las_decode.cpp", "laz_decompress.cpp"]
+
+_cached_lib: ctypes.CDLL | None = None
+_cached_failed = False
+
+
+def _sources() -> list[str]:
+    return [
+        os.path.join(_NATIVE_DIR, s)
+        for s in _SOURCES
+        if os.path.exists(os.path.join(_NATIVE_DIR, s))
+    ]
+
+
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    return any(os.path.getmtime(s) > lib_mtime for s in _sources())
+
+
+def build(verbose: bool = False) -> str:
+    """Compile the native library; returns its path."""
+    srcs = _sources()
+    if not srcs:
+        raise FileNotFoundError(f"no native sources under {_NATIVE_DIR}")
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", _LIB_PATH, *srcs,
+    ]
+    if verbose:
+        print(" ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return _LIB_PATH
+
+
+def load_library(required: bool = True) -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _cached_lib, _cached_failed
+    if _cached_lib is not None:
+        return _cached_lib
+    if _cached_failed and not required:
+        return None
+    try:
+        if _stale():
+            build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.treee_las_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.treee_las_decode.restype = None
+        _cached_lib = lib
+        return lib
+    except Exception:
+        _cached_failed = True
+        if required:
+            raise
+        return None
+
+
+def las_decode(
+    lib: ctypes.CDLL,
+    rec: np.ndarray,
+    point_length: int,
+    scale: np.ndarray,
+    offset: np.ndarray,
+    center: np.ndarray,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Threaded native record decode -> centered y-up f32[N,3]."""
+    rec = np.ascontiguousarray(rec, dtype=np.uint8)
+    n = rec.size // point_length
+    out = np.empty((n, 3), np.float32)
+    scale = np.ascontiguousarray(scale, np.float64)
+    offset = np.ascontiguousarray(offset, np.float64)
+    center = np.ascontiguousarray(center, np.float64)
+    lib.treee_las_decode(
+        rec.ctypes.data, n, point_length,
+        scale.ctypes.data, offset.ctypes.data, center.ctypes.data,
+        out.ctypes.data, n_threads,
+    )
+    return out
+
+
+def laz_decompress(lib, data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndarray:
+    """LASzip decompression (native codec; see native/laz_decompress.cpp)."""
+    raise NotImplementedError("LASzip codec not yet built into the native library")
+
+
+if __name__ == "__main__":
+    print(build(verbose=True))

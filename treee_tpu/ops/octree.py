@@ -1,0 +1,160 @@
+"""Morton-coded linear octree: sort-based build, LOD subsampling, node tables.
+
+The reference renders brute-force — every chunk's full point buffer every frame, no
+octree/LOD/culling (treee/src/program.rs:309-311; SURVEY.md §0 negative findings).
+This module is the improvement the reference lacks, designed TPU-first:
+
+- *Build* = one ``jax.lax.sort`` over Morton keys (ops/morton.py) plus segmented
+  rank computation.  No pointers, no recursion: a node at level ``l`` is the run of
+  sorted points sharing the key prefix ``key >> 3*(10-l)``.
+- *LOD* = per-point rank within its leaf-level node; level-of-detail ``d`` keeps
+  points whose rank is a multiple of a stride, giving a deterministic nested
+  point hierarchy (coarser levels are subsets of finer ones).
+- *Node tables* = padded (start, count, key-prefix) arrays per level for culling
+  and Morton-range sharding.
+
+Everything is fixed-shape and jit-compatible.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import morton
+
+INVALID_KEY = jnp.int32(0x7FFFFFFF)
+
+
+class Octree(flax.struct.PyTreeNode):
+    """Linear octree over a fixed-capacity point set.
+
+    Attributes:
+      keys:   i32[N] sorted Morton keys; padding slots hold INVALID_KEY.
+      order:  i32[N] original point index per sorted slot.
+      rank:   i32[N] rank of each sorted slot within its leaf node.
+      inv:    i32[N] sorted slot per original point index (inverse permutation).
+      lo, hi: f32[3] bounding cube used for quantization.
+    """
+
+    keys: jax.Array
+    order: jax.Array
+    rank: jax.Array
+    inv: jax.Array
+    lo: jax.Array
+    hi: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+def build(pos: jax.Array, valid: jax.Array) -> Octree:
+    """Build the linear octree for f32[N,3] positions with a validity mask."""
+    n = pos.shape[0]
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    any_valid = jnp.any(valid)
+    lo = jnp.where(any_valid, lo, 0.0)
+    hi = jnp.where(any_valid, hi, 1.0)
+
+    keys = morton.encode_positions(pos, lo, hi)
+    keys = jnp.where(valid, keys, INVALID_KEY)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys_sorted, order = morton.sort_by_key(keys, idx)
+
+    # Rank within leaf node: position since the last key change.
+    new_node = jnp.concatenate(
+        [jnp.ones(1, bool), keys_sorted[1:] != keys_sorted[:-1]]
+    )
+    slot = jnp.arange(n, dtype=jnp.int32)
+    node_start = jnp.maximum.accumulate(jnp.where(new_node, slot, 0))
+    rank = slot - node_start
+
+    inv = jnp.zeros(n, jnp.int32).at[order].set(slot)
+    return Octree(keys=keys_sorted, order=order, rank=rank, inv=inv, lo=lo, hi=hi)
+
+
+def lod_mask(tree: Octree, level: int, points_per_node: int = 1) -> jax.Array:
+    """Boolean mask (in ORIGINAL point order) of the LOD subset for ``level``.
+
+    ``level`` in [0, 10]: points are grouped by the level-``level`` key prefix and
+    up to ``points_per_node`` representatives per node survive, strided evenly
+    through the node's Morton run so the subset stays spatially spread (taking the
+    first k would bias toward one child octant).  Coarser levels select subsets of
+    finer levels' selections per nesting of the Morton prefixes.
+    """
+    shift = 3 * (morton.MORTON_BITS - level)
+    coarse = tree.keys >> shift
+    n = tree.capacity
+    new_node = jnp.concatenate([jnp.ones(1, bool), coarse[1:] != coarse[:-1]])
+    slot = jnp.arange(n, dtype=jnp.int32)
+    node_start = jnp.maximum.accumulate(jnp.where(new_node, slot, 0))
+    rank = slot - node_start
+    # node end (exclusive) via reverse min-accumulate of next starts
+    next_start = jnp.concatenate([jnp.where(new_node[1:], slot[1:], n), jnp.full(1, n)])
+    node_end = jnp.flip(jnp.minimum.accumulate(jnp.flip(next_start)))
+    count = node_end - node_start
+    stride = jnp.maximum((count + points_per_node - 1) // points_per_node, 1)
+    keep_sorted = (rank % stride == 0) & (tree.keys != INVALID_KEY)
+    # scatter back to original order
+    keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
+    return keep
+
+
+class NodeTable(flax.struct.PyTreeNode):
+    """Padded per-level node table: contiguous sorted-point ranges per node.
+
+    Attributes:
+      prefix: i32[M] level-l key prefix per node (INVALID_KEY padding).
+      start:  i32[M] first sorted slot of the node.
+      count:  i32[M] number of points in the node.
+      n:      i32    number of real nodes.
+    """
+
+    prefix: jax.Array
+    start: jax.Array
+    count: jax.Array
+    n: jax.Array
+
+
+def node_table(tree: Octree, level: int, max_nodes: int) -> NodeTable:
+    """Extract the level-``level`` node table, padded to ``max_nodes`` entries."""
+    shift = 3 * (morton.MORTON_BITS - level)
+    coarse = jnp.where(tree.keys != INVALID_KEY, tree.keys >> shift, INVALID_KEY)
+    new_node = jnp.concatenate([jnp.ones(1, bool), coarse[1:] != coarse[:-1]])
+    new_node &= coarse != INVALID_KEY
+    n_cap = tree.capacity
+
+    node_id = jnp.cumsum(new_node.astype(jnp.int32)) - 1  # per sorted slot
+    slot = jnp.arange(n_cap, dtype=jnp.int32)
+    n_nodes = jnp.sum(new_node.astype(jnp.int32))
+
+    tgt = jnp.where(new_node, jnp.minimum(node_id, max_nodes - 1), max_nodes)
+    prefix = jnp.full(max_nodes + 1, INVALID_KEY, jnp.int32).at[tgt].set(coarse)
+    start = jnp.zeros(max_nodes + 1, jnp.int32).at[tgt].set(slot)
+    # counts via segment_sum over node ids of valid slots
+    valid_slot = coarse != INVALID_KEY
+    seg = jnp.where(valid_slot, jnp.minimum(node_id, max_nodes - 1), max_nodes)
+    count = jax.ops.segment_sum(
+        valid_slot.astype(jnp.int32), seg, num_segments=max_nodes + 1
+    )
+    return NodeTable(
+        prefix=prefix[:max_nodes],
+        start=start[:max_nodes],
+        count=count[:max_nodes],
+        n=jnp.minimum(n_nodes, max_nodes),
+    )
+
+
+def node_bounds(table: NodeTable, tree: Octree, level: int) -> tuple[jax.Array, jax.Array]:
+    """AABB (lo, hi) f32[M,3] for each node in the table (for frustum culling)."""
+    shift = 3 * (morton.MORTON_BITS - level)
+    base_keys = (table.prefix << shift).astype(jnp.int32)
+    cell = morton.decode(base_keys).astype(jnp.float32)
+    extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+    cell_size = extent / morton.MORTON_SIZE * (1 << (morton.MORTON_BITS - level))
+    lo = tree.lo + cell / (morton.MORTON_SIZE - 1) * extent
+    return lo, lo + cell_size
