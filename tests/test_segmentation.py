@@ -1,0 +1,121 @@
+"""Segmentation parity-by-invariant tests (SURVEY.md §4 item 3).
+
+The reference segmenter is order-dependent and randomly keyed
+(segmenting.rs:425,516-521), so tests assert invariants rather than exact ids:
+every point assigned, deterministic re-run (a deliberate improvement), well-
+separated trees get distinct coherent ids, distance knob merges/splits.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from treee_tpu.config import SegmentationConfig
+from treee_tpu.io import las
+from treee_tpu.segmentation import segment_points
+
+CFG = SegmentationConfig(
+    grid_size=128, max_bands=16, max_segments=128, max_trees_per_band=32,
+    cc_iters=16,
+)
+
+
+def _two_trees(gap: float, n: int = 3000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    a = las.synthetic_tree(rng, np.array([0.0, 0.0, 0.0]), n_points=n,
+                           crown_radius=1.5, trunk_height=3.0, crown_height=4.0)
+    b = las.synthetic_tree(rng, np.array([gap, 0.0, 0.0]), n_points=n,
+                           crown_radius=1.5, trunk_height=3.0, crown_height=4.0)
+    return np.concatenate([a, b])
+
+
+def _majority_frac(seg, lo, hi):
+    ids = seg[lo:hi]
+    ids = ids[ids > 0]
+    if len(ids) == 0:
+        return 0, 0.0
+    maj = np.bincount(ids).argmax()
+    return maj, (ids == maj).mean()
+
+
+def test_every_point_assigned():
+    pts = _two_trees(gap=6.0)
+    res = segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.75, CFG)
+    seg = np.asarray(res.segment)
+    assert (seg > 0).all()
+
+
+def test_separated_trees_distinct_ids():
+    pts = _two_trees(gap=6.0)
+    n = len(pts) // 2
+    res = segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.75, CFG)
+    seg = np.asarray(res.segment)
+    id_a, frac_a = _majority_frac(seg, 0, n)
+    id_b, frac_b = _majority_frac(seg, n, len(pts))
+    assert frac_a > 0.95 and frac_b > 0.95
+    assert id_a != id_b
+
+
+def test_distance_knob_merges():
+    # crowns 3 apart edge-to-edge ~0: with huge d the two trees merge
+    pts = _two_trees(gap=3.5)
+    n = len(pts) // 2
+    res = segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 2.0, CFG)
+    seg = np.asarray(res.segment)
+    id_a, _ = _majority_frac(seg, 0, n)
+    id_b, _ = _majority_frac(seg, n, len(pts))
+    assert id_a == id_b
+
+
+def test_deterministic():
+    pts = _two_trees(gap=6.0, seed=2)
+    v = jnp.ones(len(pts), bool)
+    s1 = np.asarray(segment_points(jnp.asarray(pts), v, 0.75, CFG).segment)
+    s2 = np.asarray(segment_points(jnp.asarray(pts), v, 0.75, CFG).segment)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_permutation_equivalence():
+    # segment structure must not depend on point order (the reference's does —
+    # shuffled input, segmenting.rs:425; ours fixes that deficiency)
+    pts = _two_trees(gap=6.0, seed=3)
+    v = jnp.ones(len(pts), bool)
+    perm = np.random.default_rng(0).permutation(len(pts))
+    s1 = np.asarray(segment_points(jnp.asarray(pts), v, 0.75, CFG).segment)
+    s2p = np.asarray(segment_points(jnp.asarray(pts[perm]), v, 0.75, CFG).segment)
+    s2 = np.empty_like(s2p)
+    s2[perm] = s2p
+    # same-segment relation preserved for almost all pairs (scatter-add float
+    # order can flip boundary points)
+    sample = np.random.default_rng(1).integers(0, len(pts), size=(4000, 2))
+    same1 = s1[sample[:, 0]] == s1[sample[:, 1]]
+    same2 = s2[sample[:, 0]] == s2[sample[:, 1]]
+    assert (same1 == same2).mean() > 0.99
+
+
+def test_invalid_points_get_zero():
+    pts = _two_trees(gap=6.0)
+    valid = np.ones(len(pts), bool)
+    valid[::7] = False
+    res = segment_points(jnp.asarray(pts), jnp.asarray(valid), 0.75, CFG)
+    seg = np.asarray(res.segment)
+    assert (seg[~valid] == 0).all()
+    assert (seg[valid] > 0).all()
+
+
+def test_empty_input():
+    res = segment_points(jnp.zeros((64, 3)), jnp.zeros(64, bool), 0.75, CFG)
+    assert (np.asarray(res.segment) == 0).all()
+    assert int(res.n_segments) == 0
+
+
+def test_tracking_coherent_down_the_trunk():
+    # a single tall tree: trunk and crown points should share one id
+    rng = np.random.default_rng(4)
+    pts = las.synthetic_tree(rng, np.zeros(3), trunk_height=6.0,
+                             crown_height=5.0, n_points=6000)
+    res = segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.75, CFG)
+    seg = np.asarray(res.segment)
+    ids = seg[seg > 0]
+    maj = np.bincount(ids).argmax()
+    assert (ids == maj).mean() > 0.97

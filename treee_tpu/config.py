@@ -48,13 +48,16 @@ class SegmentationConfig:
     min_area_factor: float = 0.25
     # matching radius: centroids match to the band above within 2*d (segmenting.rs:499)
     match_radius_factor: float = 2.0
+    # cluster filter: the reference drops degenerate (near-zero-area) polygons;
+    # our proxy drops clusters with fewer than min_points points
+    min_points: int = 4
     # --- static capacities (new; TPU fixed shapes) ---
     max_bands: int = 64                 # max height bands (64 m of canopy)
-    max_trees_per_band: int = 512       # max clusters in one band
-    max_segments: int = 4096            # max live segments in a scene
-    grid_size: int = 1024               # CC occupancy grid resolution per axis
-    cc_iters: int = 16                  # min-label propagation sweeps per doubling
-    cc_rounds: int = 8                  # pointer-jump rounds
+    max_trees_per_band: int = 256       # max new clusters per band
+    max_segments: int = 2048            # max tracked segments in a scene
+    grid_size: int = 512                # CC occupancy grid resolution per axis
+    cc_iters: int = 24                  # label-propagation sweeps (with jumping)
+    match_rounds: int = 4               # mutual-nearest matching rounds per band
 
 
 @dataclasses.dataclass(frozen=True)
