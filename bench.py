@@ -1,0 +1,130 @@
+"""Benchmark: octree build + segmentation + characteristics throughput, and
+splat frame time, on a 15M-point synthetic forest scan (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": Mpts/s, "unit": "Mpts/s", "vs_baseline": ...,
+   extras...}
+
+Baseline: the reference publishes no numbers (SURVEY.md §6); the driver-defined
+target is 15M points imported+segmented in < 5 s (=> 3 Mpts/s) and
+60 FPS-equivalent frame compute on one v5e chip.  ``vs_baseline`` is measured
+throughput / 3 Mpts/s.
+
+Env knobs: BENCH_POINTS (default 15_000_000), BENCH_FRAMES (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from treee_tpu.config import DEFAULT_CONFIG
+    from treee_tpu.io import las
+    from treee_tpu.ops import octree
+    from treee_tpu.pipeline import full_pipeline
+    from treee_tpu.render import Camera, palettes, splat
+
+    n_target = int(os.environ.get("BENCH_POINTS", 15_000_000))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 8))
+    cfg = DEFAULT_CONFIG
+
+    # --- synthetic forest scan sized to the target (host) ---
+    points_per_tree = 12_000
+    ground_frac = 0.25
+    n_trees = max(1, int(n_target * (1 - ground_frac)) // points_per_tree)
+    t0 = time.time()
+    pts = las.synthetic_forest(
+        n_trees=n_trees,
+        spacing=7.0,
+        points_per_tree=points_per_tree,
+        ground_points=n_target - n_trees * points_per_tree,
+        seed=0,
+    )
+    gen_s = time.time() - t0
+    n = len(pts)
+
+    # --- host -> device (import path) ---
+    t0 = time.time()
+    pos = jnp.asarray(pts)
+    valid = jnp.ones(n, bool)
+    jax.block_until_ready(pos)
+    upload_s = time.time() - t0
+
+    d = jnp.float32(cfg.segmentation.max_distance)
+
+    def build_and_segment(pos, valid, d):
+        tree = octree.build(pos, valid)
+        segment, classification, table, _ = full_pipeline(pos, valid, d, cfg)
+        return tree.keys, segment, classification, table.trunk_height
+
+    step = jax.jit(build_and_segment)
+
+    # warmup/compile
+    t0 = time.time()
+    out = step(pos, valid, d)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # timed runs
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        out = step(pos, valid, d)
+        jax.block_until_ready(out)
+        runs.append(time.time() - t0)
+    pipe_s = min(runs)
+    mpts_per_s = n / pipe_s / 1e6
+
+    # --- frame sweep ---
+    segment = out[1]
+    prop = splat.prop_from_segment(segment)
+    palette = palettes.get(cfg.render.palette)
+    frame = jax.jit(
+        lambda pos, prop, valid, cam: splat.render_frame(
+            pos, prop, valid, cam, palette, cfg.render
+        )
+    )
+    cam0 = Camera.orbital(distance=120.0)
+    img = frame(pos, prop, valid, cam0)
+    jax.block_until_ready(img)  # compile
+    frame_times = []
+    cam = cam0
+    for _ in range(n_frames):
+        cam = cam.rotate_orbital(40.0, 0.0)
+        t0 = time.time()
+        img = frame(pos, prop, valid, cam)
+        jax.block_until_ready(img)
+        frame_times.append(time.time() - t0)
+    frame_ms = float(np.mean(frame_times) * 1e3)
+
+    target_mpts = 3.0  # 15M in <5s
+    result = {
+        "metric": "Mpts/sec octree build+segmentation; splat frame ms on 15M-point scan",
+        "value": round(mpts_per_s, 3),
+        "unit": "Mpts/s",
+        "vs_baseline": round(mpts_per_s / target_mpts, 3),
+        "points": n,
+        "pipeline_s": round(pipe_s, 3),
+        "frame_ms": round(frame_ms, 2),
+        "fps": round(1000.0 / frame_ms, 1),
+        "compile_s": round(compile_s, 1),
+        "upload_s": round(upload_s, 3),
+        "gen_s": round(gen_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

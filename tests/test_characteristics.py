@@ -1,0 +1,135 @@
+"""Golden tests for per-segment characteristics (SURVEY.md §4 item 1)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial import ConvexHull
+
+from treee_tpu import characteristics as ch
+from treee_tpu.cloud import CLASS_CROWN, CLASS_GROUND, CLASS_TRUNK
+from treee_tpu.config import CharacteristicsConfig
+from treee_tpu.io import las
+
+CFG = CharacteristicsConfig(max_slices=160)
+
+
+def test_slice_areas_vs_scipy_hull():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, size=(500, 2)).astype(np.float32)
+    bucket = np.zeros(500, np.int32)
+    area = np.asarray(
+        ch.slice_areas(jnp.asarray(pts), jnp.asarray(bucket),
+                       jnp.ones(500, bool), 4, 16)
+    )[0]
+    ref = ConvexHull(pts).volume  # 2-D "volume" is the area
+    assert 0.9 * ref <= area <= ref * 1.001
+
+
+def test_slice_areas_disk():
+    # dense unit disk: K=16 inscribed polygon area ~ 0.974 * pi
+    rng = np.random.default_rng(1)
+    th = rng.uniform(0, 2 * np.pi, 4000)
+    r = np.sqrt(rng.uniform(0, 1, 4000))
+    pts = np.stack([r * np.cos(th), r * np.sin(th)], -1).astype(np.float32)
+    area = np.asarray(
+        ch.slice_areas(jnp.asarray(pts), jnp.zeros(4000, jnp.int32),
+                       jnp.ones(4000, bool), 1, 16)
+    )[0]
+    assert abs(area - math.pi) / math.pi < 0.05
+
+
+def test_empty_bucket_zero_area():
+    pts = np.zeros((4, 2), np.float32)
+    area = np.asarray(
+        ch.slice_areas(jnp.asarray(pts), jnp.zeros(4, jnp.int32),
+                       jnp.zeros(4, bool), 3, 16)
+    )
+    np.testing.assert_allclose(area, 0.0)
+
+
+def _lone_tree(trunk_h=4.0, crown_h=6.0, crown_r=2.5, n=30000):
+    rng = np.random.default_rng(2)
+    pts = las.synthetic_tree(rng, np.zeros(3), trunk_height=trunk_h,
+                             crown_height=crown_h, crown_radius=crown_r,
+                             n_points=n)
+    seg = np.ones(len(pts), np.int32)
+    return pts, seg
+
+
+def test_crown_separator_single_tree():
+    pts, seg = _lone_tree()
+    table, cls = ch.compute_segments(
+        jnp.asarray(pts), jnp.asarray(seg), jnp.ones(len(pts), bool), 4, CFG
+    )
+    assert bool(table.present[1])
+    # crown ellipsoid (center y=7, semi-height 3, r 2.5) crosses area pi at
+    # r(y)=1 -> y ~ 4.25; the crown separator should land near the trunk top
+    cs = float(table.crown_sep[1])
+    assert 3.8 <= cs <= 5.0
+    # no ground plane -> ground separator stays at the bottom
+    assert float(table.ground_sep[1]) <= 0.3
+    assert abs(float(table.trunk_height[1]) - (cs - float(table.ground_sep[1]))) < 1e-4
+    assert abs(float(table.crown_height[1]) - (float(table.hi[1, 1]) - cs)) < 1e-4
+
+
+def test_classification_fractions():
+    pts, seg = _lone_tree()
+    _, cls = ch.compute_segments(
+        jnp.asarray(pts), jnp.asarray(seg), jnp.ones(len(pts), bool), 4, CFG
+    )
+    cls = np.asarray(cls)
+    # 1/5 of points are trunk (below ~4), rest crown; separator ~4.25 so trunk
+    # fraction is near 0.2 plus a thin crown shell
+    trunk_frac = (cls == CLASS_TRUNK).mean()
+    crown_frac = (cls == CLASS_CROWN).mean()
+    assert 0.1 < trunk_frac < 0.4
+    assert crown_frac > 0.55
+
+
+def test_ground_separator_with_plane():
+    rng = np.random.default_rng(3)
+    tree = las.synthetic_tree(rng, np.zeros(3), n_points=20000)
+    ground = np.stack([
+        rng.uniform(-8, 8, 20000),
+        rng.normal(0.0, 0.04, 20000),
+        rng.uniform(-8, 8, 20000),
+    ], 1).astype(np.float32)
+    pts = np.concatenate([tree, ground])
+    seg = np.ones(len(pts), np.int32)
+    table, cls = ch.compute_segments(
+        jnp.asarray(pts), jnp.asarray(seg), jnp.ones(len(pts), bool), 4, CFG
+    )
+    gs = float(table.ground_sep[1])
+    assert 0.05 <= gs <= 1.0  # ground layer detected just above the plane
+    cls = np.asarray(cls)
+    # the plane points classify as ground
+    assert (cls[len(tree):] == CLASS_GROUND).mean() > 0.9
+
+
+def test_properties_ranges():
+    pts, seg = _lone_tree()
+    v = jnp.ones(len(pts), bool)
+    table, cls = ch.compute_segments(jnp.asarray(pts), jnp.asarray(seg), v, 4, CFG)
+    exp, hgt = ch.segment_properties(
+        jnp.asarray(pts), jnp.asarray(seg), v, cls, table, 4, CFG
+    )
+    exp, hgt = np.asarray(exp), np.asarray(hgt)
+    assert hgt.min() >= 0.0 and hgt.max() <= 1.0 + 1e-5
+    assert exp.max() <= 1.5  # slice diameter never wildly exceeds crown diameter
+    crown = np.asarray(cls) == CLASS_CROWN
+    # widest crown slice has expansion ~1
+    assert exp[crown].max() > 0.9
+
+
+def test_curvature_endpoints():
+    # ellipsoid shell -> locally planar -> low curvature; solid blob -> high
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(2000, 3)); u /= np.linalg.norm(u, axis=1, keepdims=True)
+    shell = (u * 3.0).astype(np.float32)
+    blob = rng.normal(size=(2000, 3)).astype(np.float32) * 0.5
+    m = jnp.ones(2000, bool)
+    c_shell = np.asarray(ch.segment_curvature(jnp.asarray(shell), m, k=15))
+    c_blob = np.asarray(ch.segment_curvature(jnp.asarray(blob), m, k=15))
+    assert c_shell.mean() < 0.3
+    assert c_blob.mean() > c_shell.mean()

@@ -1,0 +1,145 @@
+"""Interactive edit transitions + session checkpoint tests
+(interactive/mod.rs capability surface)."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+
+from treee_tpu import interactive as edit
+from treee_tpu.cloud import (
+    CLASS_CROWN, CLASS_GROUND, CLASS_TRUNK, DELETED_SEGMENT, PointCloud,
+)
+from treee_tpu.io import ipc
+
+
+def _cloud():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    seg = np.where(pos[:, 0] < 0, 1, 2).astype(np.int32)
+    return PointCloud.from_numpy(pos, capacity=1024, segment=seg)
+
+
+def test_delete_sphere_moves_to_deleted():
+    pc = _cloud()
+    center = jnp.zeros(3)
+    out = edit.remove_points(pc, center, 2.0, DELETED_SEGMENT)
+    pos = np.asarray(pc.pos)
+    inside = (np.linalg.norm(pos, axis=1) <= 2.0) & np.asarray(pc.valid)
+    seg = np.asarray(out.segment)
+    assert (seg[inside] == DELETED_SEGMENT).all()
+    outside = ~inside & np.asarray(pc.valid)
+    np.testing.assert_array_equal(seg[outside], np.asarray(pc.segment)[outside])
+    # capacity/positions untouched — edits never reshape
+    assert out.capacity == pc.capacity
+    np.testing.assert_array_equal(np.asarray(out.pos), pos)
+
+
+def test_draw_does_not_steal_deleted_unless_restored():
+    pc = _cloud()
+    center = jnp.zeros(3)
+    pc = edit.remove_points(pc, center, 1.0, DELETED_SEGMENT)
+    # draw into segment 2 with a bigger brush: deleted core must stay deleted
+    out = edit.remove_points(pc, center, 2.0, 2)
+    pos = np.asarray(pc.pos)
+    core = (np.linalg.norm(pos, axis=1) <= 1.0) & np.asarray(pc.valid)
+    assert (np.asarray(out.segment)[core] == DELETED_SEGMENT).all()
+    # restore_deleted pulls them back (show_deleted mode, mod.rs:866-869)
+    out2 = edit.restore_deleted(out, center, 2.0, 2)
+    assert (np.asarray(out2.segment)[core] == 2).all()
+
+
+def test_change_classification_scoped_to_segment():
+    pc = _cloud()
+    out = edit.change_classification(pc, jnp.zeros(3), 3.0, CLASS_CROWN, 1)
+    pos = np.asarray(pc.pos)
+    inside = (np.linalg.norm(pos, axis=1) <= 3.0) & np.asarray(pc.valid)
+    seg = np.asarray(pc.segment)
+    cls = np.asarray(out.classification)
+    assert (cls[inside & (seg == 1)] == CLASS_CROWN).all()
+    assert (cls[inside & (seg == 2)] == CLASS_GROUND).all()  # untouched
+
+
+def test_combine():
+    pc = _cloud()
+    out = edit.combine_segments(pc, 1, 2)
+    seg = np.asarray(out.segment)[np.asarray(pc.valid)]
+    assert set(np.unique(seg)) == {2}
+
+
+def test_spawn_skips_deleted():
+    pc = _cloud()
+    pc = edit.remove_points(pc, jnp.zeros(3), 1.0, DELETED_SEGMENT)
+    out = edit.spawn_segment(pc, jnp.zeros(3), 3.0, 99)
+    pos = np.asarray(pc.pos)
+    r = np.linalg.norm(pos, axis=1)
+    valid = np.asarray(pc.valid)
+    seg = np.asarray(out.segment)
+    assert (seg[(r <= 1.0) & valid] == DELETED_SEGMENT).all()
+    ring = (r > 1.0) & (r <= 3.0) & valid
+    assert (seg[ring] == 99).all()
+
+
+def test_pick_nearest_along_ray():
+    pos = np.array([[0.0, 0.0, -5.0], [0.0, 0.0, -9.0], [3.0, 0.0, -7.0]], np.float32)
+    pc = PointCloud.from_numpy(pos, capacity=8,
+                               segment=np.array([7, 8, 9], np.int32))
+    seg, dist, found = edit.pick(
+        pc, jnp.zeros(3), jnp.array([0.0, 0.0, -1.0]), 0.5
+    )
+    assert bool(found)
+    assert int(seg) == 7
+    assert abs(float(dist) - 5.0) < 1e-5
+
+
+def test_pick_miss():
+    pos = np.array([[10.0, 10.0, -5.0]], np.float32)
+    pc = PointCloud.from_numpy(pos, capacity=8)
+    seg, dist, found = edit.pick(pc, jnp.zeros(3), jnp.array([0.0, 0.0, -1.0]), 0.5)
+    assert not bool(found)
+    assert int(seg) == -1
+
+
+def test_pick_ignores_deleted_by_default():
+    pos = np.array([[0.0, 0.0, -5.0]], np.float32)
+    pc = PointCloud.from_numpy(pos, capacity=8,
+                               segment=np.array([DELETED_SEGMENT], np.int32))
+    _, _, found = edit.pick(pc, jnp.zeros(3), jnp.array([0.0, 0.0, -1.0]), 0.5)
+    assert not bool(found)
+    _, _, found2 = edit.pick(
+        pc, jnp.zeros(3), jnp.array([0.0, 0.0, -1.0]), 0.5, include_deleted=True
+    )
+    assert bool(found2)
+
+
+def test_ipc_roundtrip():
+    pc = _cloud()
+    buf = io.BytesIO()
+    ipc.save(buf, pc, np.array([100.0, 0.0, 50.0]), "+proj=utm")
+    buf.seek(0)
+    arrays, offset, loc = ipc.load(buf)
+    np.testing.assert_allclose(offset, [100.0, 0.0, 50.0])
+    assert loc == "+proj=utm"
+    ref = pc.to_numpy()
+    np.testing.assert_array_equal(arrays["pos"], ref["pos"])
+    np.testing.assert_array_equal(arrays["segment"], ref["segment"])
+
+
+def test_ipc_merge_shifts_and_renumbers():
+    a = {
+        "pos": np.zeros((4, 3), np.float32),
+        "segment": np.array([1, 1, 2, 2], np.int32),
+        "classification": np.zeros(4, np.int32),
+    }
+    b = {
+        "pos": np.ones((2, 3), np.float32),
+        "segment": np.array([2, 3], np.int32),
+        "classification": np.zeros(2, np.int32),
+    }
+    merged = ipc.merge(a, np.zeros(3), b, np.array([10.0, 0.0, 0.0]))
+    assert merged["pos"].shape == (6, 3)
+    # shifted by the offset difference
+    np.testing.assert_allclose(merged["pos"][4], [11.0, 1.0, 1.0])
+    # colliding id 2 renumbered, non-colliding 3 kept
+    assert merged["segment"][4] not in (0, 1, 2)
+    assert merged["segment"][5] == 3

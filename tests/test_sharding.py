@@ -1,0 +1,69 @@
+"""Multi-device tests on the emulated 8-device CPU mesh (SURVEY.md §4 item 4):
+shard-vs-single-device equivalence for the sharded segmentation path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from treee_tpu.config import Config, SegmentationConfig
+from treee_tpu.io import las
+from treee_tpu.parallel import sharding
+from treee_tpu.segmentation import segment_points
+
+CFG = Config(
+    segmentation=SegmentationConfig(
+        grid_size=128, max_bands=16, max_segments=128, max_trees_per_band=32,
+        cc_iters=16,
+    )
+)
+
+
+def _forest(n_pad: int):
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=2000, ground_points=1500, seed=7)
+    n = len(pts)
+    pos = np.zeros((n_pad, 3), np.float32)
+    pos[:n] = pts
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    return pos, valid
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device():
+    pos, valid = _forest(n_pad=10240)  # divisible by 8
+    ref = np.asarray(
+        segment_points(jnp.asarray(pos), jnp.asarray(valid), 0.75, CFG.segmentation).segment
+    )
+
+    mesh = sharding.make_mesh()
+    fn = sharding.sharded_segment(mesh, CFG)
+    pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos), jnp.asarray(valid))
+    seg_sharded, n_alloc = fn(pos_s, valid_s, jnp.float32(0.75))
+    seg_sharded = np.asarray(seg_sharded)
+
+    # the grids are integer/float sums: scatter order may differ across shards,
+    # so allow rare boundary flips but demand structural equality
+    agree = (seg_sharded == ref).mean()
+    assert agree > 0.999, f"only {agree:.4f} agreement"
+
+
+def test_sharded_pipeline_step_runs():
+    pos, valid = _forest(n_pad=10240)
+    mesh = sharding.make_mesh()
+    step = sharding.sharded_pipeline_step(mesh, CFG)
+    pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos), jnp.asarray(valid))
+    segment, n_alloc, count, min_y, max_y = step(pos_s, valid_s, jnp.float32(0.75))
+    segment = np.asarray(segment)
+    count = np.asarray(count)
+    assert int(n_alloc) > 0
+    # counts table matches the actual assignment histogram
+    hist = np.bincount(segment[segment > 0], minlength=len(count))[: len(count)]
+    np.testing.assert_array_equal(count, hist)
+    # replicated per-segment y-extents are consistent
+    for sid in np.unique(segment[segment > 0])[:5]:
+        ys = pos[segment == sid, 1]
+        assert abs(min_y[sid] - ys.min()) < 1e-5
+        assert abs(max_y[sid] - ys.max()) < 1e-5

@@ -1,0 +1,284 @@
+"""Per-segment characteristics, batched over every segment at once.
+
+Capability parity with the reference Calculations phase
+(treee/src/calculations.rs), which iterates segments with rayon and, per segment,
+bins points into 0.1 m height slices, grows a convex polygon per slice to get
+slice areas (calculations.rs:430-452), derives ground/crown separator heights
+from the area profile (:201-267), classifies points (:150-163), and later
+computes per-point expansion/height/curvature properties (:269-376).
+
+The TPU redesign runs ALL segments in one fused pass over fixed [S, MS] tables:
+
+- *Slice areas*: instead of sequential polygon insertion, each point scores K
+  support directions (one [N,2]x[2,K] MXU matmul); a scatter-max per
+  (segment, slice, direction) finds the convex hull's support points, and the
+  shoelace formula over the K ordered supports gives the area.  Exact up to the
+  K-gon inscription error (~2.6% for K=16 on a disk).
+- *Separators*: the reference's sequential find-first scans over the area
+  profile become masked argmax-of-boolean reductions over [S, MS].
+- *Classification and properties*: pure per-point gathers from the tables.
+
+Curvature stays on demand per segment (the reference computes it only for the
+viewed segment, calculations.rs:328-373) via the neighbors engine.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .cloud import CLASS_CROWN, CLASS_GROUND, CLASS_TRUNK
+from .config import CharacteristicsConfig
+from .ops import eigen, neighbors
+
+INF = jnp.float32(3.0e38)
+
+
+class SegmentTable(flax.struct.PyTreeNode):
+    """Per-segment analytics, indexed by segment id (row 0 = deleted/unused).
+
+    Mirrors SegmentData/SegmentInformation (calculations.rs:35-43,191-197).
+    """
+
+    present: jax.Array       # bool[S]
+    count: jax.Array         # i32[S]
+    lo: jax.Array            # f32[S,3]
+    hi: jax.Array            # f32[S,3]
+    areas: jax.Array         # f32[S,MS] slice convex areas
+    n_slices: jax.Array      # i32[S]
+    ground_sep: jax.Array    # f32[S] absolute y of ground/trunk split
+    crown_sep: jax.Array     # f32[S] absolute y of trunk/crown split
+    trunk_height: jax.Array  # f32[S]
+    crown_height: jax.Array  # f32[S]
+
+
+def _support_directions(k: int) -> jax.Array:
+    ang = jnp.arange(k, dtype=jnp.float32) * (2.0 * math.pi / k)
+    return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=0)  # [2, K]
+
+
+def slice_areas(
+    xz: jax.Array,          # f32[N,2]
+    bucket: jax.Array,      # i32[N] flat (segment*MS + slice), >= S*MS to drop
+    include: jax.Array,     # bool[N]
+    n_buckets: int,
+    k_dirs: int,
+) -> jax.Array:
+    """Convex area per bucket via K-direction support points + shoelace.
+
+    Replaces per-slice convex polygon growth (calculations.rs:430-452,
+    segmenting.rs:526-545 centroid/area).  Returns f32[n_buckets].
+    """
+    dirs = _support_directions(k_dirs)                   # [2,K]
+    scores = jnp.dot(xz, dirs, preferred_element_type=jnp.float32)  # [N,K]
+    tgt = jnp.where(include, bucket, n_buckets)
+    best = jnp.full((n_buckets + 1, k_dirs), -INF).at[tgt].max(scores)
+
+    # second pass: the point achieving the max is the support point
+    won = scores >= best[jnp.clip(tgt, 0, n_buckets)] - 1e-6
+    # scatter support coordinates (ties: any winner; same score -> ~same point)
+    sup_x = jnp.zeros((n_buckets + 1, k_dirs))
+    sup_z = jnp.zeros((n_buckets + 1, k_dirs))
+    k_idx = jnp.arange(k_dirs, dtype=jnp.int32)[None, :].repeat(xz.shape[0], 0)
+    row = jnp.where(won, tgt[:, None], n_buckets)
+    sup_x = sup_x.at[row, k_idx].set(jnp.broadcast_to(xz[:, :1], scores.shape))
+    sup_z = sup_z.at[row, k_idx].set(jnp.broadcast_to(xz[:, 1:], scores.shape))
+    sup_x, sup_z = sup_x[:n_buckets], sup_z[:n_buckets]
+
+    # shoelace over the angularly ordered support points
+    nx = jnp.roll(sup_x, -1, axis=1)
+    nz = jnp.roll(sup_z, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(sup_x * nz - nx * sup_z, axis=1))
+    has_any = best[:n_buckets, 0] > -INF
+    return jnp.where(has_any, area, 0.0)
+
+
+def _find_first(cond: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """First True index along axis 1 of [S,MS]; (idx, found)."""
+    found = jnp.any(cond, axis=1)
+    return jnp.argmax(cond, axis=1).astype(jnp.int32), found
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_segments"))
+def compute_segments(
+    pos: jax.Array,
+    segment: jax.Array,
+    valid: jax.Array,
+    num_segments: int,
+    cfg: CharacteristicsConfig = CharacteristicsConfig(),
+) -> tuple[SegmentTable, jax.Array]:
+    """Characteristics for every segment + per-point classification.
+
+    Args:
+      pos: f32[N,3] y-up; segment: i32[N] ids in [0, num_segments);
+      valid: bool[N]; id 0 is the deleted bucket and gets no analytics.
+    Returns:
+      (SegmentTable with S=num_segments rows, classification i32[N]).
+    """
+    s_cap = num_segments
+    ms = cfg.max_slices
+    sw = cfg.slice_width
+    n = pos.shape[0]
+
+    seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
+    live = seg > 0
+    tgt = jnp.where(live, seg, s_cap)
+
+    # --- per-segment bbox + count (calculations.rs:136-147) ---
+    count = jnp.zeros(s_cap + 1, jnp.int32).at[tgt].add(1)[:s_cap]
+    lo = jnp.stack(
+        [jnp.full(s_cap + 1, INF).at[tgt].min(jnp.where(live, pos[:, i], INF))[:s_cap]
+         for i in range(3)], axis=-1)
+    hi = jnp.stack(
+        [jnp.full(s_cap + 1, -INF).at[tgt].max(jnp.where(live, pos[:, i], -INF))[:s_cap]
+         for i in range(3)], axis=-1)
+    present = count > 0
+    lo = jnp.where(present[:, None], lo, 0.0)
+    hi = jnp.where(present[:, None], hi, 0.0)
+
+    # --- slice areas (all classifications; calculations.rs:218) ---
+    min_y = lo[:, 1]
+    height = hi[:, 1] - min_y
+    n_slices = jnp.clip((height / sw).astype(jnp.int32) + 1, 1, ms)
+    slice_idx = jnp.clip(
+        jnp.floor((pos[:, 1] - min_y[seg]) / sw).astype(jnp.int32), 0, ms - 1
+    )
+    bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
+    xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)
+    areas = slice_areas(xz, bucket, live, s_cap * ms, cfg.hull_directions)
+    areas = areas.reshape(s_cap, ms)
+
+    # --- separators (calculations.rs:219-259) ---
+    sl = jnp.arange(ms, dtype=jnp.int32)[None, :]
+    in_range = sl < n_slices[:, None]
+
+    # min_area: min of areas over slices [1m, 11m), floored at 0.5
+    lo_i = int(1.0 / sw)
+    hi_i = lo_i + int(10.0 / sw)
+    m = in_range & (sl >= lo_i) & (sl < hi_i)
+    min_area = jnp.min(jnp.where(m, areas, INF), axis=1)
+    min_area = jnp.where(jnp.any(m, axis=1), min_area, 0.5)
+    min_area = jnp.maximum(min_area, cfg.min_area_floor)
+
+    thresh = min_area * cfg.ground_min_area_scale
+    # ground: first slice below 1m whose area exceeds the threshold
+    g_lim = int(cfg.ground_max_search_height / sw)
+    ground_idx, ground_found = _find_first(
+        in_range & (sl < g_lim) & (areas > thresh[:, None])
+    )
+    # ground_sep: first slice after `ground` (within the lower half) whose area
+    # drops back below the threshold; 0 if none
+    half = n_slices[:, None] // 2
+    gs_idx, gs_found = _find_first(
+        (sl >= ground_idx[:, None]) & (sl < half) & (areas < thresh[:, None])
+    )
+    ground_sep_idx = jnp.where(ground_found & gs_found, gs_idx, 0)
+
+    # crown_sep: first slice at/above ground_sep with area > pi*(min_d/2)^2
+    min_crown_area = math.pi * (cfg.min_crown_diameter / 2.0) ** 2
+    cs_idx, cs_found = _find_first(
+        in_range & (sl >= ground_sep_idx[:, None]) & (areas > min_crown_area)
+    )
+    crown_sep_idx = jnp.where(cs_found, cs_idx, 0)
+
+    ground_sep = min_y + ground_sep_idx.astype(jnp.float32) * sw
+    crown_sep = min_y + crown_sep_idx.astype(jnp.float32) * sw
+
+    table = SegmentTable(
+        present=present,
+        count=count,
+        lo=lo,
+        hi=hi,
+        areas=areas,
+        n_slices=n_slices,
+        ground_sep=ground_sep,
+        crown_sep=crown_sep,
+        trunk_height=jnp.where(present, crown_sep - ground_sep, 0.0),
+        crown_height=jnp.where(present, hi[:, 1] - crown_sep, 0.0),
+    )
+
+    # --- classification (calculations.rs:150-163) ---
+    y = pos[:, 1]
+    classification = jnp.where(
+        y < ground_sep[seg],
+        CLASS_GROUND,
+        jnp.where(y < crown_sep[seg], CLASS_TRUNK, CLASS_CROWN),
+    ).astype(jnp.int32)
+    classification = jnp.where(live, classification, CLASS_GROUND)
+    return table, classification
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_segments"))
+def segment_properties(
+    pos: jax.Array,
+    segment: jax.Array,
+    valid: jax.Array,
+    classification: jax.Array,
+    table: SegmentTable,
+    num_segments: int,
+    cfg: CharacteristicsConfig = CharacteristicsConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """Per-point expansion and relative height (calculations.rs:297-326).
+
+    Expansion: crown-filtered slice areas -> per-slice diameter relative to the
+    segment's max crown diameter; each point reads its slice's ratio.  Height:
+    y normalized to the segment's extent.  Returns (expansion f32[N], height
+    f32[N]).
+    """
+    s_cap = num_segments
+    ms = cfg.max_slices
+    sw = cfg.slice_width
+
+    seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
+    live = seg > 0
+    min_y = table.lo[:, 1]
+    slice_idx = jnp.clip(
+        jnp.floor((pos[:, 1] - min_y[seg]) / sw).astype(jnp.int32), 0, ms - 1
+    )
+    bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
+    xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)
+    crown_only = live & (classification == CLASS_CROWN)
+    areas_crown = slice_areas(
+        xz, bucket, crown_only, s_cap * ms, cfg.hull_directions
+    ).reshape(s_cap, ms)
+
+    # crown area: max area at/above the crown separator slice (calculations.rs:301-306)
+    crown_sep_idx = jnp.clip(
+        ((table.crown_sep - min_y) / sw).astype(jnp.int32), 0, ms - 1
+    )
+    sl = jnp.arange(ms, dtype=jnp.int32)[None, :]
+    crown_area = jnp.max(
+        jnp.where(sl >= crown_sep_idx[:, None], areas_crown, -INF), axis=1
+    )
+    crown_area = jnp.maximum(crown_area, 0.0)
+
+    # diameter ratio per slice (approximate_diameter, calculations.rs:460-462)
+    crown_diam = 2.0 * jnp.sqrt(crown_area / math.pi)
+    slice_diam = 2.0 * jnp.sqrt(areas_crown / math.pi)
+    ratio = slice_diam / jnp.maximum(crown_diam[:, None], 1e-6)
+
+    expansion = jnp.where(live, ratio[seg, slice_idx], 0.0)
+    height_ext = jnp.maximum(table.hi[:, 1] - table.lo[:, 1], 1e-6)
+    height = jnp.where(live, (pos[:, 1] - min_y[seg]) / height_ext[seg], 0.0)
+    return expansion, height
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def segment_curvature(
+    pos: jax.Array,
+    member: jax.Array,
+    k: int = 31,
+) -> jax.Array:
+    """Per-point curvature for one segment's members (calculations.rs:328-373).
+
+    k-NN within the member set, covariance of the neighborhood, then
+    3*lambda_min/trace via the analytic eigenvalues.  Non-members get 0.
+    """
+    idx, _ = neighbors.knn_bruteforce(pos, member, k=k)
+    cov = neighbors.neighbor_covariance(pos, idx)
+    curve = eigen.curvature_from_cov(cov)
+    return jnp.where(member, curve, 0.0)

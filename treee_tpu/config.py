@@ -71,8 +71,8 @@ class CharacteristicsConfig:
     neighbors: int = 31                 # calculations.rs:279 neighbor count for curvature
     min_area_floor: float = 0.5         # calculations.rs:227 `.max(0.5)`
     # --- static capacities ---
-    max_slices: int = 512               # 51.2 m of tree at 0.1 m slices
-    hull_directions: int = 64           # support directions for 2-D hull area
+    max_slices: int = 384               # 38.4 m of tree at 0.1 m slices
+    hull_directions: int = 16           # support directions for 2-D hull area
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +103,8 @@ class RenderConfig:
     palette: str = "turbo"              # program.rs:174
     # max splat footprint half-extent in pixels (static unroll bound)
     max_splat_radius: int = 3
+    # points per rasterization tile (bounds the [tile, footprint] scatter operand)
+    raster_tile: int = 1 << 20
     # property range filter (point_cloud.wgsl:44-49); u32 range semantics
     prop_min: int = 0
     prop_max: int = 0xFFFFFFFF

@@ -1,0 +1,105 @@
+"""3-D convex hull of a focused segment (crown hull).
+
+Capability parity with ConvexHull in treee/src/interactive/hull.rs:447-580,
+which gift-wraps the filtered points (O(n * faces), strictly sequential edge
+queue).  Gift wrapping cannot be expressed as a fixed-shape data-parallel
+program, so the TPU-native split is:
+
+1. *Device reduction*: the hull's vertices are all extreme points; reduce the
+   candidate set with a K-direction support-point pass (one [N,3]x[3,K] MXU
+   matmul + scatter-max) — same trick as the 2-D slice areas.  K directions on
+   a sphere bound the candidate set to <= K points independent of N.
+2. *Host hull*: qhull (scipy.spatial.ConvexHull) over the <= K candidates.
+
+With K=512 the area/volume error vs the exact hull of millions of crown points
+is negligible for forestry metrics, and step 1 is where all the N-scaling work
+happens.  ``exact=True`` skips the reduction (hull of all masked points).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = jnp.float32(3.0e38)
+
+
+@dataclasses.dataclass
+class HullResult:
+    vertices: np.ndarray   # f32[V,3] hull vertex positions
+    faces: np.ndarray      # i32[F,3] indices into ``vertices``
+    point_ids: np.ndarray  # i32[V] original point indices (for exports)
+    area: float
+    volume: float
+
+
+def _fibonacci_sphere(k: int) -> np.ndarray:
+    i = np.arange(k) + 0.5
+    phi = np.arccos(1 - 2 * i / k)
+    theta = np.pi * (1 + 5**0.5) * i
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)],
+        axis=-1,
+    ).astype(np.float32)
+
+
+@jax.jit
+def support_candidates(pos: jax.Array, mask: jax.Array, dirs: jax.Array):
+    """Indices of the support point per direction; i32[K] (-1 if no points)."""
+    scores = jnp.dot(pos, dirs.T, preferred_element_type=jnp.float32)
+    scores = jnp.where(mask[:, None], scores, -INF)
+    idx = jnp.argmax(scores, axis=0).astype(jnp.int32)
+    any_pt = jnp.any(mask)
+    return jnp.where(any_pt, idx, -1)
+
+
+def convex_hull(
+    pos: np.ndarray | jax.Array,
+    mask: np.ndarray | jax.Array,
+    k_dirs: int = 512,
+    exact: bool = False,
+) -> HullResult | None:
+    """Hull of the masked points; None when degenerate (< 10 points, like
+    hull.rs:483-489)."""
+    from scipy.spatial import ConvexHull as _QHull
+    from scipy.spatial import QhullError
+
+    mask_np = np.asarray(mask)
+    n_masked = int(mask_np.sum())
+    if n_masked < 10:
+        return None
+
+    if exact or n_masked <= k_dirs:
+        ids = np.flatnonzero(mask_np).astype(np.int32)
+        cand = np.asarray(pos)[ids]
+    else:
+        dirs = jnp.asarray(_fibonacci_sphere(k_dirs))
+        idx = np.asarray(support_candidates(jnp.asarray(pos), jnp.asarray(mask), dirs))
+        ids = np.unique(idx[idx >= 0]).astype(np.int32)
+        cand = np.asarray(pos)[ids]
+
+    try:
+        q = _QHull(cand.astype(np.float64))
+    except QhullError:
+        return None
+    vert_local = q.vertices  # indices into cand that are hull vertices
+    remap = -np.ones(len(cand), np.int64)
+    remap[vert_local] = np.arange(len(vert_local))
+    faces = remap[q.simplices].astype(np.int32)
+    return HullResult(
+        vertices=cand[vert_local].astype(np.float32),
+        faces=faces,
+        point_ids=ids[vert_local],
+        area=float(q.area),
+        volume=float(q.volume),
+    )
+
+
+def hull_edges(faces: np.ndarray) -> np.ndarray:
+    """Unique undirected edges for line rendering (hull.rs indices buffer)."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0)

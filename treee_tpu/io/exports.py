@@ -1,0 +1,112 @@
+"""Exports: .ply points / hull meshes, .json segment info & traits, .txt landmarks.
+
+Byte-compatible in spirit with the reference savers:
+- point .ply with expansion/height/curve properties and the y-up -> LAS-axis
+  unswizzle (x, -z, y) (treee/src/interactive/mod.rs:1069-1107)
+- convex hull .ply with reindexed used vertices and flipped winding
+  (treee/src/interactive/hull.rs:583-624)
+- segment info .json (SegmentSave, calculations.rs:62-73)
+- RBV distances .json + landmark .txt tab-separated rows (hull.rs:293-331)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def save_points_ply(
+    fh,
+    pos: np.ndarray,
+    expansion: np.ndarray,
+    height: np.ndarray,
+    curve: np.ndarray,
+    keep: np.ndarray | None = None,
+) -> None:
+    """ASCII .ply of points + properties (mod.rs:1069-1107 layout)."""
+    if keep is None:
+        keep = np.ones(len(pos), bool)
+    idx = np.flatnonzero(keep)
+    w = fh.write
+    w("ply\n")
+    w("format ascii 1.0\n")
+    w(f"element vertex {len(idx)}\n")
+    for prop in ("x", "y", "z", "expansion", "height", "curve"):
+        w(f"property float {prop}\n")
+    w("end_header\n")
+    for i in idx:
+        p = pos[i]
+        w(f"{p[0]} {-p[2]} {p[1]} {expansion[i]} {height[i]} {curve[i]}\n")
+
+
+def save_hull_ply(fh, pos: np.ndarray, faces: np.ndarray) -> None:
+    """ASCII .ply of a triangle hull; vertices reindexed to those used, winding
+    flipped to match the unswizzle (hull.rs:583-624)."""
+    used: dict[int, int] = {}
+    order: list[int] = []
+    for face in faces:
+        for v in face:
+            v = int(v)
+            if v not in used:
+                used[v] = len(order)
+                order.append(v)
+    w = fh.write
+    w("ply\n")
+    w("format ascii 1.0\n")
+    w(f"element vertex {len(order)}\n")
+    w("property float x\nproperty float y\nproperty float z\n")
+    w(f"element face {len(faces)}\n")
+    w("property list uchar uint vertex_indices\n")
+    w("end_header\n")
+    for v in order:
+        p = pos[v]
+        w(f"{p[0]} {-p[2]} {p[1]}\n")
+    for face in faces:
+        w(f"3 {used[int(face[0])]} {used[int(face[2])]} {used[int(face[1])]}\n")
+
+
+def segment_info_json(
+    info: dict,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    world_offset: np.ndarray,
+    coords: tuple[float, float] | None = None,
+) -> str:
+    """SegmentSave-shaped JSON (calculations.rs:62-73; flattened info)."""
+    out = {
+        "trunk_height": float(info["trunk_height"]),
+        "crown_height": float(info["crown_height"]),
+        "ground_sep": float(info["ground_sep"]),
+        "crown_sep": float(info["crown_sep"]),
+        "min": [float(v) for v in lo],
+        "max": [float(v) for v in hi],
+        "offset": [float(v) for v in world_offset],
+    }
+    if coords is not None:
+        out["longitude"] = float(np.degrees(coords[0]))
+        out["latitude"] = float(np.degrees(coords[1]))
+    return json.dumps(out, indent=2)
+
+
+def landmarks_txt(values: np.ndarray) -> str:
+    """Tab-separated landmark row with trailing newline (hull.rs:317-331)."""
+    return "\t".join(repr(float(v)) for v in values) + "\n"
+
+
+def rbv_distances_json(
+    center: np.ndarray, height_min: float, distances: np.ndarray,
+    slices: int, sectors: int,
+) -> str:
+    """RadialBoundingVolumeDistances JSON (hull.rs:293-306,908-916)."""
+    return json.dumps(
+        {
+            "center_x": float(center[0]),
+            "center_y": float(center[1]),
+            "height_min": float(height_min),
+            "slices": slices,
+            "sectors": sectors,
+            "distances": [float(d) for d in distances],
+        },
+        indent=2,
+    )

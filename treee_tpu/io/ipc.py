@@ -1,0 +1,89 @@
+"""Session checkpoint (.ipc-equivalent) save/load/merge.
+
+The reference serializes ``InteractiveSave {segments, deleted, world_offset,
+source_location}`` with bincode (treee/src/interactive/mod.rs:44-50, save
+:386-396, load :270-297) and supports additive merge with a world-offset shift
+(:300-338).  Our checkpoint is one compressed ``.npz`` holding the SoA arrays +
+metadata — the same full-session semantics, loadable by anything that reads
+numpy.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import json
+
+import numpy as np
+
+from ..cloud import PointCloud
+
+FORMAT_VERSION = 1
+
+
+def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
+         source_location: str) -> None:
+    """Checkpoint the full session state."""
+    data = cloud.to_numpy()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "source_location": source_location,
+    }
+    np.savez_compressed(
+        path_or_buf,
+        pos=data["pos"],
+        segment=data["segment"],
+        classification=data["classification"],
+        world_offset=np.asarray(world_offset, np.float64),
+        meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+    )
+
+
+def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
+    """Load a checkpoint -> (arrays dict, world_offset f64[3], source_location)."""
+    with np.load(path_or_buf) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta.get("format_version", 0) > FORMAT_VERSION:
+            raise ValueError("checkpoint from a newer format version")
+        arrays = {
+            "pos": z["pos"].astype(np.float32),
+            "segment": z["segment"].astype(np.int32),
+            "classification": z["classification"].astype(np.int32),
+        }
+        return arrays, z["world_offset"], meta["source_location"]
+
+
+def merge(
+    base: dict[str, np.ndarray],
+    base_offset: np.ndarray,
+    other: dict[str, np.ndarray],
+    other_offset: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Additive merge of a second checkpoint, shifting by the offset difference
+    and renumbering colliding segment ids (mod.rs:300-338)."""
+    diff = np.asarray(other_offset, np.float64) - np.asarray(base_offset, np.float64)
+    pos = other["pos"]
+    if np.dot(diff, diff) > 0.1:  # mod.rs:305 threshold
+        pos = (pos.astype(np.float64) + diff).astype(np.float32)
+
+    used = set(np.unique(base["segment"]).tolist())
+    remap = {}
+    next_id = int(max(used)) + 1 if used else 1
+    seg = other["segment"].copy()
+    for sid in np.unique(seg):
+        if sid == 0:
+            continue
+        if sid in used:
+            remap[int(sid)] = next_id
+            next_id += 1
+        else:
+            used.add(int(sid))
+    for old, new in remap.items():
+        seg[other["segment"] == old] = new
+
+    return {
+        "pos": np.concatenate([base["pos"], pos]),
+        "segment": np.concatenate([base["segment"], seg]),
+        "classification": np.concatenate(
+            [base["classification"], other["classification"]]
+        ),
+    }

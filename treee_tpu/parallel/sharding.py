@@ -1,0 +1,128 @@
+"""Multi-device scaling: point-sharded pipeline over a jax.sharding.Mesh.
+
+The reference is single-process shared-memory (SURVEY.md §2.6: rayon pools +
+crossbeam channels; no distributed backend).  Scaling the long axis there means
+scaling point count — so the TPU-native distribution is data parallelism over
+points with small replicated state:
+
+- points are sharded along N across the ``data`` mesh axis (Morton-range
+  sharding when the cloud is octree-sorted: contiguous shards of the sorted
+  order are spatially compact, minimizing the halo each device contributes);
+- segmentation's only cross-shard coupling is the band moment grids: each
+  device rasterizes its local points, one ``psum`` over ICI produces the global
+  grids, the tracking scan runs replicated (tiny state), and Voronoi assignment
+  is local per shard;
+- characteristics likewise reduce per-(segment, slice) support maxima with
+  ``pmax``;
+- rendering composites shards by depth: ``pmin`` on the z-buffer, then a
+  winner-takes resolve.
+
+This is the 100M+ point path (BASELINE.md config 5): grid psums are O(B*G^2),
+independent of N, so ICI traffic does not grow with the survey size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import segmentation as seg
+from ..config import Config, DEFAULT_CONFIG
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_points(mesh: Mesh, pos, valid, axis: str = "data"):
+    """Place padded point arrays with the batch dim sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis))
+    return (
+        jax.device_put(pos, NamedSharding(mesh, P(axis, None))),
+        jax.device_put(valid, sh),
+    )
+
+
+def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
+    """Build the sharded segmentation step: (pos f32[N,3], valid, d) -> ids.
+
+    N must be divisible by the mesh size.  Inside ``shard_map`` each device
+    sees its local shard; collectives ride the mesh axis.
+    """
+    scfg = cfg.segmentation
+
+    def local_step(pos, valid, d):
+        # global bounds: local reduce + cross-device min/max
+        lo_l, hi_l = seg.scene_bounds(pos, valid)
+        lo = jax.lax.pmin(lo_l, axis)
+        hi = jax.lax.pmax(hi_l, axis)
+        s = seg.cell_size(lo, hi, d, scfg)
+        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
+        cnt, sx, sz = seg.moment_grids(pos, valid, band, cx, cz, scfg)
+        # the one big collective: global band moment grids over ICI
+        cnt = jax.lax.psum(cnt, axis)
+        sx = jax.lax.psum(sx, axis)
+        sz = jax.lax.psum(sz, axis)
+        # replicated tracking scan (identical on every device)
+        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, sx, sz, lo, s, d, scfg)
+        # local assignment
+        segment = seg.assign_points(slot_grids, band, cx, cz, valid)
+        return segment, n_alloc
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(axis), P()),
+    )
+    return jax.jit(fn)
+
+
+def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
+    """Full sharded step: segmentation + per-segment reductions + frame stats.
+
+    This is the multi-chip "training step" shape the driver dry-runs: point
+    shards in, psum/pmin/pmax collectives over the mesh, replicated small
+    tables out.
+    """
+    scfg = cfg.segmentation
+    s_cap = scfg.max_segments + 1
+
+    def local_step(pos, valid, d):
+        lo_l, hi_l = seg.scene_bounds(pos, valid)
+        lo = jax.lax.pmin(lo_l, axis)
+        hi = jax.lax.pmax(hi_l, axis)
+        s = seg.cell_size(lo, hi, d, scfg)
+        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
+        cnt, sx, sz = seg.moment_grids(pos, valid, band, cx, cz, scfg)
+        cnt = jax.lax.psum(cnt, axis)
+        sx = jax.lax.psum(sx, axis)
+        sz = jax.lax.psum(sz, axis)
+        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, sx, sz, lo, s, d, scfg)
+        segment = seg.assign_points(slot_grids, band, cx, cz, valid)
+
+        # per-segment bbox/count: local segment reductions + cross-device merge
+        live = valid & (segment > 0)
+        tgt = jnp.where(live, segment, s_cap)
+        count = jnp.zeros(s_cap + 1, jnp.int32).at[tgt].add(1)[:s_cap]
+        count = jax.lax.psum(count, axis)
+        min_y = jnp.full(s_cap + 1, 3.0e38).at[tgt].min(
+            jnp.where(live, pos[:, 1], 3.0e38)
+        )[:s_cap]
+        min_y = jax.lax.pmin(min_y, axis)
+        max_y = jnp.full(s_cap + 1, -3.0e38).at[tgt].max(
+            jnp.where(live, pos[:, 1], -3.0e38)
+        )[:s_cap]
+        max_y = jax.lax.pmax(max_y, axis)
+        return segment, n_alloc, count, min_y, max_y
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(axis), P(), P(), P(), P()),
+    )
+    return jax.jit(fn)

@@ -1,0 +1,274 @@
+"""End-to-end pipeline and session orchestration.
+
+The reference drives phases through a winit event loop + crossbeam event bus
+(treee/src/program.rs: World enum Empty -> Loading -> Segmenting ->
+Calculations -> Interactive, events :15-29, dispatch :455-536).  On TPU the
+phases are jitted array programs and the "event bus" disappears: ``Session`` is
+a thin host-side orchestrator holding one device ``PointCloud`` plus segment
+tables, and each phase call is a pure function of that state.
+
+``full_pipeline`` fuses import -> segmentation -> characteristics into a single
+jitted step (the shape the benchmarks measure); ``Session`` adds interactive
+edits, checkpointing and exports around it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import characteristics as ch
+from . import interactive as edit
+from .cloud import DELETED_SEGMENT, PointCloud
+from .config import Config, DEFAULT_CONFIG
+from .io import ipc, las
+from .render import Camera, palettes, splat
+from .segmentation import SegmentationResult, segment_points
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def full_pipeline(
+    pos: jax.Array,
+    valid: jax.Array,
+    max_distance: jax.Array | float,
+    cfg: Config = DEFAULT_CONFIG,
+):
+    """Segment + characteristics + classification in one compiled step.
+
+    Returns (segment i32[N], classification i32[N], SegmentTable, SegmentationResult).
+    """
+    res = segment_points(pos, valid, max_distance, cfg.segmentation)
+    table, classification = ch.compute_segments(
+        pos, res.segment, valid, cfg.segmentation.max_segments + 1,
+        cfg.characteristics,
+    )
+    return res.segment, classification, table, res
+
+
+class Session:
+    """Host-side session: one device point cloud + analytics + edits."""
+
+    def __init__(self, config: Config = DEFAULT_CONFIG):
+        self.config = config
+        self.cloud: PointCloud | None = None
+        self.world_offset = np.zeros(3, np.float64)
+        self.source_location = config.interactive.source_location
+        self.table: ch.SegmentTable | None = None
+        self.camera = Camera.orbital()
+        self.palette = palettes.get(config.render.palette)
+        self.max_distance = config.segmentation.max_distance
+        self._next_id = None  # host mirror of the id counter
+
+    # ---- loading (the Loading phase, treee/src/loading.rs) --------------------
+
+    @classmethod
+    def from_las(cls, source, config: Config = DEFAULT_CONFIG,
+                 max_points: int | None = None) -> "Session":
+        s = cls(config)
+        scan = las.load(source, max_points=max_points)
+        s.world_offset = scan.world_offset
+        s.cloud = PointCloud.from_numpy(scan.pos)
+        return s
+
+    @classmethod
+    def from_points(cls, pos: np.ndarray, config: Config = DEFAULT_CONFIG,
+                    world_offset: np.ndarray | None = None) -> "Session":
+        s = cls(config)
+        s.cloud = PointCloud.from_numpy(pos)
+        if world_offset is not None:
+            s.world_offset = np.asarray(world_offset, np.float64)
+        return s
+
+    def add_las(self, source) -> None:
+        """Merge another scan, re-centered on this session's offset
+        (Loading::add, loading.rs:79-88; Interactive::add_points mod.rs:340-371)."""
+        scan = las.load(source, center=self.world_offset)
+        data = self.cloud.to_numpy()
+        pos = np.concatenate([data["pos"], scan.pos])
+        seg = np.concatenate(
+            [data["segment"],
+             np.full(len(scan.pos), self._alloc_id(), np.int32)]
+        )
+        cls_ = np.concatenate(
+            [data["classification"], np.zeros(len(scan.pos), np.int32)]
+        )
+        self.cloud = PointCloud.from_numpy(pos, segment=seg, classification=cls_)
+        self.table = None
+
+    # ---- phases ----------------------------------------------------------------
+
+    def segment(self, max_distance: float | None = None) -> SegmentationResult:
+        """Segmenting phase; re-callable with a new distance (slider restart)."""
+        if max_distance is not None:
+            self.max_distance = max_distance
+        seg, classification, table, res = full_pipeline(
+            self.cloud.pos, self.cloud.valid, self.max_distance, self.config
+        )
+        self.cloud = self.cloud.replace(
+            segment=seg, classification=classification
+        )
+        self.table = table
+        self._next_id = None
+        return res
+
+    def characteristics(self) -> ch.SegmentTable:
+        """Recompute the Calculations phase over current segments/edits."""
+        table, classification = ch.compute_segments(
+            self.cloud.pos, self.cloud.segment, self.cloud.valid,
+            self.config.segmentation.max_segments + 1, self.config.characteristics,
+        )
+        # keep classifications of deleted points untouched
+        live = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+        self.cloud = self.cloud.replace(
+            classification=jnp.where(
+                live, classification, self.cloud.classification
+            )
+        )
+        self.table = table
+        return table
+
+    def properties(self):
+        """Per-point expansion/height (CalculationProperties, on demand)."""
+        if self.table is None:
+            self.characteristics()
+        return ch.segment_properties(
+            self.cloud.pos, self.cloud.segment, self.cloud.valid,
+            self.cloud.classification, self.table,
+            self.config.segmentation.max_segments + 1, self.config.characteristics,
+        )
+
+    def curvature(self, segment_id: int):
+        member = self.cloud.valid & (self.cloud.segment == segment_id)
+        return ch.segment_curvature(
+            self.cloud.pos, member, k=self.config.characteristics.neighbors
+        )
+
+    # ---- rendering ---------------------------------------------------------------
+
+    def render(self, camera: Camera | None = None, prop: jax.Array | None = None,
+               show_deleted: bool = False) -> np.ndarray:
+        cam = camera if camera is not None else self.camera
+        if prop is None:
+            prop = splat.prop_from_segment(self.cloud.segment)
+        mask = self.cloud.valid
+        if not show_deleted:
+            mask &= self.cloud.segment != DELETED_SEGMENT
+        img = splat.render_frame(
+            self.cloud.pos, prop, mask, cam, self.palette, self.config.render
+        )
+        return np.asarray(splat.to_u8(img))
+
+    # ---- edits -------------------------------------------------------------------
+
+    def _alloc_id(self) -> int:
+        if self._next_id is None:
+            seg = np.asarray(self.cloud.segment)
+            self._next_id = int(seg.max()) + 1 if seg.size else 1
+        nid = self._next_id
+        self._next_id += 1
+        return nid
+
+    def delete_sphere(self, center, radius=None):
+        r = radius if radius is not None else self.config.interactive.draw_radius
+        self.cloud = edit.remove_points(
+            self.cloud, jnp.asarray(center, jnp.float32), r, DELETED_SEGMENT
+        )
+
+    def draw_sphere(self, center, target: int, radius=None,
+                    include_deleted: bool = False):
+        r = radius if radius is not None else self.config.interactive.draw_radius
+        c = jnp.asarray(center, jnp.float32)
+        self.cloud = edit.remove_points(self.cloud, c, r, target)
+        if include_deleted:
+            self.cloud = edit.restore_deleted(self.cloud, c, r, target)
+
+    def reclassify_sphere(self, center, classification: int, segment: int,
+                          radius=None):
+        r = radius if radius is not None else self.config.interactive.draw_radius
+        self.cloud = edit.change_classification(
+            self.cloud, jnp.asarray(center, jnp.float32), r, classification, segment
+        )
+
+    def combine(self, a: int, b: int):
+        self.cloud = edit.combine_segments(self.cloud, a, b)
+
+    def spawn(self, center, radius=None) -> int:
+        r = radius if radius is not None else self.config.interactive.draw_radius
+        nid = self._alloc_id()
+        self.cloud = edit.spawn_segment(
+            self.cloud, jnp.asarray(center, jnp.float32), r, nid
+        )
+        return nid
+
+    def pick(self, pixel_x: float, pixel_y: float):
+        """Ray-pick through a pixel -> (segment id, distance, hit)."""
+        direction = self.camera.ray_direction(
+            pixel_x, pixel_y, self.config.render.width, self.config.render.height
+        )
+        seg, dist, found = edit.pick(
+            self.cloud, self.camera.position, direction,
+            self.config.render.point_size,
+        )
+        return int(seg), float(dist), bool(found)
+
+    # ---- persistence ----------------------------------------------------------------
+
+    def save(self, path) -> None:
+        ipc.save(path, self.cloud, self.world_offset, self.source_location)
+
+    @classmethod
+    def open(cls, path, config: Config = DEFAULT_CONFIG) -> "Session":
+        arrays, offset, loc = ipc.load(path)
+        s = cls(config)
+        s.world_offset = offset
+        s.source_location = loc
+        s.cloud = PointCloud.from_numpy(
+            arrays["pos"], segment=arrays["segment"],
+            classification=arrays["classification"],
+        )
+        return s
+
+    def add_session(self, path) -> None:
+        """Additive merge of another checkpoint (mod.rs:300-338)."""
+        arrays, offset, _ = ipc.load(path)
+        base = self.cloud.to_numpy()
+        merged = ipc.merge(base, self.world_offset, arrays, offset)
+        self.cloud = PointCloud.from_numpy(
+            merged["pos"], segment=merged["segment"],
+            classification=merged["classification"],
+        )
+        self._next_id = None
+        self.table = None
+
+
+def _demo():  # pragma: no cover
+    import time
+
+    cfg = DEFAULT_CONFIG
+    pts = las.synthetic_forest(n_trees=16, points_per_tree=8000, ground_points=20000)
+    print(f"demo: {len(pts):,} points")
+    s = Session.from_points(pts, cfg)
+    t0 = time.time()
+    res = s.segment(0.75)
+    jax.block_until_ready(s.cloud.segment)
+    print(f"segment+characteristics: {time.time() - t0:.2f}s, "
+          f"{int(res.n_segments)} segments")
+    t0 = time.time()
+    img = s.render(Camera.orbital(distance=80.0))
+    print(f"render: {time.time() - t0:.2f}s -> /tmp/treee_demo.png")
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save("/tmp/treee_demo.png")
+    except ImportError:
+        np.save("/tmp/treee_demo.npy", img)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    if "--demo" in sys.argv:
+        _demo()

@@ -225,60 +225,72 @@ def _jump_flood(
     return best[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def segment_points(
-    pos: jax.Array,
-    valid: jax.Array,
-    max_distance: jax.Array | float,
-    cfg: SegmentationConfig = SegmentationConfig(),
-) -> SegmentationResult:
-    """Segment a point cloud into trees; see module docstring.
-
-    Args:
-      pos: f32[N,3] y-up positions.
-      valid: bool[N].
-      max_distance: minimum separation d between trees (traced; re-run with a
-        new value reuses the compiled executable — the reference's restart
-        slider, segmenting.rs:77-107).
-    Returns:
-      SegmentationResult with per-point ids (0 = unassigned).
-    """
-    d = jnp.asarray(max_distance, jnp.float32)
-    n = pos.shape[0]
-    g = cfg.grid_size
-    b_cap = cfg.max_bands
-    t_cap = cfg.max_segments
-    c_cap = cfg.max_trees_per_band
-
+def scene_bounds(pos: jax.Array, valid: jax.Array):
+    """(lo, hi) f32[3] over valid points; unit box if none."""
     big = jnp.float32(3.0e38)
     lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
     hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
     any_valid = jnp.any(valid)
-    lo = jnp.where(any_valid, lo, 0.0)
-    hi = jnp.where(any_valid, hi, 1.0)
-
-    # cell size: d, grown if the scene exceeds the static grid
-    extent = jnp.maximum(hi[0] - lo[0], hi[2] - lo[2])
-    s = jnp.maximum(d, extent / (g - 1))
-
-    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
-    # bands ordered top (0) -> bottom, reference slices are 1 m floor(y) bins
-    # processed top-down (segmenting.rs:121-146, loading.rs:98-101)
-    band = jnp.clip(
-        jnp.floor((hi[1] - y) / cfg.band_height).astype(jnp.int32), 0, b_cap - 1
+    return (
+        jnp.where(any_valid, lo, 0.0),
+        jnp.where(any_valid, hi, 1.0),
     )
-    cx = jnp.clip(jnp.floor((x - lo[0]) / s).astype(jnp.int32), 0, g - 1)
-    cz = jnp.clip(jnp.floor((z - lo[2]) / s).astype(jnp.int32), 0, g - 1)
 
+
+def cell_size(lo, hi, d, cfg: SegmentationConfig):
+    """CC cell size: d, grown if the scene exceeds the static grid."""
+    extent = jnp.maximum(hi[0] - lo[0], hi[2] - lo[2])
+    return jnp.maximum(d, extent / (cfg.grid_size - 1))
+
+
+def point_cells(pos, valid, lo, hi, s, cfg: SegmentationConfig):
+    """Quantize points to (band, cx, cz).
+
+    Bands ordered top (0) -> bottom, mirroring the reference's 1 m floor(y)
+    slices processed top-down (segmenting.rs:121-146, loading.rs:98-101).
+    """
+    g = cfg.grid_size
+    band = jnp.clip(
+        jnp.floor((hi[1] - pos[:, 1]) / cfg.band_height).astype(jnp.int32),
+        0, cfg.max_bands - 1,
+    )
+    cx = jnp.clip(jnp.floor((pos[:, 0] - lo[0]) / s).astype(jnp.int32), 0, g - 1)
+    cz = jnp.clip(jnp.floor((pos[:, 2] - lo[2]) / s).astype(jnp.int32), 0, g - 1)
+    return band, cx, cz
+
+
+def moment_grids(pos, valid, band, cx, cz, cfg: SegmentationConfig):
+    """Scatter points into per-band occupancy/first-moment grids.
+
+    This is the only stage that touches all N points before assignment; under
+    multi-device sharding each shard scatters locally and the grids are summed
+    over ICI (parallel/sharding.py).
+    """
+    g = cfg.grid_size
+    b_cap = cfg.max_bands
     flat = (band * g + cx) * g + cz
     flat = jnp.where(valid, flat, b_cap * g * g)
-    ones = valid.astype(jnp.int32)
-    cnt = jnp.zeros(b_cap * g * g + 1, jnp.int32).at[flat].add(ones)
+    x, z = pos[:, 0], pos[:, 2]
+    cnt = jnp.zeros(b_cap * g * g + 1, jnp.int32).at[flat].add(valid.astype(jnp.int32))
     sx = jnp.zeros(b_cap * g * g + 1, jnp.float32).at[flat].add(jnp.where(valid, x, 0.0))
     sz = jnp.zeros(b_cap * g * g + 1, jnp.float32).at[flat].add(jnp.where(valid, z, 0.0))
-    cnt = cnt[:-1].reshape(b_cap, g, g)
-    sx = sx[:-1].reshape(b_cap, g, g)
-    sz = sz[:-1].reshape(b_cap, g, g)
+    return (
+        cnt[:-1].reshape(b_cap, g, g),
+        sx[:-1].reshape(b_cap, g, g),
+        sz[:-1].reshape(b_cap, g, g),
+    )
+
+
+def band_scan(cnt, sx, sz, lo, s, d, cfg: SegmentationConfig):
+    """Top-down tracking scan over band grids; returns per-band Voronoi grids.
+
+    Returns (slot_grids i32[B,G,G], n_alloc, tracked_pos f32[B,T,2],
+    tracked_active bool[B,T]).  Runs on replicated (post-psum) grids under
+    sharding — the state is small and every device computes it identically.
+    """
+    g = cfg.grid_size
+    t_cap = cfg.max_segments
+    c_cap = cfg.max_trees_per_band
 
     cell_center = jnp.stack(
         [
@@ -328,12 +340,43 @@ def segment_points(
     (_, _, n_alloc), (slot_grids, tracked_pos_b, active_b) = jax.lax.scan(
         band_step, init, (cnt, sx, sz)
     )
+    return slot_grids, n_alloc, tracked_pos_b, active_b
 
-    # per-point assignment: gather the band's Voronoi winner
+
+def assign_points(slot_grids, band, cx, cz, valid):
+    """Per-point assignment: gather the band's Voronoi winner (O(1)/point)."""
     slot = slot_grids[band, cx, cz]
-    segment = jnp.where(valid & (slot >= 0), slot + 1, 0)
+    return jnp.where(valid & (slot >= 0), slot + 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def segment_points(
+    pos: jax.Array,
+    valid: jax.Array,
+    max_distance: jax.Array | float,
+    cfg: SegmentationConfig = SegmentationConfig(),
+) -> SegmentationResult:
+    """Segment a point cloud into trees; see module docstring.
+
+    Args:
+      pos: f32[N,3] y-up positions.
+      valid: bool[N].
+      max_distance: minimum separation d between trees (traced; re-run with a
+        new value reuses the compiled executable — the reference's restart
+        slider, segmenting.rs:77-107).
+    Returns:
+      SegmentationResult with per-point ids (0 = unassigned).
+    """
+    d = jnp.asarray(max_distance, jnp.float32)
+    lo, hi = scene_bounds(pos, valid)
+    s = cell_size(lo, hi, d, cfg)
+    band, cx, cz = point_cells(pos, valid, lo, hi, s, cfg)
+    cnt, sx, sz = moment_grids(pos, valid, band, cx, cz, cfg)
+    slot_grids, n_alloc, tracked_pos_b, active_b = band_scan(
+        cnt, sx, sz, lo, s, d, cfg
+    )
     return SegmentationResult(
-        segment=segment,
+        segment=assign_points(slot_grids, band, cx, cz, valid),
         n_segments=n_alloc,
         tracked_pos=tracked_pos_b,
         tracked_active=active_b,
