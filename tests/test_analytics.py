@@ -1,0 +1,164 @@
+"""Golden tests for trunk axis, radial bounding volumes, traits, 3-D hull,
+and the camera model."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from treee_tpu import hull3d, rbv, trunk_axis
+from treee_tpu.render.camera import Camera
+
+
+def _cylinder(n=5000, radius=0.3, height=6.0, lean=0.0, seed=0):
+    """Points on a (possibly leaning) vertical cylinder shell."""
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, n)
+    y = rng.uniform(0, height, n)
+    x = radius * np.cos(th) + lean * y
+    z = radius * np.sin(th)
+    return np.stack([x, y, z], -1).astype(np.float32)
+
+
+def test_trunk_axis_vertical():
+    pts = _cylinder()
+    ax = trunk_axis.average_direction(jnp.asarray(pts), jnp.ones(len(pts), bool))
+    assert bool(ax.found)
+    d = np.asarray(ax.direction)
+    assert d[1] > 0.99
+    assert abs(np.asarray(ax.origin)[0]) < 0.15
+
+
+def test_trunk_axis_leaning():
+    pts = _cylinder(lean=0.3)  # leans 0.3 in x per unit y
+    ax = trunk_axis.average_direction(jnp.asarray(pts), jnp.ones(len(pts), bool))
+    d = np.asarray(ax.direction)
+    expected = np.array([0.3, 1.0, 0.0])
+    expected /= np.linalg.norm(expected)
+    assert np.dot(d, expected) > 0.98
+
+
+def test_trunk_axis_low_high_matches():
+    pts = _cylinder(lean=0.2)
+    a = trunk_axis.low_high_layer(jnp.asarray(pts), jnp.ones(len(pts), bool), 1.0)
+    d = np.asarray(a.direction)
+    expected = np.array([0.2, 1.0, 0.0]); expected /= np.linalg.norm(expected)
+    assert np.dot(d, expected) > 0.97
+
+
+def test_trunk_axis_empty():
+    ax = trunk_axis.average_direction(jnp.zeros((10, 3)), jnp.zeros(10, bool))
+    assert not bool(ax.found)
+    np.testing.assert_allclose(np.asarray(ax.direction), [0, 1, 0])
+
+
+def test_axis_transform_maps_y_to_direction():
+    pts = _cylinder(lean=0.3)
+    ax = trunk_axis.average_direction(jnp.asarray(pts), jnp.ones(len(pts), bool))
+    m = np.asarray(trunk_axis.axis_transform(ax))
+    np.testing.assert_allclose(m[:3, 1], np.asarray(ax.direction), atol=1e-5)
+    # orthonormal rotation block
+    r = m[:3, :3]
+    np.testing.assert_allclose(r.T @ r, np.eye(3), atol=1e-5)
+
+
+def test_rbv_cylinder_distances():
+    pts = _cylinder(radius=1.5, height=4.0)
+    v = rbv.build_rbv(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                      slices=4, sectors=8, method=rbv.METHOD_MAX)
+    d = np.asarray(v.distances)
+    # every sector of every slice sees the shell at ~1.5 from the center
+    assert np.all(np.abs(d - 1.5) < 0.3)
+    assert abs(float(v.slice_height) - 1.0) < 0.01
+
+
+def test_rbv_mean_leq_max():
+    pts = _cylinder(radius=1.0) + np.random.default_rng(1).normal(
+        0, 0.2, (5000, 3)).astype(np.float32)
+    m = jnp.ones(len(pts), bool)
+    dmax = np.asarray(rbv.build_rbv(jnp.asarray(pts), m, 4, 8, rbv.METHOD_MAX).distances)
+    dmean = np.asarray(rbv.build_rbv(jnp.asarray(pts), m, 4, 8, rbv.METHOD_MEAN).distances)
+    assert np.all(dmean <= dmax + 1e-5)
+
+
+def test_rbv_symmetric():
+    pts = _cylinder(radius=1.0)
+    pts[:, 0] += 0.5 * (pts[:, 1] > 3.0)  # asymmetric bulge
+    v = rbv.build_rbv(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                      slices=2, sectors=8, symmetric=True)
+    d = np.asarray(v.distances).reshape(2, 8)
+    np.testing.assert_allclose(d[:, :4], d[:, 4:], atol=1e-6)
+
+
+def test_traits_known_cylinder_tree():
+    # trunk: radius .25 cylinder 0..4; crown: radius 2 cylinder 4..10
+    trunk_pts = _cylinder(radius=0.25, height=4.0, seed=2)
+    crown_pts = _cylinder(radius=2.0, height=6.0, seed=3)
+    crown_pts[:, 1] += 4.0
+    pos = np.concatenate([trunk_pts, crown_pts])
+    cls = np.concatenate([
+        np.full(len(trunk_pts), 1, np.int32),   # trunk
+        np.full(len(crown_pts), 2, np.int32),   # crown
+    ])
+    crown, trunk = rbv.split_rbv(
+        jnp.asarray(pos), jnp.asarray(cls), jnp.ones(len(pos), bool)
+    )
+    t = rbv.traits(crown, trunk)
+    assert abs(float(t.diameter_breast_height) - 0.5) < 0.05
+    assert abs(float(t.crown_diameter) - 4.0) < 0.2
+    # crown volume ~ pi * r^2 * h = pi*4*6 ~ 75
+    assert abs(float(t.crown_volume) - 75.4) / 75.4 < 0.15
+    # stem volume: cross area * (trunk_h + (height-trunk_h)/3)
+    cross = math.pi * 0.25**2
+    expected_stem = cross * (4.0 + 6.0 / 3.0)
+    assert abs(float(t.stem_volume) - expected_stem) / expected_stem < 0.25
+
+
+def test_hull_sphere_area_volume():
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=(20000, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = (u * 2.0).astype(np.float32)
+    h = hull3d.convex_hull(pts, np.ones(len(pts), bool), k_dirs=256)
+    assert h is not None
+    assert abs(h.area - 4 * math.pi * 4) / (4 * math.pi * 4) < 0.05
+    assert abs(h.volume - 4 / 3 * math.pi * 8) / (4 / 3 * math.pi * 8) < 0.08
+    e = hull3d.hull_edges(h.faces)
+    # Euler: V - E + F = 2 for a closed triangulated surface
+    assert len(h.vertices) - len(e) + len(h.faces) == 2
+
+
+def test_hull_reduction_matches_exact():
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(5000, 3)).astype(np.float32)
+    m = np.ones(len(pts), bool)
+    approx = hull3d.convex_hull(pts, m, k_dirs=512)
+    exact = hull3d.convex_hull(pts, m, exact=True)
+    assert abs(approx.volume - exact.volume) / exact.volume < 0.02
+
+
+def test_camera_ray_through_center():
+    cam = Camera.orbital(distance=10.0)
+    d = np.asarray(cam.ray_direction(64.0, 48.0, 128, 96))
+    np.testing.assert_allclose(d, [0, 0, -1], atol=1e-6)
+
+
+def test_camera_orbit_preserves_pivot_distance():
+    cam = Camera.orbital(distance=10.0)
+    c2 = cam.rotate_orbital(300.0, 150.0)
+    # pivot is at origin; distance from camera to origin stays ~10
+    assert abs(np.linalg.norm(np.asarray(c2.position)) - 10.0) < 1e-3
+
+
+def test_camera_zoom():
+    cam = Camera.orbital(distance=10.0)
+    c2 = cam.scroll_orbital(-1.0)  # zoom in
+    assert float(c2.offset) < 10.0
+    assert np.linalg.norm(np.asarray(c2.position)) < 10.0
+
+
+def test_view_projection_roundtrip():
+    cam = Camera.orbital(distance=5.0).rotate_orbital(123.0, 45.0)
+    v = np.asarray(cam.view_matrix())
+    t = np.asarray(cam.transform)
+    np.testing.assert_allclose(v @ t, np.eye(4), atol=1e-5)
