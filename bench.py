@@ -27,6 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: first bench pays the (10-minute) XLA
+    # compile, reruns load from disk
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/treee_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from treee_tpu.config import DEFAULT_CONFIG

@@ -1,0 +1,102 @@
+"""LASzip codec tests: exact roundtrip through the full .laz file path.
+
+No ground-truth .laz sample exists in this environment, so validation is by
+encoder/decoder roundtrip (both built fresh from the published algorithm) plus
+framing checks (VLR layout, chunk table, compressed-flag detection).
+"""
+
+import numpy as np
+import pytest
+
+from treee_tpu.io import las, laz_native, native_build
+
+
+pytestmark = pytest.mark.skipif(
+    native_build.load_library(required=False) is None,
+    reason="native codec not built",
+)
+
+
+def test_laz_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = las.synthetic_forest(n_trees=4, points_per_tree=20000,
+                               ground_points=20000, seed=1)
+    path = str(tmp_path / "scan.laz")
+    las.write_laz(path, pos)
+    scan = las.load(path)
+    assert scan.header.compressed
+    recovered = scan.pos + scan.world_offset.astype(np.float32)
+    np.testing.assert_allclose(recovered, pos, atol=2e-3)
+    # compression actually compresses
+    import os
+
+    las_path = str(tmp_path / "scan.las")
+    las.write_las(las_path, pos)
+    assert os.path.getsize(path) < 0.7 * os.path.getsize(las_path)
+
+
+def test_laz_multi_chunk(tmp_path):
+    pos = np.random.default_rng(2).uniform(-10, 10, (120_001, 3)).astype(np.float32)
+    path = str(tmp_path / "chunky.laz")
+    las.write_laz(path, pos, chunk_size=25_000)  # 5 chunks, last partial
+    scan = las.load(path)
+    recovered = scan.pos + scan.world_offset.astype(np.float32)
+    np.testing.assert_allclose(recovered, pos, atol=2e-3)
+
+
+def test_laz_max_points(tmp_path):
+    pos = np.random.default_rng(3).uniform(0, 5, (10_000, 3)).astype(np.float32)
+    path = str(tmp_path / "cap.laz")
+    las.write_laz(path, pos, chunk_size=4_000)
+    scan = las.load(path, max_points=5_000)
+    assert scan.pos.shape[0] == 5_000
+
+
+def test_vlr_parse_roundtrip():
+    payload = laz_native.make_vlr(chunk_size=12345)
+    info = laz_native.parse_vlr(payload)
+    assert info["compressor"] == 2
+    assert info["chunk_size"] == 12345
+    assert info["items"] == [{"type": 6, "size": 20, "version": 2}]
+
+
+def test_corrupt_laz_rejected(tmp_path):
+    pos = np.random.default_rng(4).uniform(0, 5, (5_000, 3)).astype(np.float32)
+    path = str(tmp_path / "x.laz")
+    las.write_laz(path, pos)
+    data = bytearray(open(path, "rb").read())
+    # truncate: the chunk table offset points past the end
+    del data[len(data) // 2:]
+    from treee_tpu.utils.errors import CorruptFile
+
+    with pytest.raises((CorruptFile, ValueError)):
+        las.load(bytes(data))
+
+
+def test_record_fields_roundtrip():
+    """All POINT10 fields (not just coordinates) survive the codec."""
+    import ctypes
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    rec = np.zeros((n, 20), np.uint8)
+    xyz = np.cumsum(rng.integers(-100, 100, (n, 3)), axis=0).astype("<i4")
+    rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    rec[:, 12:14] = rng.integers(0, 65535, n).astype("<u2").view(np.uint8).reshape(n, 2)
+    ret = rng.integers(1, 6, n)
+    nret = np.maximum(ret, rng.integers(1, 6, n))
+    rec[:, 14] = (ret | (nret << 3) | (rng.integers(0, 2, n) << 6)).astype(np.uint8)
+    rec[:, 15] = rng.integers(0, 32, n)
+    rec[:, 16] = rng.integers(0, 256, n)
+    rec[:, 17] = rng.integers(0, 256, n)
+    rec[:, 18:20] = rng.integers(0, 65535, n).astype("<u2").view(np.uint8).reshape(n, 2)
+
+    stream = laz_native.compress(rec, 20, base_offset=0)
+    lib = native_build.load_library()
+    out = np.empty(n * 20, np.uint8)
+    rc = lib.treee_laz_decompress(
+        stream, len(stream), 0, n, 20, 0, 50_000,
+        out.ctypes.data_as(ctypes.c_void_p), 0,
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(out.reshape(n, 20), rec)

@@ -1,0 +1,192 @@
+"""Command-line application shell.
+
+The reference is a windowed egui app whose phases are driven by buttons and
+sliders (treee/src/program.rs); every tunable is a widget (SURVEY.md §5 config
+row).  The TPU deployment target is headless, so the app shell is a CLI that
+drives the same phase machine — load -> segment -> characteristics ->
+interact/export — with the widget knobs as flags (same defaults), orbit-sweep
+frame rendering in place of the live viewport, and the session checkpoint for
+save/resume.
+
+Examples:
+  python -m treee_tpu.app scan.las --distance 0.75 --save session.npz
+  python -m treee_tpu.app session.npz --frames 8 --out-dir frames/
+  python -m treee_tpu.app scan.las --export-info info.json --export-ply seg.ply
+  python -m treee_tpu.app --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="treee_tpu", description="TPU-native forest point-cloud pipeline"
+    )
+    p.add_argument("input", nargs="?", help=".las/.laz scan or .npz session checkpoint")
+    p.add_argument("--demo", action="store_true", help="run on a synthetic forest")
+    p.add_argument("--max-points", type=int, default=None,
+                   help="cap loaded points (webdemo caps at 15M, laz.rs:49-62)")
+    # segmentation knobs (slider 0.1-2.0, default 0.75, segmenting.rs:16,82)
+    p.add_argument("--distance", type=float, default=0.75,
+                   help="min distance between segments [m]")
+    p.add_argument("--no-segment", action="store_true",
+                   help="skip segmentation (e.g. when resuming a session)")
+    # display knobs (program.rs:107-131)
+    p.add_argument("--point-size", type=float, default=0.1)
+    p.add_argument("--palette", choices=("turbo", "warm", "white"), default="turbo")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=0,
+                   help="render an orbit sweep of this many frames")
+    p.add_argument("--orbit-distance", type=float, default=100.0)
+    p.add_argument("--out-dir", default="frames")
+    # exports / persistence
+    p.add_argument("--save", help="write a session checkpoint (.npz)")
+    p.add_argument("--export-info", help="write per-segment info JSON")
+    p.add_argument("--export-ply", help="write segmented points .ply")
+    p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
+    p.add_argument("--segment-id", type=int, default=None,
+                   help="focus segment for per-segment exports")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from .config import DEFAULT_CONFIG
+    from .io import exports, las
+    from .pipeline import Session
+    from .render import Camera
+    from .utils.profiling import phase_timer, timings
+
+    cfg = DEFAULT_CONFIG
+    cfg = cfg.replace(
+        render=dataclasses.replace(
+            cfg.render, width=args.width, height=args.height,
+            point_size=args.point_size, palette=args.palette,
+        )
+    )
+
+    if args.demo:
+        pts = las.synthetic_forest(n_trees=16, points_per_tree=8000,
+                                   ground_points=20000)
+        session = Session.from_points(pts, cfg)
+    elif args.input is None:
+        print("error: provide an input file or --demo", file=sys.stderr)
+        return 2
+    elif args.input.endswith(".npz"):
+        with phase_timer("load-session"):
+            session = Session.open(args.input, cfg)
+    else:
+        with phase_timer("import"):
+            session = Session.from_las(args.input, cfg, max_points=args.max_points)
+
+    print(f"points: {int(session.cloud.count):,}")
+
+    should_segment = not args.no_segment and (
+        args.demo or (args.input is not None and not args.input.endswith(".npz"))
+    )
+    if should_segment:
+        with phase_timer("segment+characteristics", block_on=None):
+            res = session.segment(args.distance)
+        print(f"segments: {int(res.n_segments)}")
+
+    if args.frames > 0:
+        os.makedirs(args.out_dir, exist_ok=True)
+        cam = Camera.orbital(distance=args.orbit_distance)
+        from PIL import Image
+
+        for i in range(args.frames):
+            cam = cam.rotate_orbital(2 * np.pi / args.frames / 0.002, 0.0)
+            with phase_timer(f"frame[{i}]"):
+                img = session.render(cam)
+            Image.fromarray(img).save(os.path.join(args.out_dir, f"frame_{i:03d}.png"))
+        print(f"wrote {args.frames} frames to {args.out_dir}/")
+
+    if args.save:
+        session.save(args.save)
+        print(f"session saved: {args.save}")
+
+    if args.export_info:
+        table = session.table if session.table is not None else session.characteristics()
+        seg_ids = np.flatnonzero(np.asarray(table.present))
+        out = {}
+        for sid in seg_ids:
+            out[int(sid)] = {
+                "trunk_height": float(table.trunk_height[sid]),
+                "crown_height": float(table.crown_height[sid]),
+                "ground_sep": float(table.ground_sep[sid]),
+                "crown_sep": float(table.crown_sep[sid]),
+                "count": int(table.count[sid]),
+            }
+        with open(args.export_info, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"segment info: {args.export_info} ({len(out)} segments)")
+
+    if args.export_ply:
+        exp, hgt = session.properties()
+        data = session.cloud.to_numpy()
+        keep = np.asarray(session.cloud.valid)
+        with open(args.export_ply, "w") as fh:
+            exports.save_points_ply(
+                fh,
+                np.asarray(session.cloud.pos)[keep],
+                np.asarray(exp)[keep],
+                np.asarray(hgt)[keep],
+                np.zeros(keep.sum(), np.float32),
+            )
+        print(f"points ply: {args.export_ply}")
+
+    if args.export_traits:
+        from . import rbv as rbv_mod
+
+        if session.table is None:
+            session.characteristics()
+        table = session.table
+        seg_np = np.asarray(session.cloud.segment)
+        ids = (
+            [args.segment_id]
+            if args.segment_id is not None
+            else np.flatnonzero(np.asarray(table.present)).tolist()
+        )
+        out = {}
+        for sid in ids:
+            member = session.cloud.valid & (session.cloud.segment == int(sid))
+            if not bool(np.asarray(member).any()):
+                continue
+            crown, trunk = rbv_mod.split_rbv(
+                session.cloud.pos, session.cloud.classification, member
+            )
+            out[int(sid)] = json.loads(rbv_mod.traits(crown, trunk).to_json())
+        with open(args.export_traits, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"traits: {args.export_traits} ({len(out)} segments)")
+
+    if args.verbose:
+        for name, ts in timings().items():
+            print(f"  {name}: {min(ts):.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -206,39 +206,70 @@ def load(source, center: np.ndarray | None = None, max_points: int | None = None
     )
 
 
+def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
+                   scale, offset, mins, maxs) -> bytes:
+    legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
+    return struct.pack(
+        legacy_fmt,
+        LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 2,
+        b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
+        1, 2026, 227, offset_to_points, n_vlrs, point_format, point_length,
+        n, 0, 0, 0, 0, 0,
+        scale, scale, scale, offset[0], offset[1], offset[2],
+        maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
+    )
+
+
+def _records_from_positions(pos_up: np.ndarray, scale: float):
+    """y-up f32 -> (raw point-format-0 records, LAS-space offset/min/max)."""
+    las = np.empty((pos_up.shape[0], 3), np.float64)
+    las[:, 0] = pos_up[:, 0]
+    las[:, 1] = -pos_up[:, 2]
+    las[:, 2] = pos_up[:, 1]
+    mins, maxs = las.min(axis=0), las.max(axis=0)
+    n = las.shape[0]
+    ints = np.round((las - mins) / scale).astype(np.int32)
+    rec = np.zeros((n, 20), np.uint8)
+    rec[:, 0:12] = ints.astype("<i4").view(np.uint8).reshape(n, 12)
+    return rec, mins, maxs
+
+
 def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001) -> None:
     """Write y-up positions back to a minimal LAS 1.2 / point-format-0 file.
 
     Inverse of the load swizzle: (x, y_up, z) -> LAS (x, -z, y_up).  Used by the
     synthetic-scan generators and round-trip tests.
     """
-    las = np.empty((pos_up.shape[0], 3), np.float64)
-    las[:, 0] = pos_up[:, 0]
-    las[:, 1] = -pos_up[:, 2]
-    las[:, 2] = pos_up[:, 1]
-    mins, maxs = las.min(axis=0), las.max(axis=0)
-    offset = mins
-    point_length = 20
-    n = las.shape[0]
-
-    header_size = 227
+    rec, mins, maxs = _records_from_positions(pos_up, scale)
+    n = rec.shape[0]
     buf = _io.BytesIO()
-    legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
-    buf.write(
-        struct.pack(
-            legacy_fmt,
-            LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 2,
-            b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
-            1, 2026, header_size, header_size, 0, 0, point_length,
-            n, 0, 0, 0, 0, 0,
-            scale, scale, scale, offset[0], offset[1], offset[2],
-            maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
-        )
-    )
-    ints = np.round((las - offset) / scale).astype(np.int32)
-    rec = np.zeros((n, point_length), np.uint8)
-    rec[:, 0:12] = ints.astype("<i4").view(np.uint8).reshape(n, 12)
+    buf.write(_legacy_header(n, 0, 20, 227, 0, scale, mins, mins, maxs))
     buf.write(rec.tobytes())
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def write_laz(path: str, pos_up: np.ndarray, scale: float = 0.001,
+              chunk_size: int = 50_000) -> None:
+    """Write a LASzip-compressed .laz (chunked POINT10) via the native codec."""
+    from . import laz_native
+
+    rec, mins, maxs = _records_from_positions(pos_up, scale)
+    n = rec.shape[0]
+    vlr_payload = laz_native.make_vlr(chunk_size)
+    vlr_header = struct.pack(
+        "<H16sHH32s", 0, b"laszip encoded".ljust(16, b"\0"), 22204,
+        len(vlr_payload), b"treee-tpu laszip".ljust(32, b"\0"),
+    )
+    offset_to_points = 227 + len(vlr_header) + len(vlr_payload)
+    stream = laz_native.compress(rec, 20, offset_to_points, chunk_size)
+    buf = _io.BytesIO()
+    buf.write(_legacy_header(
+        n, 0x80, 20, offset_to_points, 1, scale, mins, mins, maxs
+    ))
+    buf.write(vlr_header)
+    buf.write(vlr_payload)
+    buf.write(stream)
     with open(path, "wb") as fh:
         fh.write(buf.getvalue())
 

@@ -74,6 +74,18 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int32,
         ]
         lib.treee_las_decode.restype = None
+        lib.treee_laz_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.treee_laz_decompress.restype = ctypes.c_int
+        lib.treee_laz_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint8, ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.treee_laz_compress.restype = ctypes.c_int
         _cached_lib = lib
         return lib
     except Exception:
@@ -105,11 +117,6 @@ def las_decode(
         out.ctypes.data, n_threads,
     )
     return out
-
-
-def laz_decompress(lib, data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndarray:
-    """LASzip decompression (native codec; see native/laz_decompress.cpp)."""
-    raise NotImplementedError("LASzip codec not yet built into the native library")
 
 
 if __name__ == "__main__":

@@ -95,71 +95,65 @@ def render_points(
     iy0 = jnp.floor(fy).astype(jnp.int32)
     n_pix = w * h
     r = cfg.max_splat_radius
-    side = 2 * r + 1
-    f = side * side
 
-    # vectorized footprint over a [tile, F] window, scanned over point tiles so
-    # the intermediates stay bounded (a 15M x 49 materialization would OOM, and
-    # a per-offset static unroll compiles far too slowly)
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-r, r + 1, dtype=jnp.int32),
-            jnp.arange(-r, r + 1, dtype=jnp.int32),
-            indexing="ij",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)  # [F, 2] (dy, dx)
-
-    tile = min(n, cfg.raster_tile)
-    pad = (-n) % tile
-    n_tiles = (n + pad) // tile
-
-    def tiled(a, fill):
-        return jnp.pad(a, (0, pad), constant_values=fill).reshape(n_tiles, tile)
-
-    t_ix0, t_iy0 = tiled(ix0, 0), tiled(iy0, 0)
-    t_fx, t_fy = tiled(fx, 0.0), tiled(fy, 0.0)
-    t_depth, t_rpx = tiled(depth, FBIG), tiled(r_px, 0.0)
-    t_vis = tiled(vis, False)
-    t_pid = tiled(jnp.arange(n, dtype=jnp.int32), IBIG)
-
-    def tile_footprint(args):
-        ix0_, iy0_, fx_, fy_, rpx_, vis_ = args
-        px = ix0_[:, None] + offs[None, :, 1]           # [tile, F]
-        py = iy0_[:, None] + offs[None, :, 0]
-        cx = px.astype(jnp.float32) + 0.5 - fx_[:, None]
-        cy = py.astype(jnp.float32) + 0.5 - fy_[:, None]
-        inside = cx * cx + cy * cy <= jnp.maximum(rpx_, 0.71)[:, None] ** 2
-        ok = vis_[:, None] & inside & (px >= 0) & (px < w) & (py >= 0) & (py < h)
-        idx = jnp.where(ok, py * w + px, n_pix)
-        return idx, ok
-
-    # pass 1: nearest depth per pixel
-    def depth_step(zbuf, args):
-        idx, ok = tile_footprint(args[:6])
-        d_ = jnp.broadcast_to(args[6][:, None], (tile, f))
-        return zbuf.at[idx].min(jnp.where(ok, d_, FBIG), mode="drop"), None
-
-    zbuf, _ = jax.lax.scan(
-        depth_step, jnp.full(n_pix + 1, FBIG),
-        (t_ix0, t_iy0, t_fx, t_fy, t_rpx, t_vis, t_depth),
+    # Scatter ONLY the center pixel per point (one colliding-scatter update per
+    # point — a (2R+1)^2 footprint scatter is 49x the updates and dominated the
+    # frame), then grow splats in IMAGE space: R min-depth dilation passes over
+    # the 8-neighborhood with the exact per-splat circle test
+    # (point_cloud.wgsl:73 semantics), carrying each winner's subpixel center
+    # and radius.  Image passes are pure [H,W] vector ops — microseconds.
+    pix = jnp.where(
+        vis & (ix0 >= 0) & (ix0 < w) & (iy0 >= 0) & (iy0 < h),
+        iy0 * w + ix0,
+        n_pix,
     )
-
+    # pass 1: nearest depth per center pixel
+    zbuf = jnp.full(n_pix + 1, FBIG).at[pix].min(
+        jnp.where(vis, depth, FBIG), mode="drop"
+    )
     # pass 2: winning point id (smallest id among equal-depth winners)
-    def id_step(idbuf, args):
-        idx, ok = tile_footprint(args[:6])
-        d_ = jnp.broadcast_to(args[6][:, None], (tile, f))
-        pid_ = jnp.broadcast_to(args[7][:, None], (tile, f))
-        upd = jnp.where(ok & (zbuf[idx] >= d_), pid_, IBIG)
-        return idbuf.at[idx].min(upd, mode="drop"), None
-
-    idbuf, _ = jax.lax.scan(
-        id_step, jnp.full(n_pix + 1, IBIG, jnp.int32),
-        (t_ix0, t_iy0, t_fx, t_fy, t_rpx, t_vis, t_depth, t_pid),
+    pid = jnp.arange(n, dtype=jnp.int32)
+    idbuf = jnp.full(n_pix + 1, IBIG, jnp.int32).at[pix].min(
+        jnp.where(vis & (zbuf[pix] >= depth), pid, IBIG), mode="drop"
     )
 
-    zbuf = zbuf[:n_pix].reshape(h, w)
-    idbuf = idbuf[:n_pix].reshape(h, w)
+    zimg = zbuf[:n_pix].reshape(h, w)
+    iimg = idbuf[:n_pix].reshape(h, w)
+    # per-pixel winner attributes for the dilation circle test
+    safe = jnp.clip(iimg, 0, n - 1)
+    has = iimg != IBIG
+    sfx = jnp.where(has, fx[safe], 0.0)
+    sfy = jnp.where(has, fy[safe], 0.0)
+    srad = jnp.where(has, jnp.maximum(r_px[safe], 0.71), 0.0)
+
+    px_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    py_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+
+    def dilate(state, _):
+        z, i, fx_, fy_, rd = state
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                       (-1, -1), (-1, 1), (1, -1), (1, 1)):
+            cz = jnp.roll(z, (dy, dx), (0, 1))
+            ci = jnp.roll(i, (dy, dx), (0, 1))
+            cfx = jnp.roll(fx_, (dy, dx), (0, 1))
+            cfy = jnp.roll(fy_, (dy, dx), (0, 1))
+            crd = jnp.roll(rd, (dy, dx), (0, 1))
+            inside = (px_c - cfx) ** 2 + (py_c - cfy) ** 2 <= crd * crd
+            better = (ci != IBIG) & inside & (cz < z)
+            z = jnp.where(better, cz, z)
+            i = jnp.where(better, ci, i)
+            fx_ = jnp.where(better, cfx, fx_)
+            fy_ = jnp.where(better, cfy, fy_)
+            rd = jnp.where(better, crd, rd)
+        return (z, i, fx_, fy_, rd), None
+
+    if r > 0:
+        (zimg, iimg, _, _, _), _ = jax.lax.scan(
+            dilate, (zimg, iimg, sfx, sfy, srad), None, length=r
+        )
+
+    zbuf = zimg
+    idbuf = iimg
     hit = idbuf != IBIG
 
     color = palettes.sample(palette, prop[jnp.clip(idbuf, 0, n - 1)])
