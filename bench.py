@@ -80,18 +80,23 @@ def main() -> None:
 
     step = jax.jit(build_and_segment)
 
+    def sync(out):
+        # block_until_ready is a no-op on some remote platforms (axon tunnel);
+        # fetching one scalar per output forces real completion
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf.reshape(-1)[0])
+        return out
+
     # warmup/compile
     t0 = time.time()
-    out = step(pos, valid, d)
-    jax.block_until_ready(out)
+    out = sync(step(pos, valid, d))
     compile_s = time.time() - t0
 
     # timed runs
     runs = []
     for _ in range(3):
         t0 = time.time()
-        out = step(pos, valid, d)
-        jax.block_until_ready(out)
+        out = sync(step(pos, valid, d))
         runs.append(time.time() - t0)
     pipe_s = min(runs)
     mpts_per_s = n / pipe_s / 1e6
@@ -106,15 +111,13 @@ def main() -> None:
         )
     )
     cam0 = Camera.orbital(distance=120.0)
-    img = frame(pos, prop, valid, cam0)
-    jax.block_until_ready(img)  # compile
+    sync(frame(pos, prop, valid, cam0))  # compile
     frame_times = []
     cam = cam0
     for _ in range(n_frames):
         cam = cam.rotate_orbital(40.0, 0.0)
         t0 = time.time()
-        img = frame(pos, prop, valid, cam)
-        jax.block_until_ready(img)
+        sync(frame(pos, prop, valid, cam))
         frame_times.append(time.time() - t0)
     frame_ms = float(np.mean(frame_times) * 1e3)
 

@@ -23,7 +23,8 @@ def test_slice_areas_vs_scipy_hull():
                        jnp.ones(500, bool), 4, 16)
     )[0]
     ref = ConvexHull(pts).volume  # 2-D "volume" is the area
-    assert 0.9 * ref <= area <= ref * 1.001
+    # circumscribed half-plane polygon: bounded above hull area by the K-gon factor
+    assert 0.98 * ref <= area <= ref * 1.06
 
 
 def test_slice_areas_disk():

@@ -20,65 +20,68 @@ def _cam(distance=10.0):
 def test_single_point_center():
     pos = jnp.array([[0.0, 0.0, 0.0]])
     prop = jnp.array([0.5])
-    img, z01, ids = splat.render_points(
+    img, z01, hit = splat.render_points(
         pos, prop, jnp.ones(1, bool), _cam(), palettes.get("turbo"), CFG
     )
-    ids = np.asarray(ids)
+    hit = np.asarray(hit)
     h, w = CFG.height, CFG.width
-    assert ids[h // 2, w // 2] == 0
-    # color at the center comes from the palette midpoint
-    expected = np.asarray(palettes.sample(palettes.get("turbo"), jnp.float32(0.5)))
+    assert hit[h // 2, w // 2]
+    # color at the center comes from the palette's 0.5 bin
+    expected = np.asarray(palettes.get("turbo"))[128]
     np.testing.assert_allclose(np.asarray(img)[h // 2, w // 2], expected, atol=1e-5)
     # background elsewhere
     np.testing.assert_allclose(np.asarray(img)[0, 0], CFG.background, atol=1e-5)
+    assert float(np.asarray(z01)[h // 2, w // 2]) < 1.0
 
 
 def test_depth_order():
     # two points on the view ray: nearer one (larger z, camera at z=10) wins
     pos = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 5.0]])
     prop = jnp.array([0.1, 0.9])
-    _, _, ids = splat.render_points(
+    img, _, _ = splat.render_points(
         pos, prop, jnp.ones(2, bool), _cam(), palettes.get("turbo"), CFG
     )
-    assert np.asarray(ids)[CFG.height // 2, CFG.width // 2] == 1
+    center = np.asarray(img)[CFG.height // 2, CFG.width // 2]
+    near_color = np.asarray(palettes.get("turbo"))[int(0.9 * 256)]
+    np.testing.assert_allclose(center, near_color, atol=1e-5)
 
 
 def test_property_range_filter():
     pos = jnp.array([[0.0, 0.0, 0.0]])
     cfg = dataclasses.replace(CFG, prop_min=int(0.6 * 0xFFFFFFFF))
-    _, _, ids = splat.render_points(
+    _, _, hit = splat.render_points(
         pos, jnp.array([0.5]), jnp.ones(1, bool), _cam(), palettes.get("turbo"), cfg
     )
-    assert (np.asarray(ids) == np.iinfo(np.int32).max).all()
+    assert not np.asarray(hit).any()
 
 
 def test_mask_filter():
     pos = jnp.array([[0.0, 0.0, 0.0]])
-    _, _, ids = splat.render_points(
+    _, _, hit = splat.render_points(
         pos, jnp.array([0.5]), jnp.zeros(1, bool), _cam(), palettes.get("turbo"), CFG
     )
-    assert (np.asarray(ids) == np.iinfo(np.int32).max).all()
+    assert not np.asarray(hit).any()
 
 
 def test_behind_camera_culled():
     pos = jnp.array([[0.0, 0.0, 20.0]])  # behind the camera at z=10
-    _, _, ids = splat.render_points(
+    _, _, hit = splat.render_points(
         pos, jnp.array([0.5]), jnp.ones(1, bool), _cam(), palettes.get("turbo"), CFG
     )
-    assert (np.asarray(ids) == np.iinfo(np.int32).max).all()
+    assert not np.asarray(hit).any()
 
 
 def test_splat_radius_grows_with_proximity():
-    far_img = splat.render_points(
+    far_hit = splat.render_points(
         jnp.array([[0.0, 0.0, -40.0]]), jnp.array([0.5]), jnp.ones(1, bool),
         _cam(), palettes.get("turbo"), CFG,
     )[2]
-    near_img = splat.render_points(
+    near_hit = splat.render_points(
         jnp.array([[0.0, 0.0, 6.0]]), jnp.array([0.5]), jnp.ones(1, bool),
         _cam(), palettes.get("turbo"), CFG,
     )[2]
-    far_px = (np.asarray(far_img) != np.iinfo(np.int32).max).sum()
-    near_px = (np.asarray(near_img) != np.iinfo(np.int32).max).sum()
+    far_px = np.asarray(far_hit).sum()
+    near_px = np.asarray(near_hit).sum()
     assert near_px > far_px >= 1
 
 
@@ -91,7 +94,6 @@ def test_eye_dome_darkens_silhouette():
     out = np.asarray(splat.eye_dome(color, z01, CFG))
     h, w = CFG.height, CFG.width
     center = out[h // 2, w // 2]
-    # find a hit pixel adjacent to background: its value must be darker
     ids = np.asarray(z01) < 1.0
     rim = ids & ~np.roll(ids, 1, axis=1)
     assert rim.any()

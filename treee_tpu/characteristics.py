@@ -68,32 +68,36 @@ def slice_areas(
     n_buckets: int,
     k_dirs: int,
 ) -> jax.Array:
-    """Convex area per bucket via K-direction support points + shoelace.
+    """Convex area per bucket via K support half-planes + shoelace.
 
     Replaces per-slice convex polygon growth (calculations.rs:430-452,
-    segmenting.rs:526-545 centroid/area).  Returns f32[n_buckets].
+    segmenting.rs:526-545 centroid/area).  One [N,2]x[2,K] MXU matmul scores
+    every point against K angularly ordered directions; one scatter-max per
+    bucket yields the support values s_k; the bucket's hull is approximated by
+    the circumscribed polygon cut by the half-planes {x . u_k <= s_k}, whose
+    vertices are adjacent boundary-line intersections (a 2x2 solve, pure
+    elementwise) — +1.3% area bias on a disk at K=16, and only ONE colliding
+    scatter pass over the N*K scores (the support-POINT variant needs three).
+    Returns f32[n_buckets].
     """
     dirs = _support_directions(k_dirs)                   # [2,K]
     scores = jnp.dot(xz, dirs, preferred_element_type=jnp.float32)  # [N,K]
     tgt = jnp.where(include, bucket, n_buckets)
-    best = jnp.full((n_buckets + 1, k_dirs), -INF).at[tgt].max(scores)
+    s = jnp.full((n_buckets + 1, k_dirs), -INF).at[tgt].max(scores)[:n_buckets]
 
-    # second pass: the point achieving the max is the support point
-    won = scores >= best[jnp.clip(tgt, 0, n_buckets)] - 1e-6
-    # scatter support coordinates (ties: any winner; same score -> ~same point)
-    sup_x = jnp.zeros((n_buckets + 1, k_dirs))
-    sup_z = jnp.zeros((n_buckets + 1, k_dirs))
-    k_idx = jnp.arange(k_dirs, dtype=jnp.int32)[None, :].repeat(xz.shape[0], 0)
-    row = jnp.where(won, tgt[:, None], n_buckets)
-    sup_x = sup_x.at[row, k_idx].set(jnp.broadcast_to(xz[:, :1], scores.shape))
-    sup_z = sup_z.at[row, k_idx].set(jnp.broadcast_to(xz[:, 1:], scores.shape))
-    sup_x, sup_z = sup_x[:n_buckets], sup_z[:n_buckets]
+    # vertex_k = intersection of boundary lines k and k+1
+    ux, uz = dirs[0], dirs[1]                            # [K]
+    nx_, nz_ = jnp.roll(ux, -1), jnp.roll(uz, -1)
+    s_next = jnp.roll(s, -1, axis=1)
+    det = ux * nz_ - uz * nx_                            # sin(2*pi/K), constant
+    vx = (s * nz_[None, :] - s_next * uz[None, :]) / det[None, :]
+    vz = (ux[None, :] * s_next - nx_[None, :] * s) / det[None, :]
 
-    # shoelace over the angularly ordered support points
-    nx = jnp.roll(sup_x, -1, axis=1)
-    nz = jnp.roll(sup_z, -1, axis=1)
-    area = 0.5 * jnp.abs(jnp.sum(sup_x * nz - nx * sup_z, axis=1))
-    has_any = best[:n_buckets, 0] > -INF
+    # shoelace over the angularly ordered vertices
+    wx = jnp.roll(vx, -1, axis=1)
+    wz = jnp.roll(vz, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(vx * wz - wx * vz, axis=1))
+    has_any = s[:, 0] > -INF
     return jnp.where(has_any, area, 0.0)
 
 

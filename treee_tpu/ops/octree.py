@@ -27,6 +27,21 @@ from . import morton
 INVALID_KEY = jnp.int32(0x7FFFFFFF)
 
 
+def _cummax(x: jax.Array) -> jax.Array:
+    """Log-depth cumulative max.
+
+    ``jnp.maximum.accumulate`` lowers to an O(N^2)-flavored reduce_window on
+    TPU (40 s for 15M elements vs 33 ms for cumsum); ``associative_scan`` is
+    the intended log-depth form.
+    """
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _revcummin(x: jax.Array) -> jax.Array:
+    """Reverse cumulative min, log-depth."""
+    return jax.lax.associative_scan(jnp.minimum, x, reverse=True)
+
+
 class Octree(flax.struct.PyTreeNode):
     """Linear octree over a fixed-capacity point set.
 
@@ -70,7 +85,7 @@ def build(pos: jax.Array, valid: jax.Array) -> Octree:
         [jnp.ones(1, bool), keys_sorted[1:] != keys_sorted[:-1]]
     )
     slot = jnp.arange(n, dtype=jnp.int32)
-    node_start = jnp.maximum.accumulate(jnp.where(new_node, slot, 0))
+    node_start = _cummax(jnp.where(new_node, slot, 0))
     rank = slot - node_start
 
     inv = jnp.zeros(n, jnp.int32).at[order].set(slot)
@@ -91,11 +106,11 @@ def lod_mask(tree: Octree, level: int, points_per_node: int = 1) -> jax.Array:
     n = tree.capacity
     new_node = jnp.concatenate([jnp.ones(1, bool), coarse[1:] != coarse[:-1]])
     slot = jnp.arange(n, dtype=jnp.int32)
-    node_start = jnp.maximum.accumulate(jnp.where(new_node, slot, 0))
+    node_start = _cummax(jnp.where(new_node, slot, 0))
     rank = slot - node_start
     # node end (exclusive) via reverse min-accumulate of next starts
     next_start = jnp.concatenate([jnp.where(new_node[1:], slot[1:], n), jnp.full(1, n)])
-    node_end = jnp.flip(jnp.minimum.accumulate(jnp.flip(next_start)))
+    node_end = _revcummin(next_start)
     count = node_end - node_start
     stride = jnp.maximum((count + points_per_node - 1) // points_per_node, 1)
     keep_sorted = (rank % stride == 0) & (tree.keys != INVALID_KEY)

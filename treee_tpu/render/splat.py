@@ -67,11 +67,13 @@ def render_points(
     palette: jax.Array,
     cfg: RenderConfig = RenderConfig(),
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Rasterize splats; returns (color f32[H,W,3], depth01 f32[H,W], id i32[H,W]).
+    """Rasterize splats; returns (color f32[H,W,3], depth01 f32[H,W], hit bool[H,W]).
 
     ``prop`` is the normalized [0,1] point property; points outside
     [prop_min, prop_max]/2^32 are filtered like the vertex-stage range test
-    (point_cloud.wgsl:44-49).
+    (point_cloud.wgsl:44-49).  Point identity does not survive rasterization
+    (the z-key packs depth+palette index); picking goes through the exact ray
+    path (interactive.pick) like the reference (mod.rs:680-710).
     """
     w, h = cfg.width, cfg.height
     n = pos.shape[0]
@@ -96,78 +98,73 @@ def render_points(
     n_pix = w * h
     r = cfg.max_splat_radius
 
-    # Scatter ONLY the center pixel per point (one colliding-scatter update per
-    # point — a (2R+1)^2 footprint scatter is 49x the updates and dominated the
-    # frame), then grow splats in IMAGE space: R min-depth dilation passes over
-    # the 8-neighborhood with the exact per-splat circle test
-    # (point_cloud.wgsl:73 semantics), carrying each winner's subpixel center
-    # and radius.  Image passes are pure [H,W] vector ops — microseconds.
+    # ONE colliding-scatter pass: the z-test key packs quantized depth (23
+    # bits, matching a 24-bit depth buffer's precision class) with the 8-bit
+    # palette index, so a single scatter-min resolves both visibility and
+    # color.  (A per-footprint scatter is 49x the updates; a separate id pass
+    # doubles them — both dominated the frame at 15M points.)  Splats then grow
+    # in IMAGE space: R min-depth dilation passes over the 8-neighborhood with
+    # the circle test (point_cloud.wgsl:73 semantics), radius derived from the
+    # winner's depth — pure [H,W] vector ops.
+    depth_bits = 23
+    zq = (jnp.clip(z01, 0.0, 1.0) * ((1 << depth_bits) - 1)).astype(jnp.int32)
+    pal8 = jnp.clip((prop * 256.0).astype(jnp.int32), 0, 255)
+    key = (zq << 8) | pal8
     pix = jnp.where(
         vis & (ix0 >= 0) & (ix0 < w) & (iy0 >= 0) & (iy0 < h),
         iy0 * w + ix0,
         n_pix,
     )
-    # pass 1: nearest depth per center pixel
-    zbuf = jnp.full(n_pix + 1, FBIG).at[pix].min(
-        jnp.where(vis, depth, FBIG), mode="drop"
-    )
-    # pass 2: winning point id (smallest id among equal-depth winners)
-    pid = jnp.arange(n, dtype=jnp.int32)
-    idbuf = jnp.full(n_pix + 1, IBIG, jnp.int32).at[pix].min(
-        jnp.where(vis & (zbuf[pix] >= depth), pid, IBIG), mode="drop"
+    buf = jnp.full(n_pix + 1, IBIG, jnp.int32).at[pix].min(
+        jnp.where(vis, key, IBIG), mode="drop"
     )
 
-    zimg = zbuf[:n_pix].reshape(h, w)
-    iimg = idbuf[:n_pix].reshape(h, w)
-    # per-pixel winner attributes for the dilation circle test
-    safe = jnp.clip(iimg, 0, n - 1)
-    has = iimg != IBIG
-    sfx = jnp.where(has, fx[safe], 0.0)
-    sfy = jnp.where(has, fy[safe], 0.0)
-    srad = jnp.where(has, jnp.maximum(r_px[safe], 0.71), 0.0)
+    kimg = buf[:n_pix].reshape(h, w)
+    hit = kimg != IBIG
+    zscale = jnp.float32(1.0 / ((1 << depth_bits) - 1))
 
-    px_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    py_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    def unpack_z01(k):
+        return (k >> 8).astype(jnp.float32) * zscale
 
-    def dilate(state, _):
-        z, i, fx_, fy_, rd = state
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1),
-                       (-1, -1), (-1, 1), (1, -1), (1, 1)):
-            cz = jnp.roll(z, (dy, dx), (0, 1))
-            ci = jnp.roll(i, (dy, dx), (0, 1))
-            cfx = jnp.roll(fx_, (dy, dx), (0, 1))
-            cfy = jnp.roll(fy_, (dy, dx), (0, 1))
-            crd = jnp.roll(rd, (dy, dx), (0, 1))
-            inside = (px_c - cfx) ** 2 + (py_c - cfy) ** 2 <= crd * crd
-            better = (ci != IBIG) & inside & (cz < z)
-            z = jnp.where(better, cz, z)
-            i = jnp.where(better, ci, i)
-            fx_ = jnp.where(better, cfx, fx_)
-            fy_ = jnp.where(better, cfy, fy_)
-            rd = jnp.where(better, crd, rd)
-        return (z, i, fx_, fy_, rd), None
-
-    if r > 0:
-        (zimg, iimg, _, _, _), _ = jax.lax.scan(
-            dilate, (zimg, iimg, sfx, sfy, srad), None, length=r
+    def radius_from_key(k):
+        # invert z01 -> view depth: z01 = -p22 + p23/d  =>  d = p23/(z01 + p22)
+        p22 = cfg.far / (cfg.near - cfg.far)
+        p23 = cfg.near * cfg.far / (cfg.near - cfg.far)
+        d = p23 / jnp.minimum(unpack_z01(k) + p22, -1e-9)
+        return jnp.maximum(
+            cfg.point_size * f_proj * (h / 2.0) / jnp.maximum(d, 1e-6), 0.71
         )
 
-    zbuf = zimg
-    idbuf = iimg
-    hit = idbuf != IBIG
+    if r > 0:
+        rimg = jnp.where(hit, radius_from_key(kimg), 0.0)
+        zero = jnp.zeros((h, w), jnp.float32)
 
-    color = palettes.sample(palette, prop[jnp.clip(idbuf, 0, n - 1)])
+        def dilate(state, _):
+            k, rd, sdx, sdy = state
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                           (-1, -1), (-1, 1), (1, -1), (1, 1)):
+                ck = jnp.roll(k, (dy, dx), (0, 1))
+                crd = jnp.roll(rd, (dy, dx), (0, 1))
+                cdx = jnp.roll(sdx, (dy, dx), (0, 1)) + dx
+                cdy = jnp.roll(sdy, (dy, dx), (0, 1)) + dy
+                inside = cdx * cdx + cdy * cdy <= crd * crd
+                better = (ck != IBIG) & inside & (ck < k)
+                k = jnp.where(better, ck, k)
+                rd = jnp.where(better, crd, rd)
+                sdx = jnp.where(better, cdx, sdx)
+                sdy = jnp.where(better, cdy, sdy)
+            return (k, rd, sdx, sdy), None
+
+        (kimg, _, _, _), _ = jax.lax.scan(
+            dilate, (kimg, rimg, zero, zero), None, length=r
+        )
+        hit = kimg != IBIG
+
+    color = palette[jnp.clip(kimg & 255, 0, palette.shape[0] - 1)]
     bg = jnp.asarray(cfg.background, jnp.float32)
     color = jnp.where(hit[..., None], color, bg)
-
-    # store z01 depth like the reference depth texture (1.0 = background)
-    z01_px = jnp.where(
-        hit,
-        (jnp.float32(-1.0) * zbuf * (cfg.far / (cfg.near - cfg.far))
-         + cfg.near * cfg.far / (cfg.near - cfg.far)) / jnp.maximum(zbuf, 1e-6),
-        1.0,
-    )
-    return color, z01_px, idbuf
+    z01_px = jnp.where(hit, unpack_z01(kimg), 1.0)
+    return color, z01_px, hit
 
 
 def eye_dome(
