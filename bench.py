@@ -121,6 +121,26 @@ def main() -> None:
         frame_times.append(time.time() - t0)
     frame_ms = float(np.mean(frame_times) * 1e3)
 
+    # LOD frame sweep: the octree subset the reference lacks (its draw is
+    # brute-force, program.rs:309-311); subset built once, reused per frame
+    lod_cap = 2 << 20
+    build_lod = jax.jit(
+        lambda pos, valid, prop: octree.compact(
+            octree.lod_mask(octree.build(pos, valid), level=7) & valid,
+            lod_cap, pos, prop,
+        )
+    )
+    count, (pos_l, prop_l) = sync(build_lod(pos, valid, prop))
+    mask_l = jnp.arange(lod_cap) < count
+    sync(frame(pos_l, prop_l, mask_l, cam0))  # compile
+    lod_times = []
+    for _ in range(n_frames):
+        cam = cam.rotate_orbital(40.0, 0.0)
+        t0 = time.time()
+        sync(frame(pos_l, prop_l, mask_l, cam))
+        lod_times.append(time.time() - t0)
+    lod_frame_ms = float(np.mean(lod_times) * 1e3)
+
     target_mpts = 3.0  # 15M in <5s
     result = {
         "metric": "Mpts/sec octree build+segmentation; splat frame ms on 15M-point scan",
@@ -131,6 +151,9 @@ def main() -> None:
         "pipeline_s": round(pipe_s, 3),
         "frame_ms": round(frame_ms, 2),
         "fps": round(1000.0 / frame_ms, 1),
+        "lod_frame_ms": round(lod_frame_ms, 2),
+        "lod_fps": round(1000.0 / lod_frame_ms, 1),
+        "lod_points": int(count),
         "compile_s": round(compile_s, 1),
         "upload_s": round(upload_s, 3),
         "gen_s": round(gen_s, 1),

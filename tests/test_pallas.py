@@ -1,0 +1,64 @@
+"""Pallas kernel equivalence tests (interpreter mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from treee_tpu import segmentation as sg
+from treee_tpu.config import RenderConfig
+from treee_tpu.ops import pallas_kernels as pk
+from treee_tpu.render import splat
+
+
+def _seeds(g=64, n_seeds=20, seed=0):
+    rng = np.random.default_rng(seed)
+    slot_grid = np.full((g, g), -1, np.int32)
+    pos_grid = np.zeros((g, g, 2), np.float32)
+    cells = rng.choice(g * g, n_seeds, replace=False)
+    for s, c in enumerate(cells):
+        y, x = divmod(int(c), g)
+        slot_grid[y, x] = s
+        pos_grid[y, x] = (x + rng.uniform(), y + rng.uniform())
+    centers = np.stack(
+        np.meshgrid(np.arange(g) + 0.5, np.arange(g) + 0.5, indexing="ij"),
+        axis=-1,
+    )[..., ::-1].astype(np.float32)  # (x, z) order
+    return slot_grid, pos_grid, centers
+
+
+def test_jump_flood_pallas_matches_jnp():
+    slot, pos, centers = _seeds()
+    ref = np.asarray(sg._jump_flood(jnp.asarray(slot), jnp.asarray(pos),
+                                    jnp.asarray(centers)))
+    out = np.asarray(pk.jump_flood_pallas(jnp.asarray(slot), jnp.asarray(pos),
+                                          jnp.asarray(centers), interpret=True))
+    # JFA is approximate; both variants run the same schedule -> identical
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_jump_flood_pallas_is_voronoi():
+    slot, pos, centers = _seeds(g=32, n_seeds=5, seed=1)
+    out = np.asarray(pk.jump_flood_pallas(jnp.asarray(slot), jnp.asarray(pos),
+                                          jnp.asarray(centers), interpret=True))
+    # exact nearest seed per cell
+    seeds = {int(slot[y, x]): pos[y, x] for y, x in zip(*np.nonzero(slot >= 0))}
+    ids = sorted(seeds)
+    sp = np.array([seeds[i] for i in ids])
+    d = ((centers[:, :, None, :] - sp[None, None, :, :]) ** 2).sum(-1)
+    expect = np.array(ids)[d.argmin(-1)]
+    assert (out == expect).mean() > 0.995  # JFA's rare corner-case errors only
+
+
+def test_eye_dome_pallas_matches_jnp():
+    rng = np.random.default_rng(2)
+    h, w = 48, 64
+    z01 = rng.uniform(0.0, 1.0, (h, w)).astype(np.float32)
+    z01[rng.uniform(size=(h, w)) < 0.3] = 1.0  # background holes
+    color = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    cfg = RenderConfig(width=w, height=h)
+    ref = np.asarray(splat.eye_dome(jnp.asarray(color), jnp.asarray(z01), cfg))
+    s = max(1.0 - cfg.eye_dome_strength, 0.1) ** 6
+    out = np.asarray(pk.eye_dome_pallas(
+        jnp.asarray(color), jnp.asarray(z01), cfg.near, cfg.far, s,
+        cfg.eye_dome_color, interpret=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -58,6 +58,7 @@ class SegmentationConfig:
     grid_size: int = 512                # CC occupancy grid resolution per axis
     cc_iters: int = 24                  # label-propagation sweeps (with jumping)
     match_rounds: int = 4               # mutual-nearest matching rounds per band
+    use_pallas: bool = False            # pallas jump-flood kernel (TPU only)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,6 +164,27 @@ def node_table(tree: Octree, level: int, max_nodes: int) -> NodeTable:
     )
 
 
+def compact(
+    mask: jax.Array, capacity: int, *arrays: jax.Array
+) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+    """Gather masked rows into dense fixed-capacity buffers.
+
+    Returns (count, compacted arrays).  Rows beyond ``capacity`` are dropped;
+    padding rows are zero.  Used to materialize LOD subsets once per scene so
+    per-frame rasterization touches only the subset (the reference draws every
+    point every frame, program.rs:309-311 — this is the LOD path it lacks).
+    """
+    pos_idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos_idx < capacity), pos_idx, capacity)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    outs = []
+    for a in arrays:
+        shape = (capacity + 1,) + a.shape[1:]
+        out = jnp.zeros(shape, a.dtype).at[tgt].set(a, mode="drop")
+        outs.append(out[:capacity])
+    return count, tuple(outs)
+
+
 def node_bounds(table: NodeTable, tree: Octree, level: int) -> tuple[jax.Array, jax.Array]:
     """AABB (lo, hi) f32[M,3] for each node in the table (for frustum culling)."""
     shift = 3 * (morton.MORTON_BITS - level)

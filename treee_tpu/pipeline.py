@@ -148,9 +148,37 @@ class Session:
 
     # ---- rendering ---------------------------------------------------------------
 
+    def build_lod(self, level: int = 7, points_per_node: int = 1,
+                  capacity: int | None = None) -> None:
+        """Materialize a compacted LOD subset for fast frame rendering.
+
+        The reference draws every point every frame (program.rs:309-311); the
+        octree LOD keeps frame cost bounded by the subset size instead of the
+        scan size.  Call again after edits to refresh.
+        """
+        from .ops import octree as octree_mod
+
+        mask = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+        tree = octree_mod.build(self.cloud.pos, mask)
+        lod = octree_mod.lod_mask(tree, level, points_per_node) & mask
+        cap = capacity or min(self.cloud.capacity, 4 << 20)
+        prop = splat.prop_from_segment(self.cloud.segment)
+        count, (pos_c, prop_c) = octree_mod.compact(
+            lod, cap, self.cloud.pos, prop
+        )
+        self._lod = (pos_c, prop_c, jnp.arange(cap) < count)
+
     def render(self, camera: Camera | None = None, prop: jax.Array | None = None,
-               show_deleted: bool = False) -> np.ndarray:
+               show_deleted: bool = False, use_lod: bool = False) -> np.ndarray:
         cam = camera if camera is not None else self.camera
+        if use_lod:
+            if getattr(self, "_lod", None) is None:
+                self.build_lod()
+            pos_c, prop_c, mask_c = self._lod
+            img = splat.render_frame(
+                pos_c, prop_c, mask_c, cam, self.palette, self.config.render
+            )
+            return np.asarray(splat.to_u8(img))
         if prop is None:
             prop = splat.prop_from_segment(self.cloud.segment)
         mask = self.cloud.valid

@@ -78,11 +78,15 @@ def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
 
     def body(state):
         lbl, _, it = state
-        pooled = jax.lax.reduce_window(
-            lbl, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
-        )
-        new = jnp.where(occupied, jnp.minimum(lbl, pooled), IBIG)
-        # pointer jump: follow the label of my label (within the band)
+        # three cheap min-pool sweeps (pure reduce_window image ops) ...
+        new = lbl
+        for _ in range(3):
+            pooled = jax.lax.reduce_window(
+                new, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
+            )
+            new = jnp.where(occupied, jnp.minimum(new, pooled), IBIG)
+        # ... then one pointer jump (a full [B*G*G] gather — 2 orders of
+        # magnitude pricier than a sweep, so amortize it)
         flat = new.reshape(b, g * g)
         jumped = jnp.take_along_axis(
             flat, jnp.clip(flat, 0, g * g - 1), axis=1
@@ -93,7 +97,7 @@ def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < iters)
+        return changed & (it * 4 < iters)
 
     lbl, _, _ = jax.lax.while_loop(
         cond, body, (lbl0, jnp.bool_(True), jnp.int32(0))
@@ -339,7 +343,12 @@ def band_scan(cnt, sx, sz, lo, s, d, cfg: SegmentationConfig):
             tracked_pos[jnp.clip(seed_slot, 0, t_cap - 1)],
             0.0,
         )
-        slot_grid = _jump_flood(seed_slot, seed_pos, cell_center)
+        if cfg.use_pallas:
+            from .ops.pallas_kernels import jump_flood_pallas
+
+            slot_grid = jump_flood_pallas(seed_slot, seed_pos, cell_center)
+        else:
+            slot_grid = _jump_flood(seed_slot, seed_pos, cell_center)
         return (tracked_pos, active, n_alloc), (slot_grid, tracked_pos, active)
 
     init = (
