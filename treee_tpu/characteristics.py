@@ -107,19 +107,23 @@ def _find_first(cond: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.argmax(cond, axis=1).astype(jnp.int32), found
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_segments"))
+@functools.partial(jax.jit, static_argnames=("cfg", "num_segments", "full_bbox"))
 def compute_segments(
     pos: jax.Array,
     segment: jax.Array,
     valid: jax.Array,
     num_segments: int,
     cfg: CharacteristicsConfig = CharacteristicsConfig(),
+    full_bbox: bool = True,
 ) -> tuple[SegmentTable, jax.Array]:
     """Characteristics for every segment + per-point classification.
 
     Args:
       pos: f32[N,3] y-up; segment: i32[N] ids in [0, num_segments);
       valid: bool[N]; id 0 is the deleted bucket and gets no analytics.
+      full_bbox: when False, only the y extent is reduced (4 fewer 15M-point
+        scatter passes); the fused benchmark pipeline needs only y, the
+        interactive session recomputes full boxes on demand.
     Returns:
       (SegmentTable with S=num_segments rows, classification i32[N]).
     """
@@ -134,12 +138,18 @@ def compute_segments(
 
     # --- per-segment bbox + count (calculations.rs:136-147) ---
     count = jnp.zeros(s_cap + 1, jnp.int32).at[tgt].add(1)[:s_cap]
-    lo = jnp.stack(
-        [jnp.full(s_cap + 1, INF).at[tgt].min(jnp.where(live, pos[:, i], INF))[:s_cap]
-         for i in range(3)], axis=-1)
-    hi = jnp.stack(
-        [jnp.full(s_cap + 1, -INF).at[tgt].max(jnp.where(live, pos[:, i], -INF))[:s_cap]
-         for i in range(3)], axis=-1)
+    dims = range(3) if full_bbox else (1,)
+    lo_d = {
+        i: jnp.full(s_cap + 1, INF).at[tgt].min(jnp.where(live, pos[:, i], INF))[:s_cap]
+        for i in dims
+    }
+    hi_d = {
+        i: jnp.full(s_cap + 1, -INF).at[tgt].max(jnp.where(live, pos[:, i], -INF))[:s_cap]
+        for i in dims
+    }
+    zero = jnp.zeros(s_cap, jnp.float32)
+    lo = jnp.stack([lo_d.get(i, zero) for i in range(3)], axis=-1)
+    hi = jnp.stack([hi_d.get(i, zero) for i in range(3)], axis=-1)
     present = count > 0
     lo = jnp.where(present[:, None], lo, 0.0)
     hi = jnp.where(present[:, None], hi, 0.0)

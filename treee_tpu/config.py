@@ -73,7 +73,10 @@ class CharacteristicsConfig:
     min_area_floor: float = 0.5         # calculations.rs:227 `.max(0.5)`
     # --- static capacities ---
     max_slices: int = 384               # 38.4 m of tree at 0.1 m slices
-    hull_directions: int = 16           # support directions for 2-D hull area
+    # support directions for 2-D hull area: the [N,K] scatter is the hot pass
+    # of the characteristics phase; K=8 circumscribes a disk within +5.5%,
+    # comfortably inside the separator thresholds' 1.5x margins
+    hull_directions: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,13 +61,11 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
         hi = jax.lax.pmax(hi_l, axis)
         s = seg.cell_size(lo, hi, d, scfg)
         band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
-        cnt, sx, sz = seg.moment_grids(pos, valid, band, cx, cz, scfg)
-        # the one big collective: global band moment grids over ICI
+        cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
+        # the one big collective: global band count grids over ICI
         cnt = jax.lax.psum(cnt, axis)
-        sx = jax.lax.psum(sx, axis)
-        sz = jax.lax.psum(sz, axis)
         # replicated tracking scan (identical on every device)
-        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, sx, sz, lo, s, d, scfg)
+        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
         # local assignment
         segment = seg.assign_points(slot_grids, band, cx, cz, valid)
         return segment, n_alloc
@@ -97,11 +95,9 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
         hi = jax.lax.pmax(hi_l, axis)
         s = seg.cell_size(lo, hi, d, scfg)
         band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
-        cnt, sx, sz = seg.moment_grids(pos, valid, band, cx, cz, scfg)
+        cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
         cnt = jax.lax.psum(cnt, axis)
-        sx = jax.lax.psum(sx, axis)
-        sz = jax.lax.psum(sz, axis)
-        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, sx, sz, lo, s, d, scfg)
+        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
         segment = seg.assign_points(slot_grids, band, cx, cz, valid)
 
         # per-segment bbox/count: local segment reductions + cross-device merge

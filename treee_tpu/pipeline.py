@@ -43,7 +43,7 @@ def full_pipeline(
     res = segment_points(pos, valid, max_distance, cfg.segmentation)
     table, classification = ch.compute_segments(
         pos, res.segment, valid, cfg.segmentation.max_segments + 1,
-        cfg.characteristics,
+        cfg.characteristics, full_bbox=False,
     )
     return res.segment, classification, table, res
 

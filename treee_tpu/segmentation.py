@@ -106,22 +106,25 @@ def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
 
 
 def _extract_clusters(
-    labels: jax.Array,   # i32[B,G,G]
-    cnt: jax.Array,
-    sx: jax.Array,
-    sz: jax.Array,
+    labels: jax.Array,       # i32[B,G,G]
+    cnt: jax.Array,          # i32[B,G,G]
+    cell_center: jax.Array,  # f32[G,G,2]
     max_clusters: int,
     min_points: int,
 ):
     """Top-``max_clusters`` clusters per band by point count, batched.
 
-    Returns (centroids f32[B,C,2], mask bool[B,C]).
+    Centroids are count-weighted cell centers.  Returns
+    (centroids f32[B,C,2], mask bool[B,C]).
     """
     b, g, _ = labels.shape
     gg = g * g
     lbl = labels.reshape(b, gg)
     band_off = jnp.arange(b, dtype=jnp.int32)[:, None] * gg
     tgt = jnp.where(lbl != IBIG, lbl + band_off, b * gg).reshape(-1)
+    cntf = cnt.astype(jnp.float32)
+    sx = cntf * cell_center[None, :, :, 0]
+    sz = cntf * cell_center[None, :, :, 1]
     pcount = jnp.zeros(b * gg + 1, jnp.int32).at[tgt].add(cnt.reshape(-1))
     psx = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(sx.reshape(-1))
     psz = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(sz.reshape(-1))
@@ -272,29 +275,24 @@ def point_cells(pos, valid, lo, hi, s, cfg: SegmentationConfig):
 
 
 def moment_grids(pos, valid, band, cx, cz, cfg: SegmentationConfig):
-    """Scatter points into per-band occupancy/first-moment grids.
+    """Scatter points into per-band occupancy-count grids.
 
     This is the only stage that touches all N points before assignment; under
     multi-device sharding each shard scatters locally and the grids are summed
-    over ICI (parallel/sharding.py).
+    over ICI (parallel/sharding.py).  Only counts are scattered — cluster
+    centroids are recovered as count-weighted CELL centers (error <= cell/2 =
+    d/2, well inside the 2d matching radius), saving two full-N scatter passes.
     """
     g = cfg.grid_size
     b_cap = cfg.max_bands
     flat = (band * g + cx) * g + cz
     flat = jnp.where(valid, flat, b_cap * g * g)
-    x, z = pos[:, 0], pos[:, 2]
     cnt = jnp.zeros(b_cap * g * g + 1, jnp.int32).at[flat].add(valid.astype(jnp.int32))
-    sx = jnp.zeros(b_cap * g * g + 1, jnp.float32).at[flat].add(jnp.where(valid, x, 0.0))
-    sz = jnp.zeros(b_cap * g * g + 1, jnp.float32).at[flat].add(jnp.where(valid, z, 0.0))
-    return (
-        cnt[:-1].reshape(b_cap, g, g),
-        sx[:-1].reshape(b_cap, g, g),
-        sz[:-1].reshape(b_cap, g, g),
-    )
+    return cnt[:-1].reshape(b_cap, g, g)
 
 
-def band_scan(cnt, sx, sz, lo, s, d, cfg: SegmentationConfig):
-    """Top-down tracking scan over band grids; returns per-band Voronoi grids.
+def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
+    """Top-down tracking scan over band count grids; returns per-band Voronoi.
 
     Returns (slot_grids i32[B,G,G], n_alloc, tracked_pos f32[B,T,2],
     tracked_active bool[B,T]).  Runs on replicated (post-psum) grids under
@@ -316,7 +314,7 @@ def band_scan(cnt, sx, sz, lo, s, d, cfg: SegmentationConfig):
     # matching and the per-band Voronoi stay sequential in the scan
     labels = _connected_components(cnt > 0, cfg.cc_iters)
     cents_b, cmask_b = _extract_clusters(
-        labels, cnt, sx, sz, c_cap, cfg.min_points
+        labels, cnt, cell_center, c_cap, cfg.min_points
     )
 
     def band_step(carry, xs):
@@ -390,9 +388,9 @@ def segment_points(
     lo, hi = scene_bounds(pos, valid)
     s = cell_size(lo, hi, d, cfg)
     band, cx, cz = point_cells(pos, valid, lo, hi, s, cfg)
-    cnt, sx, sz = moment_grids(pos, valid, band, cx, cz, cfg)
+    cnt = moment_grids(pos, valid, band, cx, cz, cfg)
     slot_grids, n_alloc, tracked_pos_b, active_b = band_scan(
-        cnt, sx, sz, lo, s, d, cfg
+        cnt, lo, s, d, cfg
     )
     return SegmentationResult(
         segment=assign_points(slot_grids, band, cx, cz, valid),
