@@ -222,6 +222,39 @@ struct Point10Codec {
   }
 };
 
+// Generic BYTE v2 item codec: one adaptive 256-symbol model per byte column,
+// predicting each byte as last + folded difference.  LASzip's standard item
+// for extra bytes — we use it for the payload beyond the 20-byte POINT10 core
+// (GPS time, RGB, ...), so point formats 1-3 frame as POINT10 + BYTE(n).
+struct ByteCodec {
+  u32 n = 0;
+  std::vector<SymbolModel> models;
+  std::vector<u8> last;
+
+  void init(const u8* first, u32 n_bytes, bool for_compress) {
+    n = n_bytes;
+    models.resize(n);
+    last.assign(first, first + n);
+    for (auto& m : models) m.init(256, for_compress);
+  }
+
+  void read(Decoder& dec, u8* out) {
+    for (u32 i = 0; i < n; ++i) {
+      const u32 corr = dec.decode_symbol(models[i]);
+      last[i] = static_cast<u8>(corr + last[i]);
+      out[i] = last[i];
+    }
+  }
+
+  void write(Encoder& enc, const u8* cur) {
+    for (u32 i = 0; i < n; ++i) {
+      const u8 diff = static_cast<u8>(cur[i] - last[i]);
+      enc.encode_symbol(models[i], diff);
+      last[i] = cur[i];
+    }
+  }
+};
+
 // ---------------------------------------------------------------------------
 // Chunked stream framing
 // ---------------------------------------------------------------------------
@@ -235,44 +268,54 @@ struct ChunkRange {
   u64 out_index; // first output point index
 };
 
-// Decompress one POINT10 chunk (raw first point + arithmetic stream).
-static int decompress_chunk(const u8* data, u64 len, u32 n_points, u8* out) {
+// Decompress one chunk (raw first point + arithmetic stream).
+// Records are point_length bytes: a 20-byte POINT10 core + extra BYTE item.
+static int decompress_chunk(const u8* data, u64 len, u32 n_points,
+                            u32 point_length, u8* out) {
   if (n_points == 0) return 0;
-  if (len < sizeof(Point10)) return 1;
+  if (len < point_length) return 1;
+  const u32 n_extra = point_length - sizeof(Point10);
   Point10 first;
   std::memcpy(&first, data, sizeof(Point10));
-  std::memcpy(out, &first, sizeof(Point10));
+  std::memcpy(out, data, point_length);
   if (n_points == 1) return 0;
 
   Point10Codec codec;
   codec.init(first, /*for_compress=*/false);
+  ByteCodec extra;
+  if (n_extra) extra.init(data + sizeof(Point10), n_extra, false);
   Decoder dec;
-  dec.init(data + sizeof(Point10), len - sizeof(Point10));
+  dec.init(data + point_length, len - point_length);
   for (u32 i = 1; i < n_points; ++i) {
+    u8* rec = out + static_cast<u64>(i) * point_length;
     Point10 p;
     codec.read(dec, &p);
-    std::memcpy(out + static_cast<u64>(i) * sizeof(Point10), &p,
-                sizeof(Point10));
+    std::memcpy(rec, &p, sizeof(Point10));
+    if (n_extra) extra.read(dec, rec + sizeof(Point10));
   }
   return 0;
 }
 
-static void compress_chunk(const u8* records, u32 n_points,
+static void compress_chunk(const u8* records, u32 n_points, u32 point_length,
                            std::vector<u8>* out) {
+  const u32 n_extra = point_length - sizeof(Point10);
   Point10 first;
   std::memcpy(&first, records, sizeof(Point10));
-  out->insert(out->end(), records, records + sizeof(Point10));
+  out->insert(out->end(), records, records + point_length);
   if (n_points == 1) return;
 
   Point10Codec codec;
   codec.init(first, /*for_compress=*/true);
+  ByteCodec extra;
+  if (n_extra) extra.init(records + sizeof(Point10), n_extra, true);
   Encoder enc;
   enc.init();
   for (u32 i = 1; i < n_points; ++i) {
+    const u8* rec = records + static_cast<u64>(i) * point_length;
     Point10 p;
-    std::memcpy(&p, records + static_cast<u64>(i) * sizeof(Point10),
-                sizeof(Point10));
+    std::memcpy(&p, rec, sizeof(Point10));
     codec.write(enc, p);
+    if (n_extra) extra.write(enc, rec + sizeof(Point10));
   }
   enc.done();
   out->insert(out->end(), enc.out.begin(), enc.out.end());
@@ -295,7 +338,7 @@ int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
                          laszip::u32 chunk_size, laszip::u8* out,
                          laszip::i32 n_threads) {
   using namespace laszip;
-  if (point_format != 0 || point_length != sizeof(Point10)) return 2;
+  if (point_format > 3 || point_length < sizeof(Point10)) return 2;
   if (point_data_offset + 8 > file_len) return 1;
 
   i64 table_offset;
@@ -355,7 +398,8 @@ int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
                             ? ranges[i + 1].offset - r.offset
                             : file_len - r.offset;
       const int rc = decompress_chunk(file + r.offset, avail, r.n_points,
-                                      out + r.out_index * sizeof(Point10));
+                                      point_length,
+                                      out + r.out_index * point_length);
       if (rc) status.store(rc);
     }
   };
@@ -379,7 +423,7 @@ int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
                        laszip::u8* out_buf, laszip::u64 out_cap,
                        laszip::u64* out_len) {
   using namespace laszip;
-  if (point_format != 0 || point_length != sizeof(Point10)) return 2;
+  if (point_format > 3 || point_length < sizeof(Point10)) return 2;
   if (chunk_size == 0) chunk_size = 50000;
 
   std::vector<std::vector<u8>> chunks;
@@ -387,7 +431,8 @@ int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
     const u32 npts = static_cast<u32>(
         (n_points - i) < chunk_size ? (n_points - i) : chunk_size);
     chunks.emplace_back();
-    compress_chunk(records + i * sizeof(Point10), npts, &chunks.back());
+    compress_chunk(records + i * point_length, npts, point_length,
+                   &chunks.back());
   }
 
   // assemble: [i64 table_offset][chunks...][table]

@@ -73,6 +73,35 @@ def test_corrupt_laz_rejected(tmp_path):
         las.load(bytes(data))
 
 
+def test_extended_formats_roundtrip():
+    """Point formats 1-3 (POINT10 core + BYTE item for GPS/RGB payload)."""
+    import ctypes
+
+    lib = native_build.load_library()
+    rng = np.random.default_rng(7)
+    for length, fmt in ((28, 1), (26, 2), (34, 3)):
+        n = 20_000
+        rec = np.zeros((n, length), np.uint8)
+        xyz = np.cumsum(rng.integers(-80, 80, (n, 3)), axis=0).astype("<i4")
+        rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+        rec[:, 14] = 0b001001
+        rec[:, 20:length] = rng.integers(0, 256, (n, length - 20))
+        stream = laz_native.compress(rec, length, base_offset=0, chunk_size=8_000)
+        out = np.empty(n * length, np.uint8)
+        rc = lib.treee_laz_decompress(
+            stream, len(stream), 0, n, length, fmt, 8_000,
+            out.ctypes.data_as(ctypes.c_void_p), 0,
+        )
+        assert rc == 0
+        np.testing.assert_array_equal(out.reshape(n, length), rec)
+    # the VLR advertises the BYTE item
+    info = laz_native.parse_vlr(laz_native.make_vlr(point_length=28))
+    assert info["items"] == [
+        {"type": 6, "size": 20, "version": 2},
+        {"type": 0, "size": 8, "version": 2},
+    ]
+
+
 def test_record_fields_roundtrip():
     """All POINT10 fields (not just coordinates) survive the codec."""
     import ctypes

@@ -44,8 +44,12 @@ def parse_vlr(payload: bytes) -> dict:
     }
 
 
-def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
-    """LASzip VLR payload for chunked POINT10 (compressor 2, item type 6 v2)."""
+def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20) -> bytes:
+    """LASzip VLR payload: chunked POINT10 (+ BYTE item for extra payload)."""
+    n_extra = point_length - 20
+    items = [struct.pack("<HHH", 6, 20, 2)]  # POINT10, 20 bytes, version 2
+    if n_extra > 0:
+        items.append(struct.pack("<HHH", 0, n_extra, 2))  # BYTE item v2
     head = struct.pack(
         "<HHBBHIIqqH",
         2,            # compressor: pointwise chunked
@@ -54,10 +58,9 @@ def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
         0,            # options
         chunk_size,
         0, 0,         # special EVLRs
-        1,            # one item
+        len(items),
     )
-    item = struct.pack("<HHH", 6, 20, 2)  # POINT10, 20 bytes, version 2
-    return head + item
+    return head + b"".join(items)
 
 
 def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndarray:
@@ -73,9 +76,15 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
             "POINT10 is implemented so far)"
         )
     items = info["items"]
-    if len(items) != 1 or items[0]["type"] != 6 or items[0]["version"] != 2:
+    ok = (
+        len(items) >= 1
+        and items[0]["type"] == 6 and items[0]["version"] == 2
+        and all(it["type"] == 0 and it["version"] == 2 for it in items[1:])
+    )
+    if not ok:
         raise UnsupportedFormat(
-            f"LASzip items {items} (only POINT10 v2 is implemented so far)"
+            f"LASzip items {items} (POINT10 v2 [+ BYTE v2] implemented; "
+            "GPSTIME11/RGB12 item codecs are a later round)"
         )
     lib = native_build.load_library(required=True)
     out = np.empty(n_points * header.point_length, np.uint8)
@@ -94,9 +103,10 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
 
 def compress(records: np.ndarray, point_length: int, base_offset: int,
              chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
-    """Compress raw POINT10 records into a chunked LAZ stream."""
-    if point_length != 20:
-        raise UnsupportedFormat("only point format 0 (20 bytes) compresses")
+    """Compress raw point records (POINT10 core + extra bytes) into a chunked
+    LAZ stream."""
+    if point_length < 20:
+        raise UnsupportedFormat("point record shorter than the POINT10 core")
     lib = native_build.load_library(required=True)
     records = np.ascontiguousarray(records, np.uint8)
     n = records.size // point_length
