@@ -132,13 +132,18 @@ def main(argv=None) -> int:
         seg_ids = np.flatnonzero(np.asarray(table.present))
         out = {}
         for sid in seg_ids:
-            out[int(sid)] = {
+            entry = {
                 "trunk_height": float(table.trunk_height[sid]),
                 "crown_height": float(table.crown_height[sid]),
                 "ground_sep": float(table.ground_sep[sid]),
                 "crown_sep": float(table.crown_sep[sid]),
                 "count": int(table.count[sid]),
             }
+            coords = session.segment_coords(int(sid))
+            if coords is not None:
+                entry["longitude"] = float(np.degrees(coords[0]))
+                entry["latitude"] = float(np.degrees(coords[1]))
+            out[int(sid)] = entry
         with open(args.export_info, "w") as fh:
             json.dump(out, fh, indent=2)
         print(f"segment info: {args.export_info} ({len(out)} segments)")

@@ -146,6 +146,23 @@ class Session:
             self.cloud.pos, member, k=self.config.characteristics.neighbors
         )
 
+    def segment_coords(self, segment_id: int):
+        """(longitude, latitude) radians of a segment's center via the session
+        proj string (mod.rs:235-243); None if the string doesn't parse."""
+        from . import geo
+
+        if self.table is None:
+            self.characteristics()
+        try:
+            return geo.segment_coords(
+                self.world_offset,
+                np.asarray(self.table.lo[segment_id]),
+                np.asarray(self.table.hi[segment_id]),
+                self.source_location,
+            )
+        except geo.ProjError:
+            return None
+
     # ---- rendering ---------------------------------------------------------------
 
     def build_lod(self, level: int = 7, points_per_node: int = 1,
@@ -187,6 +204,77 @@ class Session:
         img = splat.render_frame(
             self.cloud.pos, prop, mask, cam, self.palette, self.config.render
         )
+        return np.asarray(splat.to_u8(img))
+
+    def render_focus(
+        self,
+        segment_id: int,
+        camera: Camera | None = None,
+        display: str = "classification",
+        show_hull: bool = False,
+        show_rbv: bool = False,
+        show_axis: bool = False,
+    ) -> np.ndarray:
+        """Focused single-tree view (the reference's View mode,
+        interactive/mod.rs:770-800): the segment's points colored by the chosen
+        property, with optional hull / RBV cage / trunk-axis line overlays."""
+        from . import hull3d, rbv as rbv_mod, trunk_axis
+        from .cloud import CLASS_CROWN
+        from .render import lines as lines_mod
+
+        cam = camera if camera is not None else self.camera
+        member = self.cloud.valid & (self.cloud.segment == segment_id)
+        if display == "classification":
+            # Ground -> 1/8, Trunk -> 3/8, Crown -> 6/8 of the palette
+            # (mod.rs:1031-1039)
+            prop = jnp.take(
+                jnp.asarray([1 / 8, 3 / 8, 6 / 8], jnp.float32),
+                self.cloud.classification,
+            )
+        elif display in ("expansion", "height"):
+            exp, hgt = self.properties()
+            prop = exp if display == "expansion" else hgt
+            if display == "expansion":
+                prop = prop / jnp.maximum(jnp.max(jnp.where(member, prop, 0.0)), 1e-6)
+        elif display == "curve":
+            prop = self.curvature(segment_id)
+        else:
+            raise ValueError(f"unknown display {display!r}")
+
+        color, z01, _ = splat.render_points(
+            self.cloud.pos, prop, member, cam, self.palette, self.config.render
+        )
+
+        overlays = []
+        axis = trunk_axis.average_direction(
+            self.cloud.pos, member & (self.cloud.classification == 1)
+        )
+        tf = trunk_axis.axis_transform(axis) if show_rbv or show_axis else None
+        if show_hull:
+            h = hull3d.convex_hull(
+                np.asarray(self.cloud.pos),
+                np.asarray(member & (self.cloud.classification == CLASS_CROWN)),
+            )
+            if h is not None:
+                e = hull3d.hull_edges(h.faces)
+                overlays.append(h.vertices[e])
+        if show_rbv:
+            crown, trunk = rbv_mod.split_rbv(
+                self.cloud.pos, self.cloud.classification, member, transform=tf
+            )
+            overlays.append(rbv_mod.rbv_lines(crown))
+            overlays.append(rbv_mod.rbv_lines(trunk))
+        if show_axis and bool(axis.found):
+            lo_y = float(jnp.min(jnp.where(member, self.cloud.pos[:, 1], 3e38)))
+            hi_y = float(jnp.max(jnp.where(member, self.cloud.pos[:, 1], -3e38)))
+            overlays.append(np.asarray(trunk_axis.axis_lines(axis, hi_y - lo_y)))
+
+        for ep in overlays:
+            if len(ep):
+                color = lines_mod.overlay(
+                    color, z01, jnp.asarray(ep), cam, self.config.render
+                )
+        img = splat.eye_dome(color, z01, self.config.render)
         return np.asarray(splat.to_u8(img))
 
     # ---- edits -------------------------------------------------------------------

@@ -230,6 +230,48 @@ def split_rbv(
     return crown, trunk
 
 
+def rbv_lines(rbv: RadialBoundingVolume, arc_detail: int = 4) -> np.ndarray:
+    """Wireframe cage endpoints f32[L,2,3] (hull.rs:780-841 geometry).
+
+    Per (slice, sector): center vertical, radials at both heights, the outer
+    vertical edge, and an ``arc_detail``-segment arc at each height.  Points
+    are mapped back through the axis transform like the reference's
+    ``transform * p`` (hull.rs:784-786).
+    """
+    s, k = rbv.slices, rbv.sectors
+    d = np.asarray(rbv.distances).reshape(s, k)
+    cx, cz = float(rbv.center[0]), float(rbv.center[1])
+    min_y = float(rbv.min_y)
+    sh = float(rbv.slice_height)
+    sector_angle = 2.0 * math.pi / k
+    tf = np.asarray(rbv.transform)
+
+    lines = []
+
+    def pt(x, y, z):
+        v = tf[:3, :3] @ np.array([x, y, z]) + tf[:3, 3]
+        return v
+
+    for si in range(s):
+        y0, y1 = min_y + sh * si, min_y + sh * (si + 1)
+        lines.append((pt(cx, y0, cz), pt(cx, y1, cz)))
+        for ki in range(k):
+            dist = d[si, ki]
+            a0 = sector_angle * ki
+            x0, z0 = cx + math.cos(a0) * dist, cz + math.sin(a0) * dist
+            lines.append((pt(cx, y0, cz), pt(x0, y0, z0)))
+            lines.append((pt(cx, y1, cz), pt(x0, y1, z0)))
+            lines.append((pt(x0, y0, z0), pt(x0, y1, z0)))
+            px, pz = x0, z0
+            for j in range(1, arc_detail + 1):
+                a = a0 + sector_angle * j / arc_detail
+                nx, nz = cx + math.cos(a) * dist, cz + math.sin(a) * dist
+                lines.append((pt(px, y0, pz), pt(nx, y0, nz)))
+                lines.append((pt(px, y1, pz), pt(nx, y1, nz)))
+                px, pz = nx, nz
+    return np.asarray(lines, np.float32)
+
+
 def split_landmarks(crown: RadialBoundingVolume, trunk: RadialBoundingVolume) -> np.ndarray:
     """Landmark export of the split RBV: trunk rows + crown rows + apex
     (hull.rs:398-402)."""
