@@ -87,17 +87,20 @@ def main() -> None:
             np.asarray(leaf.reshape(-1)[0])
         return out
 
+    print(f"# bench: generated {n:,} pts, compiling pipeline...", file=sys.stderr, flush=True)
     # warmup/compile
     t0 = time.time()
     out = sync(step(pos, valid, d))
     compile_s = time.time() - t0
+    print(f"# bench: pipeline compiled in {compile_s:.0f}s", file=sys.stderr, flush=True)
 
     # timed runs
     runs = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
         out = sync(step(pos, valid, d))
         runs.append(time.time() - t0)
+        print(f"# bench: run {i} {runs[-1]:.2f}s", file=sys.stderr, flush=True)
     pipe_s = min(runs)
     mpts_per_s = n / pipe_s / 1e6
 
@@ -112,6 +115,7 @@ def main() -> None:
     )
     cam0 = Camera.orbital(distance=120.0)
     sync(frame(pos, prop, valid, cam0))  # compile
+    print("# bench: frame compiled", file=sys.stderr, flush=True)
     frame_times = []
     cam = cam0
     for _ in range(n_frames):

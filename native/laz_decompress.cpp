@@ -1,14 +1,23 @@
-// LASzip (.laz) point codec: chunked POINT10 compression/decompression.
+// LASzip (.laz) point codec: chunked compression/decompression of the
+// LAS point formats 0-3.
 //
 // Native counterpart of the reference's use of the Rust `laz` crate for
 // multi-threaded chunk decode (treee/src/laz.rs:130-180).  Implements the
-// public LASzip v2 algorithm for the LAS point-format-0 core item (POINT10):
-// FastAC arithmetic coding (laszip_core.h), per-field predictive models
-// (changed-values mask, median-of-5 x/y delta prediction with return-map
-// contexts, per-return-level height prediction), and the chunked stream
-// framing with the compressed chunk table.  Both directions are implemented;
-// correctness is established by roundtrip (no .laz ground-truth data exists in
-// this environment) and the framing matches the published LASzip layout.
+// public LASzip v2 algorithm: FastAC arithmetic coding (laszip_core.h) and the
+// standard v2 item codecs —
+//   POINT10   (type 6): changed-values mask, median-of-5 x/y delta prediction
+//             with return-map contexts, per-return-level height prediction
+//   GPSTIME11 (type 7): 4-sequence f64 time tracking with quantized
+//             delta-multiplier models and 64-bit escape
+//   RGB12     (type 8): per-byte used-mask + channel-correlated difference
+//             models
+//   BYTE      (type 0): one adaptive 256-symbol folded-difference model per
+//             column (arbitrary extra payload)
+// plus the chunked stream framing with the compressed chunk table.  Both
+// directions are implemented; correctness is established by roundtrip (no
+// .laz ground-truth data exists in this environment) and the framing/item
+// layout matches the published LASzip format, so standard files for formats
+// 0-3 are accepted via their LASzip-VLR item list.
 //
 // Chunks are independent by construction, so decompression fans out across
 // std::thread workers exactly like the reference's rayon chunk pool.
@@ -222,10 +231,376 @@ struct Point10Codec {
   }
 };
 
+// ---------------------------------------------------------------------------
+// GPSTIME11 v2: four tracked time sequences (multi-flightline interleave);
+// per-sequence quantized delta-multiplier models with a 64-bit escape.
+// ---------------------------------------------------------------------------
+
+constexpr i32 kGpsMulti = 500;
+constexpr i32 kGpsMultiMinus = -10;
+constexpr u32 kGpsMultiUnchanged = kGpsMulti - kGpsMultiMinus + 1;  // 511
+constexpr u32 kGpsMultiCodeFull = kGpsMulti - kGpsMultiMinus + 2;   // 512
+constexpr u32 kGpsMultiTotal = kGpsMulti - kGpsMultiMinus + 6;      // 516
+
+struct GpsTime11Codec {
+  u64 last_gpstime[4];
+  i32 last_gpstime_diff[4];
+  i32 multi_extreme_counter[4];
+  u32 last, next;
+
+  SymbolModel m_gpstime_multi, m_gpstime_0diff;
+  IntegerCompressor ic_gpstime;
+
+  void init(const u8* first8, bool for_compress) {
+    last = next = 0;
+    std::memcpy(&last_gpstime[0], first8, 8);
+    last_gpstime[1] = last_gpstime[2] = last_gpstime[3] = 0;
+    for (int i = 0; i < 4; ++i) {
+      last_gpstime_diff[i] = 0;
+      multi_extreme_counter[i] = 0;
+    }
+    m_gpstime_multi.init(kGpsMultiTotal, for_compress);
+    m_gpstime_0diff.init(6, for_compress);
+    ic_gpstime.init(32, 9, for_compress);
+  }
+
+  void bump_extreme(i32 gpstime_diff) {
+    if (++multi_extreme_counter[last] > 3) {
+      last_gpstime_diff[last] = gpstime_diff;
+      multi_extreme_counter[last] = 0;
+    }
+  }
+
+  void read(Decoder& dec, u8* out) {
+    for (;;) {
+      if (last_gpstime_diff[last] == 0) {
+        // this sequence has no established 32-bit delta yet
+        const u32 multi = dec.decode_symbol(m_gpstime_0diff);
+        if (multi == 1) {  // difference fits in 32 bits
+          last_gpstime_diff[last] = ic_gpstime.decompress(dec, 0, 0);
+          last_gpstime[last] = static_cast<u64>(
+              static_cast<i64>(last_gpstime[last]) + last_gpstime_diff[last]);
+          multi_extreme_counter[last] = 0;
+        } else if (multi == 2) {  // full 64-bit escape -> new sequence
+          next = (next + 1) & 3;
+          const u64 hi = static_cast<u32>(ic_gpstime.decompress(
+              dec, static_cast<i32>(last_gpstime[last] >> 32), 8));
+          last = next;
+          last_gpstime[last] = (hi << 32) | dec.read_bits(32);
+          last_gpstime_diff[last] = 0;
+          multi_extreme_counter[last] = 0;
+        } else if (multi > 2) {  // switch to another tracked sequence
+          last = (last + multi - 2) & 3;
+          continue;
+        }
+        // multi == 0: value unchanged
+        break;
+      }
+      const u32 multi = dec.decode_symbol(m_gpstime_multi);
+      if (multi == 1) {
+        last_gpstime[last] = static_cast<u64>(
+            static_cast<i64>(last_gpstime[last]) +
+            ic_gpstime.decompress(dec, last_gpstime_diff[last], 1));
+        multi_extreme_counter[last] = 0;
+      } else if (multi < kGpsMultiUnchanged) {
+        i32 gpstime_diff;
+        if (multi == 0) {
+          gpstime_diff = ic_gpstime.decompress(dec, 0, 7);
+          bump_extreme(gpstime_diff);
+        } else if (multi < static_cast<u32>(kGpsMulti)) {
+          gpstime_diff = ic_gpstime.decompress(
+              dec,
+              static_cast<i32>(multi) * last_gpstime_diff[last],
+              multi < 10 ? 2 : 3);
+        } else if (multi == static_cast<u32>(kGpsMulti)) {
+          gpstime_diff =
+              ic_gpstime.decompress(dec, kGpsMulti * last_gpstime_diff[last], 4);
+          bump_extreme(gpstime_diff);
+        } else {
+          const i32 neg = kGpsMulti - static_cast<i32>(multi);
+          if (neg > kGpsMultiMinus) {
+            gpstime_diff =
+                ic_gpstime.decompress(dec, neg * last_gpstime_diff[last], 5);
+          } else {
+            gpstime_diff = ic_gpstime.decompress(
+                dec, kGpsMultiMinus * last_gpstime_diff[last], 6);
+            bump_extreme(gpstime_diff);
+          }
+        }
+        last_gpstime[last] = static_cast<u64>(
+            static_cast<i64>(last_gpstime[last]) + gpstime_diff);
+      } else if (multi == kGpsMultiCodeFull) {
+        next = (next + 1) & 3;
+        const u64 hi = static_cast<u32>(ic_gpstime.decompress(
+            dec, static_cast<i32>(last_gpstime[last] >> 32), 8));
+        last = next;
+        last_gpstime[last] = (hi << 32) | dec.read_bits(32);
+        last_gpstime_diff[last] = 0;
+        multi_extreme_counter[last] = 0;
+      } else if (multi > kGpsMultiCodeFull) {
+        last = (last + multi - kGpsMultiCodeFull) & 3;
+        continue;
+      }
+      // multi == kGpsMultiUnchanged: value unchanged
+      break;
+    }
+    std::memcpy(out, &last_gpstime[last], 8);
+  }
+
+  void write(Encoder& enc, const u8* cur8) {
+    i64 cur;
+    std::memcpy(&cur, cur8, 8);
+    for (;;) {
+      const i64 lastv = static_cast<i64>(last_gpstime[last]);
+      if (last_gpstime_diff[last] == 0) {
+        if (cur == lastv) {
+          enc.encode_symbol(m_gpstime_0diff, 0);
+          return;
+        }
+        const i64 diff64 = cur - lastv;
+        const i32 diff = static_cast<i32>(diff64);
+        if (diff64 == static_cast<i64>(diff)) {
+          enc.encode_symbol(m_gpstime_0diff, 1);
+          ic_gpstime.compress(enc, 0, diff, 0);
+          last_gpstime_diff[last] = diff;
+          multi_extreme_counter[last] = 0;
+          last_gpstime[last] = static_cast<u64>(cur);
+          return;
+        }
+        // huge: does it continue another tracked sequence?
+        bool switched = false;
+        for (u32 i = 1; i < 4; ++i) {
+          const i64 od = cur - static_cast<i64>(last_gpstime[(last + i) & 3]);
+          if (od == static_cast<i64>(static_cast<i32>(od))) {
+            enc.encode_symbol(m_gpstime_0diff, i + 2);
+            last = (last + i) & 3;
+            switched = true;
+            break;
+          }
+        }
+        if (switched) continue;
+        enc.encode_symbol(m_gpstime_0diff, 2);
+        ic_gpstime.compress(enc, static_cast<i32>(last_gpstime[last] >> 32),
+                            static_cast<i32>(static_cast<u64>(cur) >> 32), 8);
+        enc.write_bits(32, static_cast<u32>(static_cast<u64>(cur)));
+        next = (next + 1) & 3;
+        last = next;
+        last_gpstime_diff[last] = 0;
+        multi_extreme_counter[last] = 0;
+        last_gpstime[last] = static_cast<u64>(cur);
+        return;
+      }
+      if (cur == lastv) {
+        enc.encode_symbol(m_gpstime_multi, kGpsMultiUnchanged);
+        return;
+      }
+      const i64 diff64 = cur - lastv;
+      const i32 diff = static_cast<i32>(diff64);
+      if (diff64 == static_cast<i64>(diff)) {
+        // quantized multiplier of the established delta
+        const float mf =
+            static_cast<float>(diff) / static_cast<float>(last_gpstime_diff[last]);
+        const i32 multi = mf >= 0.0f ? static_cast<i32>(mf + 0.5f)
+                                     : static_cast<i32>(mf - 0.5f);
+        if (multi == 1) {
+          enc.encode_symbol(m_gpstime_multi, 1);
+          ic_gpstime.compress(enc, last_gpstime_diff[last], diff, 1);
+          multi_extreme_counter[last] = 0;
+        } else if (multi > 0) {
+          if (multi < kGpsMulti) {
+            enc.encode_symbol(m_gpstime_multi, static_cast<u32>(multi));
+            ic_gpstime.compress(enc, multi * last_gpstime_diff[last], diff,
+                                multi < 10 ? 2 : 3);
+          } else {
+            enc.encode_symbol(m_gpstime_multi, static_cast<u32>(kGpsMulti));
+            ic_gpstime.compress(enc, kGpsMulti * last_gpstime_diff[last], diff, 4);
+            bump_extreme(diff);
+          }
+        } else if (multi < 0) {
+          if (multi > kGpsMultiMinus) {
+            enc.encode_symbol(m_gpstime_multi,
+                              static_cast<u32>(kGpsMulti - multi));
+            ic_gpstime.compress(enc, multi * last_gpstime_diff[last], diff, 5);
+          } else {
+            enc.encode_symbol(m_gpstime_multi,
+                              static_cast<u32>(kGpsMulti - kGpsMultiMinus));
+            ic_gpstime.compress(enc, kGpsMultiMinus * last_gpstime_diff[last],
+                                diff, 6);
+            bump_extreme(diff);
+          }
+        } else {  // multi == 0
+          enc.encode_symbol(m_gpstime_multi, 0);
+          ic_gpstime.compress(enc, 0, diff, 7);
+          bump_extreme(diff);
+        }
+        last_gpstime[last] = static_cast<u64>(cur);
+        return;
+      }
+      // doesn't fit in 32 bits: other sequences, else 64-bit escape
+      bool switched = false;
+      for (u32 i = 1; i < 4; ++i) {
+        const i64 od = cur - static_cast<i64>(last_gpstime[(last + i) & 3]);
+        if (od == static_cast<i64>(static_cast<i32>(od))) {
+          enc.encode_symbol(m_gpstime_multi, kGpsMultiCodeFull + i);
+          last = (last + i) & 3;
+          switched = true;
+          break;
+        }
+      }
+      if (switched) continue;
+      enc.encode_symbol(m_gpstime_multi, kGpsMultiCodeFull);
+      ic_gpstime.compress(enc, static_cast<i32>(last_gpstime[last] >> 32),
+                          static_cast<i32>(static_cast<u64>(cur) >> 32), 8);
+      enc.write_bits(32, static_cast<u32>(static_cast<u64>(cur)));
+      next = (next + 1) & 3;
+      last = next;
+      last_gpstime_diff[last] = 0;
+      multi_extreme_counter[last] = 0;
+      last_gpstime[last] = static_cast<u64>(cur);
+      return;
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// RGB12 v2: 7-bit used-mask (which channel bytes changed + "g/b differ from
+// r"), then per-byte folded differences predicted from the red channel's
+// change (channel correlation).
+// ---------------------------------------------------------------------------
+
+struct Rgb12Codec {
+  u16 last[3];
+  SymbolModel m_byte_used;
+  SymbolModel m_diff[6];  // r-lo, r-hi, g-lo, g-hi, b-lo, b-hi
+
+  void init(const u8* first6, bool for_compress) {
+    std::memcpy(last, first6, 6);
+    m_byte_used.init(128, for_compress);
+    for (int i = 0; i < 6; ++i) m_diff[i].init(256, for_compress);
+  }
+
+  static u8 clamp8(i32 v) {
+    return v < 0 ? 0 : (v > 255 ? 255 : static_cast<u8>(v));
+  }
+
+  void read(Decoder& dec, u8* out) {
+    u16 item[3];
+    const u32 sym = dec.decode_symbol(m_byte_used);
+    if (sym & 1)
+      item[0] = static_cast<u16>(
+          (dec.decode_symbol(m_diff[0]) + (last[0] & 0xFF)) & 0xFF);
+    else
+      item[0] = last[0] & 0xFF;
+    if (sym & 2)
+      item[0] |= static_cast<u16>(
+          ((dec.decode_symbol(m_diff[1]) + (last[0] >> 8)) & 0xFF) << 8);
+    else
+      item[0] |= last[0] & 0xFF00;
+
+    if (sym & 64) {
+      i32 diff = (item[0] & 0xFF) - (last[0] & 0xFF);
+      if (sym & 4)
+        item[1] = static_cast<u16>(
+            (dec.decode_symbol(m_diff[2]) + clamp8(diff + (last[1] & 0xFF))) &
+            0xFF);
+      else
+        item[1] = last[1] & 0xFF;
+      if (sym & 16) {
+        const i32 d2 = (diff + ((item[1] & 0xFF) - (last[1] & 0xFF))) / 2;
+        item[2] = static_cast<u16>(
+            (dec.decode_symbol(m_diff[4]) + clamp8(d2 + (last[2] & 0xFF))) &
+            0xFF);
+      } else {
+        item[2] = last[2] & 0xFF;
+      }
+      diff = (item[0] >> 8) - (last[0] >> 8);
+      if (sym & 8)
+        item[1] |= static_cast<u16>(
+            ((dec.decode_symbol(m_diff[3]) + clamp8(diff + (last[1] >> 8))) &
+             0xFF)
+            << 8);
+      else
+        item[1] |= last[1] & 0xFF00;
+      if (sym & 32) {
+        const i32 d2 = (diff + ((item[1] >> 8) - (last[1] >> 8))) / 2;
+        item[2] |= static_cast<u16>(
+            ((dec.decode_symbol(m_diff[5]) + clamp8(d2 + (last[2] >> 8))) &
+             0xFF)
+            << 8);
+      } else {
+        item[2] |= last[2] & 0xFF00;
+      }
+    } else {
+      item[1] = item[0];
+      item[2] = item[0];
+    }
+    std::memcpy(out, item, 6);
+    std::memcpy(last, item, 6);
+  }
+
+  void write(Encoder& enc, const u8* cur6) {
+    u16 item[3];
+    std::memcpy(item, cur6, 6);
+    u32 sym = 0;
+    if ((last[0] & 0x00FF) != (item[0] & 0x00FF)) sym |= 1;
+    if ((last[0] & 0xFF00) != (item[0] & 0xFF00)) sym |= 2;
+    if ((last[1] & 0x00FF) != (item[1] & 0x00FF)) sym |= 4;
+    if ((last[1] & 0xFF00) != (item[1] & 0xFF00)) sym |= 8;
+    if ((last[2] & 0x00FF) != (item[2] & 0x00FF)) sym |= 16;
+    if ((last[2] & 0xFF00) != (item[2] & 0xFF00)) sym |= 32;
+    const bool differ = ((item[0] & 0x00FF) != (item[1] & 0x00FF)) ||
+                        ((item[0] & 0x00FF) != (item[2] & 0x00FF)) ||
+                        ((item[0] & 0xFF00) != (item[1] & 0xFF00)) ||
+                        ((item[0] & 0xFF00) != (item[2] & 0xFF00));
+    if (differ) sym |= 64;
+    enc.encode_symbol(m_byte_used, sym);
+
+    i32 diff;
+    if (sym & 1) {
+      diff = (item[0] & 0xFF) - (last[0] & 0xFF);
+      enc.encode_symbol(m_diff[0], static_cast<u8>(diff));
+    }
+    if (sym & 2) {
+      diff = (item[0] >> 8) - (last[0] >> 8);
+      enc.encode_symbol(m_diff[1], static_cast<u8>(diff));
+    }
+    if (sym & 64) {
+      if (sym & 4) {
+        diff = (item[0] & 0xFF) - (last[0] & 0xFF);
+        enc.encode_symbol(
+            m_diff[2],
+            static_cast<u8>((item[1] & 0xFF) - clamp8(diff + (last[1] & 0xFF))));
+      }
+      if (sym & 16) {
+        diff = (((item[0] & 0xFF) - (last[0] & 0xFF)) +
+                ((item[1] & 0xFF) - (last[1] & 0xFF))) /
+               2;
+        enc.encode_symbol(
+            m_diff[4],
+            static_cast<u8>((item[2] & 0xFF) - clamp8(diff + (last[2] & 0xFF))));
+      }
+      if (sym & 8) {
+        diff = (item[0] >> 8) - (last[0] >> 8);
+        enc.encode_symbol(
+            m_diff[3],
+            static_cast<u8>((item[1] >> 8) - clamp8(diff + (last[1] >> 8))));
+      }
+      if (sym & 32) {
+        diff = (((item[0] >> 8) - (last[0] >> 8)) +
+                ((item[1] >> 8) - (last[1] >> 8))) /
+               2;
+        enc.encode_symbol(
+            m_diff[5],
+            static_cast<u8>((item[2] >> 8) - clamp8(diff + (last[2] >> 8))));
+      }
+    }
+    std::memcpy(last, item, 6);
+  }
+};
+
 // Generic BYTE v2 item codec: one adaptive 256-symbol model per byte column,
 // predicting each byte as last + folded difference.  LASzip's standard item
-// for extra bytes — we use it for the payload beyond the 20-byte POINT10 core
-// (GPS time, RGB, ...), so point formats 1-3 frame as POINT10 + BYTE(n).
+// for arbitrary extra payload beyond the typed items.
 struct ByteCodec {
   u32 n = 0;
   std::vector<SymbolModel> models;
@@ -256,6 +631,137 @@ struct ByteCodec {
 };
 
 // ---------------------------------------------------------------------------
+// Item-list-driven record codec (the LASzip VLR's item sequence)
+// ---------------------------------------------------------------------------
+
+// LASzip item types (published constants).
+enum ItemType : u16 {
+  ITEM_BYTE = 0,
+  ITEM_POINT10 = 6,
+  ITEM_GPSTIME11 = 7,
+  ITEM_RGB12 = 8,
+};
+
+struct ItemSpec {
+  u16 type;
+  u16 size;
+};
+
+// Standard item layout for the legacy entry points: POINT10 core, GPS time
+// for formats 1/3, RGB for formats 2/3, BYTE for any remaining payload.
+static bool infer_items(u8 fmt, u32 point_length, std::vector<ItemSpec>* out) {
+  if (fmt > 3 || point_length < sizeof(Point10)) return false;
+  out->clear();
+  out->push_back({ITEM_POINT10, 20});
+  u32 used = 20;
+  if (fmt == 1 || fmt == 3) {
+    out->push_back({ITEM_GPSTIME11, 8});
+    used += 8;
+  }
+  if (fmt == 2 || fmt == 3) {
+    out->push_back({ITEM_RGB12, 6});
+    used += 6;
+  }
+  if (point_length < used) return false;
+  if (point_length > used)
+    out->push_back({ITEM_BYTE, static_cast<u16>(point_length - used)});
+  return true;
+}
+
+struct ItemState {
+  u16 type = 0;
+  u32 offset = 0, size = 0;
+  Point10Codec p10;
+  GpsTime11Codec gps;
+  Rgb12Codec rgb;
+  ByteCodec bytes;
+
+  int init(const u8* first, bool for_compress) {
+    switch (type) {
+      case ITEM_POINT10: {
+        if (size != 20) return 2;
+        Point10 p;
+        std::memcpy(&p, first, sizeof(Point10));
+        p10.init(p, for_compress);
+        return 0;
+      }
+      case ITEM_GPSTIME11:
+        if (size != 8) return 2;
+        gps.init(first, for_compress);
+        return 0;
+      case ITEM_RGB12:
+        if (size != 6) return 2;
+        rgb.init(first, for_compress);
+        return 0;
+      case ITEM_BYTE:
+        bytes.init(first, size, for_compress);
+        return 0;
+      default:
+        return 2;
+    }
+  }
+
+  void read(Decoder& dec, u8* dst) {
+    switch (type) {
+      case ITEM_POINT10: {
+        Point10 p;
+        p10.read(dec, &p);
+        std::memcpy(dst, &p, sizeof(Point10));
+        break;
+      }
+      case ITEM_GPSTIME11:
+        gps.read(dec, dst);
+        break;
+      case ITEM_RGB12:
+        rgb.read(dec, dst);
+        break;
+      case ITEM_BYTE:
+        bytes.read(dec, dst);
+        break;
+    }
+  }
+
+  void write(Encoder& enc, const u8* src) {
+    switch (type) {
+      case ITEM_POINT10: {
+        Point10 p;
+        std::memcpy(&p, src, sizeof(Point10));
+        p10.write(enc, p);
+        break;
+      }
+      case ITEM_GPSTIME11:
+        gps.write(enc, src);
+        break;
+      case ITEM_RGB12:
+        rgb.write(enc, src);
+        break;
+      case ITEM_BYTE:
+        bytes.write(enc, src);
+        break;
+    }
+  }
+};
+
+static int init_item_states(const std::vector<ItemSpec>& items,
+                            const u8* first_record, u32 point_length,
+                            bool for_compress, std::vector<ItemState>* st) {
+  st->clear();
+  st->resize(items.size());
+  u32 off = 0;
+  for (size_t j = 0; j < items.size(); ++j) {
+    ItemState& s = (*st)[j];
+    s.type = items[j].type;
+    s.size = items[j].size;
+    s.offset = off;
+    if (off + s.size > point_length) return 2;
+    const int rc = s.init(first_record + off, for_compress);
+    if (rc) return rc;
+    off += s.size;
+  }
+  return off == point_length ? 0 : 2;
+}
+
+// ---------------------------------------------------------------------------
 // Chunked stream framing
 // ---------------------------------------------------------------------------
 
@@ -268,77 +774,54 @@ struct ChunkRange {
   u64 out_index; // first output point index
 };
 
-// Decompress one chunk (raw first point + arithmetic stream).
-// Records are point_length bytes: a 20-byte POINT10 core + extra BYTE item.
+// Decompress one chunk (raw first record + arithmetic stream).
 static int decompress_chunk(const u8* data, u64 len, u32 n_points,
+                            const std::vector<ItemSpec>& items,
                             u32 point_length, u8* out) {
   if (n_points == 0) return 0;
   if (len < point_length) return 1;
-  const u32 n_extra = point_length - sizeof(Point10);
-  Point10 first;
-  std::memcpy(&first, data, sizeof(Point10));
   std::memcpy(out, data, point_length);
   if (n_points == 1) return 0;
 
-  Point10Codec codec;
-  codec.init(first, /*for_compress=*/false);
-  ByteCodec extra;
-  if (n_extra) extra.init(data + sizeof(Point10), n_extra, false);
+  std::vector<ItemState> st;
+  const int rc = init_item_states(items, data, point_length, false, &st);
+  if (rc) return rc;
+
   Decoder dec;
   dec.init(data + point_length, len - point_length);
   for (u32 i = 1; i < n_points; ++i) {
     u8* rec = out + static_cast<u64>(i) * point_length;
-    Point10 p;
-    codec.read(dec, &p);
-    std::memcpy(rec, &p, sizeof(Point10));
-    if (n_extra) extra.read(dec, rec + sizeof(Point10));
+    for (auto& s : st) s.read(dec, rec + s.offset);
   }
   return 0;
 }
 
-static void compress_chunk(const u8* records, u32 n_points, u32 point_length,
-                           std::vector<u8>* out) {
-  const u32 n_extra = point_length - sizeof(Point10);
-  Point10 first;
-  std::memcpy(&first, records, sizeof(Point10));
+static int compress_chunk(const u8* records, u32 n_points,
+                          const std::vector<ItemSpec>& items, u32 point_length,
+                          std::vector<u8>* out) {
   out->insert(out->end(), records, records + point_length);
-  if (n_points == 1) return;
+  if (n_points == 1) return 0;
 
-  Point10Codec codec;
-  codec.init(first, /*for_compress=*/true);
-  ByteCodec extra;
-  if (n_extra) extra.init(records + sizeof(Point10), n_extra, true);
+  std::vector<ItemState> st;
+  const int rc = init_item_states(items, records, point_length, true, &st);
+  if (rc) return rc;
+
   Encoder enc;
   enc.init();
   for (u32 i = 1; i < n_points; ++i) {
     const u8* rec = records + static_cast<u64>(i) * point_length;
-    Point10 p;
-    std::memcpy(&p, rec, sizeof(Point10));
-    codec.write(enc, p);
-    if (n_extra) extra.write(enc, rec + sizeof(Point10));
+    for (auto& s : st) s.write(enc, rec + s.offset);
   }
   enc.done();
   out->insert(out->end(), enc.out.begin(), enc.out.end());
+  return 0;
 }
 
-}  // namespace laszip
-
-extern "C" {
-
-// Decompress a chunked POINT10 LAZ stream.
-//   file/file_len:     the whole .laz file bytes
-//   point_data_offset: header's offset_to_point_data
-//   n_points:          points to decode
-//   chunk_size:        points per chunk from the LASzip VLR
-//   out:               n_points * 20 bytes
-// Returns 0 ok, 1 corrupt, 2 unsupported.
-int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
-                         laszip::u64 point_data_offset, laszip::u32 n_points,
-                         laszip::u32 point_length, laszip::u8 point_format,
-                         laszip::u32 chunk_size, laszip::u8* out,
-                         laszip::i32 n_threads) {
-  using namespace laszip;
-  if (point_format > 3 || point_length < sizeof(Point10)) return 2;
+static int decompress_stream(const u8* file, u64 file_len,
+                             u64 point_data_offset, u32 n_points,
+                             u32 point_length,
+                             const std::vector<ItemSpec>& items, u32 chunk_size,
+                             u8* out, i32 n_threads) {
   if (point_data_offset + 8 > file_len) return 1;
 
   i64 table_offset;
@@ -398,7 +881,7 @@ int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
                             ? ranges[i + 1].offset - r.offset
                             : file_len - r.offset;
       const int rc = decompress_chunk(file + r.offset, avail, r.n_points,
-                                      point_length,
+                                      items, point_length,
                                       out + r.out_index * point_length);
       if (rc) status.store(rc);
     }
@@ -413,17 +896,10 @@ int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
   return status.load();
 }
 
-// Compress POINT10 records into a chunked LAZ stream (chunk-table framing).
-//   base_offset: file offset where this stream will start (for the absolute
-//                chunk-table pointer, like real .laz files)
-// Returns 0 ok, 2 unsupported, 3 buffer too small.
-int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
-                       laszip::u32 point_length, laszip::u8 point_format,
-                       laszip::u32 chunk_size, laszip::u64 base_offset,
-                       laszip::u8* out_buf, laszip::u64 out_cap,
-                       laszip::u64* out_len) {
-  using namespace laszip;
-  if (point_format > 3 || point_length < sizeof(Point10)) return 2;
+static int compress_stream(const u8* records, u32 n_points, u32 point_length,
+                           const std::vector<ItemSpec>& items, u32 chunk_size,
+                           u64 base_offset, u8* out_buf, u64 out_cap,
+                           u64* out_len) {
   if (chunk_size == 0) chunk_size = 50000;
 
   std::vector<std::vector<u8>> chunks;
@@ -431,8 +907,9 @@ int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
     const u32 npts = static_cast<u32>(
         (n_points - i) < chunk_size ? (n_points - i) : chunk_size);
     chunks.emplace_back();
-    compress_chunk(records + i * point_length, npts, point_length,
-                   &chunks.back());
+    const int rc = compress_chunk(records + i * point_length, npts, items,
+                                  point_length, &chunks.back());
+    if (rc) return rc;
   }
 
   // assemble: [i64 table_offset][chunks...][table]
@@ -475,6 +952,81 @@ int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
   p += table_enc.out.size();
   *out_len = static_cast<u64>(p - out_buf);
   return 0;
+}
+
+static std::vector<ItemSpec> items_from_arrays(const u16* types,
+                                               const u16* sizes, u32 n) {
+  std::vector<ItemSpec> v(n);
+  for (u32 i = 0; i < n; ++i) v[i] = {types[i], sizes[i]};
+  return v;
+}
+
+}  // namespace laszip
+
+extern "C" {
+
+// Decompress a chunked LAZ stream with an explicit LASzip item list (from the
+// file's LASzip VLR).
+//   file/file_len:     the whole .laz file bytes
+//   point_data_offset: header's offset_to_point_data
+//   n_points:          points to decode
+//   item_types/item_sizes/n_items: the VLR's item sequence (v2 items)
+//   chunk_size:        points per chunk from the LASzip VLR
+//   out:               n_points * point_length bytes
+// Returns 0 ok, 1 corrupt, 2 unsupported.
+int treee_laz_decompress_items(const laszip::u8* file, laszip::u64 file_len,
+                               laszip::u64 point_data_offset,
+                               laszip::u32 n_points, laszip::u32 point_length,
+                               const laszip::u16* item_types,
+                               const laszip::u16* item_sizes,
+                               laszip::u32 n_items, laszip::u32 chunk_size,
+                               laszip::u8* out, laszip::i32 n_threads) {
+  using namespace laszip;
+  if (n_items == 0) return 2;
+  const auto items = items_from_arrays(item_types, item_sizes, n_items);
+  return decompress_stream(file, file_len, point_data_offset, n_points,
+                           point_length, items, chunk_size, out, n_threads);
+}
+
+// Compress point records into a chunked LAZ stream with an explicit item list.
+int treee_laz_compress_items(const laszip::u8* records, laszip::u32 n_points,
+                             laszip::u32 point_length,
+                             const laszip::u16* item_types,
+                             const laszip::u16* item_sizes,
+                             laszip::u32 n_items, laszip::u32 chunk_size,
+                             laszip::u64 base_offset, laszip::u8* out_buf,
+                             laszip::u64 out_cap, laszip::u64* out_len) {
+  using namespace laszip;
+  if (n_items == 0) return 2;
+  const auto items = items_from_arrays(item_types, item_sizes, n_items);
+  return compress_stream(records, n_points, point_length, items, chunk_size,
+                         base_offset, out_buf, out_cap, out_len);
+}
+
+// Legacy entry points: item layout inferred from the LAS point format
+// (POINT10 [+ GPSTIME11][+ RGB12][+ BYTE remainder]).
+int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
+                         laszip::u64 point_data_offset, laszip::u32 n_points,
+                         laszip::u32 point_length, laszip::u8 point_format,
+                         laszip::u32 chunk_size, laszip::u8* out,
+                         laszip::i32 n_threads) {
+  using namespace laszip;
+  std::vector<ItemSpec> items;
+  if (!infer_items(point_format, point_length, &items)) return 2;
+  return decompress_stream(file, file_len, point_data_offset, n_points,
+                           point_length, items, chunk_size, out, n_threads);
+}
+
+int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
+                       laszip::u32 point_length, laszip::u8 point_format,
+                       laszip::u32 chunk_size, laszip::u64 base_offset,
+                       laszip::u8* out_buf, laszip::u64 out_cap,
+                       laszip::u64* out_len) {
+  using namespace laszip;
+  std::vector<ItemSpec> items;
+  if (!infer_items(point_format, point_length, &items)) return 2;
+  return compress_stream(records, n_points, point_length, items, chunk_size,
+                         base_offset, out_buf, out_cap, out_len);
 }
 
 }  // extern "C"

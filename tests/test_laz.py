@@ -73,33 +73,119 @@ def test_corrupt_laz_rejected(tmp_path):
         las.load(bytes(data))
 
 
-def test_extended_formats_roundtrip():
-    """Point formats 1-3 (POINT10 core + BYTE item for GPS/RGB payload)."""
+def _decompress_items(stream, n, length, fmt, chunk_size):
     import ctypes
 
     lib = native_build.load_library()
+    items = laz_native.standard_items(fmt, length)
+    types = np.asarray([it["type"] for it in items], np.uint16)
+    sizes = np.asarray([it["size"] for it in items], np.uint16)
+    out = np.empty(n * length, np.uint8)
+    rc = lib.treee_laz_decompress_items(
+        stream, len(stream), 0, n, length,
+        types.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), len(items),
+        chunk_size, out.ctypes.data_as(ctypes.c_void_p), 0,
+    )
+    assert rc == 0
+    return out.reshape(n, length)
+
+
+def _gps_times(rng, n):
+    """Realistic pulse times: two interleaved flight lines (sequence switches),
+    mostly-constant pulse spacing with jitter, occasional huge jumps (the
+    64-bit escape path), and repeated times (multi-return pulses)."""
+    base = np.zeros(n, np.float64)
+    lines = rng.integers(0, 2, n)  # which flight line each pulse belongs to
+    t = np.asarray([1.0e5, 9.77e8])  # far apart -> diffs exceed 32 bits
+    dt = np.asarray([1.0e-4, 2.5e-4])
+    for i in range(n):
+        ln = lines[i]
+        if rng.random() > 0.3:  # repeated gps time (same pulse)
+            t[ln] = t[ln] + dt[ln] * (1 + 0.01 * rng.standard_normal())
+        base[i] = t[ln]
+    return base
+
+
+def test_extended_formats_roundtrip():
+    """Point formats 1-3 through the real GPSTIME11/RGB12 v2 item codecs."""
     rng = np.random.default_rng(7)
+    n = 20_000
+    gps = _gps_times(rng, n).view(np.uint8).reshape(n, 8)
+    # correlated 16-bit RGB: 8-bit camera data scaled by 257 (common case)
+    r8 = np.clip(rng.normal(120, 40, n), 0, 255).astype(np.uint16)
+    g8 = np.clip(r8 + rng.integers(-30, 30, n), 0, 255).astype(np.uint16)
+    b8 = np.clip(r8 + rng.integers(-30, 30, n), 0, 255).astype(np.uint16)
+    grey = rng.random(n) < 0.2  # r==g==b path (sym bit 6 clear)
+    g8 = np.where(grey, r8, g8)
+    b8 = np.where(grey, r8, b8)
+    rgb = (np.stack([r8, g8, b8], axis=1) * 257).astype("<u2")
+    rgb = rgb.view(np.uint8).reshape(n, 6)
+
     for length, fmt in ((28, 1), (26, 2), (34, 3)):
-        n = 20_000
         rec = np.zeros((n, length), np.uint8)
         xyz = np.cumsum(rng.integers(-80, 80, (n, 3)), axis=0).astype("<i4")
         rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
         rec[:, 14] = 0b001001
-        rec[:, 20:length] = rng.integers(0, 256, (n, length - 20))
-        stream = laz_native.compress(rec, length, base_offset=0, chunk_size=8_000)
-        out = np.empty(n * length, np.uint8)
-        rc = lib.treee_laz_decompress(
-            stream, len(stream), 0, n, length, fmt, 8_000,
-            out.ctypes.data_as(ctypes.c_void_p), 0,
-        )
-        assert rc == 0
-        np.testing.assert_array_equal(out.reshape(n, length), rec)
-    # the VLR advertises the BYTE item
-    info = laz_native.parse_vlr(laz_native.make_vlr(point_length=28))
+        off = 20
+        if fmt in (1, 3):
+            rec[:, off:off + 8] = gps
+            off += 8
+        if fmt in (2, 3):
+            rec[:, off:off + 6] = rgb
+            off += 6
+        assert off == length
+        stream = laz_native.compress(rec, length, base_offset=0,
+                                     chunk_size=8_000, point_format=fmt)
+        out = _decompress_items(stream, n, length, fmt, 8_000)
+        np.testing.assert_array_equal(out, rec)
+
+    # the VLR advertises the standard item sequence
+    info = laz_native.parse_vlr(laz_native.make_vlr(point_length=34,
+                                                    point_format=3))
     assert info["items"] == [
         {"type": 6, "size": 20, "version": 2},
-        {"type": 0, "size": 8, "version": 2},
+        {"type": 7, "size": 8, "version": 2},
+        {"type": 8, "size": 6, "version": 2},
     ]
+
+
+def test_byte_item_extra_payload():
+    """Extra bytes beyond the typed items use the BYTE v2 item."""
+    rng = np.random.default_rng(11)
+    n, length = 10_000, 25  # POINT10 + 5 extra bytes
+    rec = np.zeros((n, length), np.uint8)
+    xyz = np.cumsum(rng.integers(-50, 50, (n, 3)), axis=0).astype("<i4")
+    rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    rec[:, 14] = 0b001001
+    rec[:, 20:] = rng.integers(0, 256, (n, 5))
+    stream = laz_native.compress(rec, length, base_offset=0,
+                                 chunk_size=4_000, point_format=0)
+    out = _decompress_items(stream, n, length, 0, 4_000)
+    np.testing.assert_array_equal(out, rec)
+    items = laz_native.standard_items(0, length)
+    assert items[-1] == {"type": 0, "size": 5, "version": 2}
+
+
+def test_gpstime_edge_sequences():
+    """GPS-time codec edge paths: all-equal, huge alternating jumps (4-sequence
+    tracking + 64-bit escapes), and sign-flipping deltas."""
+    n = 6_000
+    rng = np.random.default_rng(13)
+    cases = [
+        np.full(n, 123456.789),                                  # unchanged
+        np.where(np.arange(n) % 3 == 0, 1e9, 1.0)               # wild jumps
+        + np.arange(n) * 1e-3,
+        np.cumsum(rng.choice([-5e-4, 5e-4], n)) + 777.0,         # sign flips
+    ]
+    for times in cases:
+        rec = np.zeros((n, 28), np.uint8)
+        rec[:, 14] = 0b001001
+        rec[:, 20:28] = times.astype(np.float64).view(np.uint8).reshape(n, 8)
+        stream = laz_native.compress(rec, 28, base_offset=0,
+                                     chunk_size=n, point_format=1)
+        out = _decompress_items(stream, n, 28, 1, n)
+        np.testing.assert_array_equal(out, rec)
 
 
 def test_record_fields_roundtrip():

@@ -44,12 +44,39 @@ def parse_vlr(payload: bytes) -> dict:
     }
 
 
-def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20) -> bytes:
-    """LASzip VLR payload: chunked POINT10 (+ BYTE item for extra payload)."""
-    n_extra = point_length - 20
-    items = [struct.pack("<HHH", 6, 20, 2)]  # POINT10, 20 bytes, version 2
-    if n_extra > 0:
-        items.append(struct.pack("<HHH", 0, n_extra, 2))  # BYTE item v2
+# LASzip item types (published constants): BYTE=0, POINT10=6, GPSTIME11=7,
+# RGB12=8.  Standard layout per LAS point format 0-3.
+ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12 = 0, 6, 7, 8
+
+
+def standard_items(point_format: int, point_length: int) -> list[dict]:
+    """The LASzip v2 item sequence for a LAS point format 0-3 record."""
+    if not 0 <= point_format <= 3:
+        raise UnsupportedFormat(f"point format {point_format} (0-3 supported)")
+    items = [{"type": ITEM_POINT10, "size": 20, "version": 2}]
+    used = 20
+    if point_format in (1, 3):
+        items.append({"type": ITEM_GPSTIME11, "size": 8, "version": 2})
+        used += 8
+    if point_format in (2, 3):
+        items.append({"type": ITEM_RGB12, "size": 6, "version": 2})
+        used += 6
+    if point_length < used:
+        raise CorruptFile(
+            f"point length {point_length} shorter than format "
+            f"{point_format}'s items ({used})"
+        )
+    if point_length > used:
+        items.append({"type": ITEM_BYTE, "size": point_length - used, "version": 2})
+    return items
+
+
+def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20,
+             point_format: int = 0) -> bytes:
+    """LASzip VLR payload: chunked v2 items for the given point format."""
+    items = standard_items(point_format, point_length)
+    packed = [struct.pack("<HHH", it["type"], it["size"], it["version"])
+              for it in items]
     head = struct.pack(
         "<HHBBHIIqqH",
         2,            # compressor: pointwise chunked
@@ -58,9 +85,9 @@ def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20) -> by
         0,            # options
         chunk_size,
         0, 0,         # special EVLRs
-        len(items),
+        len(packed),
     )
-    return head + b"".join(items)
+    return head + b"".join(packed)
 
 
 def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndarray:
@@ -78,19 +105,29 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
     items = info["items"]
     ok = (
         len(items) >= 1
-        and items[0]["type"] == 6 and items[0]["version"] == 2
-        and all(it["type"] == 0 and it["version"] == 2 for it in items[1:])
+        and items[0]["type"] == ITEM_POINT10
+        and all(
+            it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12, ITEM_BYTE)
+            and it["version"] == 2
+            for it in items
+        )
     )
     if not ok:
         raise UnsupportedFormat(
-            f"LASzip items {items} (POINT10 v2 [+ BYTE v2] implemented; "
-            "GPSTIME11/RGB12 item codecs are a later round)"
+            f"LASzip items {items} (POINT10/GPSTIME11/RGB12/BYTE v2 "
+            "implemented; POINT14-family items are a later round)"
         )
+    if sum(it["size"] for it in items) != header.point_length:
+        raise CorruptFile("LASzip item sizes disagree with the point length")
     lib = native_build.load_library(required=True)
     out = np.empty(n_points * header.point_length, np.uint8)
-    rc = lib.treee_laz_decompress(
+    types = np.asarray([it["type"] for it in items], np.uint16)
+    sizes = np.asarray([it["size"] for it in items], np.uint16)
+    rc = lib.treee_laz_decompress_items(
         data, len(data), header.offset_to_point_data, n_points,
-        header.point_length, header.point_format,
+        header.point_length,
+        types.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), len(items),
         info["chunk_size"] or DEFAULT_CHUNK_SIZE,
         out.ctypes.data_as(ctypes.c_void_p), 0,
     )
@@ -102,30 +139,36 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
 
 
 def compress(records: np.ndarray, point_length: int, base_offset: int,
-             chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
-    """Compress raw point records (POINT10 core + extra bytes) into a chunked
-    LAZ stream."""
+             chunk_size: int = DEFAULT_CHUNK_SIZE,
+             point_format: int = 0) -> bytes:
+    """Compress raw point records into a chunked LAZ stream using the
+    standard item sequence for ``point_format``."""
     if point_length < 20:
         raise UnsupportedFormat("point record shorter than the POINT10 core")
+    items = standard_items(point_format, point_length)
     lib = native_build.load_library(required=True)
     records = np.ascontiguousarray(records, np.uint8)
     n = records.size // point_length
+    types = np.asarray([it["type"] for it in items], np.uint16)
+    sizes = np.asarray([it["size"] for it in items], np.uint16)
     cap = records.size + (1 << 20)
     out = np.empty(cap, np.uint8)
     out_len = ctypes.c_uint64(0)
-    rc = lib.treee_laz_compress(
-        records.ctypes.data_as(ctypes.c_void_p), n, point_length, 0,
-        chunk_size, base_offset,
-        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(out_len),
-    )
-    if rc == 3:  # grow once
-        cap = out_len.value
-        out = np.empty(cap, np.uint8)
-        rc = lib.treee_laz_compress(
-            records.ctypes.data_as(ctypes.c_void_p), n, point_length, 0,
+
+    def run(cap, out):
+        return lib.treee_laz_compress_items(
+            records.ctypes.data_as(ctypes.c_void_p), n, point_length,
+            types.ctypes.data_as(ctypes.c_void_p),
+            sizes.ctypes.data_as(ctypes.c_void_p), len(items),
             chunk_size, base_offset,
             out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(out_len),
         )
+
+    rc = run(cap, out)
+    if rc == 3:  # grow once
+        cap = out_len.value
+        out = np.empty(cap, np.uint8)
+        rc = run(cap, out)
     if rc:
         raise UnsupportedFormat(f"LAZ encode failed (rc={rc})")
     return out[: out_len.value].tobytes()

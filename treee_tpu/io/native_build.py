@@ -86,6 +86,20 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
         ]
         lib.treee_laz_compress.restype = ctypes.c_int
+        lib.treee_laz_decompress_items.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.treee_laz_decompress_items.restype = ctypes.c_int
+        lib.treee_laz_compress_items.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.treee_laz_compress_items.restype = ctypes.c_int
         _cached_lib = lib
         return lib
     except Exception:
