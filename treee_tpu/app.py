@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demo", action="store_true", help="run on a synthetic forest")
     p.add_argument("--max-points", type=int, default=None,
                    help="cap loaded points (webdemo caps at 15M, laz.rs:49-62)")
+    p.add_argument("--add", action="append", default=[], metavar="SCAN",
+                   help="merge another .las/.laz into the scene "
+                        "(Loading::add, loading.rs:79-88)")
+    p.add_argument("--add-session", action="append", default=[], metavar="NPZ",
+                   help="additively merge another session checkpoint "
+                        "(mod.rs:300-338)")
     # segmentation knobs (slider 0.1-2.0, default 0.75, segmenting.rs:16,82)
     p.add_argument("--distance", type=float, default=0.75,
                    help="min distance between segments [m]")
@@ -44,6 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--palette", choices=("turbo", "warm", "white"), default="turbo")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
+    p.add_argument("--eye-dome-strength", type=float, default=0.7,
+                   help="eye-dome lighting strength 0-1 (program.rs:160)")
+    p.add_argument("--prop-min", type=int, default=0,
+                   help="property range filter lower bound (u32 scale, "
+                        "point_cloud.wgsl:44-49)")
+    p.add_argument("--prop-max", type=int, default=0xFFFFFFFF)
+    p.add_argument("--brush-radius", type=float, default=0.5,
+                   help="sphere brush radius for edits (mod.rs:259)")
+    p.add_argument("--proj", default=None,
+                   help="proj4 string for geo-referencing (mod.rs:53)")
     p.add_argument("--frames", type=int, default=0,
                    help="render an orbit sweep of this many frames")
     p.add_argument("--orbit-distance", type=float, default=100.0)
@@ -53,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-info", help="write per-segment info JSON")
     p.add_argument("--export-ply", help="write segmented points .ply")
     p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
+    p.add_argument("--export-hull-ply",
+                   help="write the focus segment's crown convex hull .ply "
+                        "(hull.rs:583-624); requires --segment-id")
+    p.add_argument("--export-landmarks",
+                   help="write the focus segment's RBV landmark .txt rows "
+                        "(hull.rs:308-331); requires --segment-id")
+    p.add_argument("--export-rbv",
+                   help="write the focus segment's RBV distances JSON "
+                        "(hull.rs:293-306); requires --segment-id")
     p.add_argument("--segment-id", type=int, default=None,
                    help="focus segment for per-segment exports")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -84,7 +109,13 @@ def main(argv=None) -> int:
         render=dataclasses.replace(
             cfg.render, width=args.width, height=args.height,
             point_size=args.point_size, palette=args.palette,
-        )
+            eye_dome_strength=args.eye_dome_strength,
+            prop_min=args.prop_min, prop_max=args.prop_max,
+        ),
+        interactive=dataclasses.replace(
+            cfg.interactive, draw_radius=args.brush_radius,
+            **({"source_location": args.proj} if args.proj else {}),
+        ),
     )
 
     if args.demo:
@@ -100,6 +131,15 @@ def main(argv=None) -> int:
     else:
         with phase_timer("import"):
             session = Session.from_las(args.input, cfg, max_points=args.max_points)
+
+    for extra in args.add:
+        with phase_timer(f"add[{extra}]"):
+            session.add_las(extra)
+    for extra in args.add_session:
+        with phase_timer(f"add-session[{extra}]"):
+            session.add_session(extra)
+    if args.proj:
+        session.source_location = args.proj
 
     print(f"points: {int(session.cloud.count):,}")
 
@@ -186,6 +226,48 @@ def main(argv=None) -> int:
         with open(args.export_traits, "w") as fh:
             json.dump(out, fh, indent=2)
         print(f"traits: {args.export_traits} ({len(out)} segments)")
+
+    if args.export_hull_ply or args.export_landmarks or args.export_rbv:
+        if args.segment_id is None:
+            print("error: --export-hull-ply/--export-landmarks/--export-rbv "
+                  "require --segment-id", file=sys.stderr)
+            return 2
+        from . import hull3d, rbv as rbv_mod
+        from .cloud import CLASS_CROWN
+
+        if session.table is None:
+            session.characteristics()
+        member = session.cloud.valid & (session.cloud.segment == args.segment_id)
+
+        if args.export_hull_ply:
+            h = hull3d.convex_hull(
+                np.asarray(session.cloud.pos),
+                np.asarray(member & (session.cloud.classification == CLASS_CROWN)),
+            )
+            if h is None:
+                print("hull: segment has too few crown points", file=sys.stderr)
+            else:
+                with open(args.export_hull_ply, "w") as fh:
+                    exports.save_hull_ply(fh, h.vertices, h.faces)
+                print(f"hull ply: {args.export_hull_ply}")
+
+        if args.export_landmarks or args.export_rbv:
+            crown, trunk = rbv_mod.split_rbv(
+                session.cloud.pos, session.cloud.classification, member
+            )
+            if args.export_landmarks:
+                rows = np.asarray(rbv_mod.split_landmarks(crown, trunk))
+                with open(args.export_landmarks, "w") as fh:
+                    for row in rows.reshape(-1, 3):
+                        fh.write(exports.landmarks_txt(row))
+                print(f"landmarks: {args.export_landmarks}")
+            if args.export_rbv:
+                with open(args.export_rbv, "w") as fh:
+                    fh.write(exports.rbv_distances_json(
+                        np.asarray(crown.center), float(crown.min_y),
+                        np.asarray(crown.distances), crown.slices, crown.sectors,
+                    ))
+                print(f"rbv distances: {args.export_rbv}")
 
     if args.verbose:
         for name, ts in timings().items():

@@ -109,6 +109,45 @@ class Camera(flax.struct.PyTreeNode):
         )
         return self.replace(transform=t)
 
+    # ---- first-person controller (camera.rs:147-216, Controller::FirstPerson;
+    # ``offset`` doubles as the move sensitivity, Controller::distance) -------
+
+    def move_first_person(self, direction_x, direction_y) -> "Camera":
+        """Translate in the camera's local xz plane (camera.rs:152-155)."""
+        local = jnp.eye(4).at[:3, 3].set(
+            jnp.array([1.0, 0.0, 0.0]) * direction_x * self.offset
+            + jnp.array([0.0, 0.0, 1.0]) * direction_y * self.offset
+        )
+        return self.replace(transform=self.transform @ local)
+
+    def rotate_first_person(self, delta_x, delta_y) -> "Camera":
+        """Yaw around world y through the camera position, pitch around the
+        local x axis (camera.rs:170-182)."""
+        yaw = -delta_x * ROTATE_SPEED
+        pitch = -delta_y * ROTATE_SPEED
+        p = self.position
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        rot_y = jnp.array(
+            [[cy, 0, sy, 0], [0, 1, 0, 0], [-sy, 0, cy, 0], [0, 0, 0, 1]],
+            jnp.float32,
+        )
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        rot_x = jnp.array(
+            [[1, 0, 0, 0], [0, cp, -sp, 0], [0, sp, cp, 0], [0, 0, 0, 1]],
+            jnp.float32,
+        )
+        trans = jnp.eye(4).at[:3, 3].set(p)
+        untrans = jnp.eye(4).at[:3, 3].set(-p)
+        return self.replace(
+            transform=trans @ rot_y @ untrans @ self.transform @ rot_x
+        )
+
+    def scroll_first_person(self, value) -> "Camera":
+        """Scroll adjusts the move sensitivity, not the pose (camera.rs:202-206)."""
+        return self.replace(
+            offset=jnp.maximum(self.offset * (1.0 + value / 10.0), 0.01)
+        )
+
     # ---- picking ----------------------------------------------------------------
 
     def ray_direction(self, pixel_x, pixel_y, width: int, height: int) -> jax.Array:
