@@ -105,6 +105,18 @@ def main(argv=None) -> int:
     from .utils.profiling import phase_timer, timings
 
     cfg = DEFAULT_CONFIG
+    if os.environ.get("TREEE_APP_CONFIG") == "small":
+        # shrunken static capacities: tests compile in seconds instead of
+        # minutes on the 1-CPU host (shapes, not semantics)
+        cfg = cfg.replace(
+            segmentation=dataclasses.replace(
+                cfg.segmentation, grid_size=128, max_bands=16,
+                max_segments=256, max_trees_per_band=32,
+            ),
+            characteristics=dataclasses.replace(
+                cfg.characteristics, max_slices=96,
+            ),
+        )
     cfg = cfg.replace(
         render=dataclasses.replace(
             cfg.render, width=args.width, height=args.height,

@@ -38,8 +38,14 @@ def _cummax(x: jax.Array) -> jax.Array:
 
 
 def _revcummin(x: jax.Array) -> jax.Array:
-    """Reverse cumulative min, log-depth."""
-    return jax.lax.associative_scan(jnp.minimum, x, reverse=True)
+    """Reverse cumulative min, log-depth.
+
+    Expressed as flips around the forward maximum scan: the ``reverse=True``
+    associative_scan wedges on the axon remote-TPU backend (observed twice at
+    15M elements), while the forward max scan is the pipeline's proven-fast
+    form.
+    """
+    return -jnp.flip(_cummax(jnp.flip(-x)))
 
 
 class Octree(flax.struct.PyTreeNode):
