@@ -28,23 +28,29 @@ INVALID_KEY = jnp.int32(0x7FFFFFFF)
 
 
 def _cummax(x: jax.Array) -> jax.Array:
-    """Log-depth cumulative max.
+    """Log-depth cumulative max via explicit shifted-max doubling (Sklansky).
 
-    ``jnp.maximum.accumulate`` lowers to an O(N^2)-flavored reduce_window on
-    TPU (40 s for 15M elements vs 33 ms for cumsum); ``associative_scan`` is
-    the intended log-depth form.
+    Neither library form survives TPU at 15M elements:
+    ``jnp.maximum.accumulate`` lowers to an O(N^2)-flavored reduce_window
+    (40 s), and ``lax.associative_scan``'s recursive odd/even slicing blows up
+    XLA *compile* time somewhere between 1M and 4M elements (measured: 15M
+    never finishes; the pipeline's historic 10-30 min compiles were this).
+    The doubling form — 24 shifted elementwise maxima of flat slices —
+    compiles in ~2 s and runs in ~50 ms at 15M on one v5e chip.
     """
-    return jax.lax.associative_scan(jnp.maximum, x)
+    n = x.shape[0]
+    y = x
+    s = 1
+    while s < n:
+        pad = jnp.broadcast_to(y[:1], (s,))  # filler; masked out below
+        shifted = jnp.concatenate([pad, y[:-s]])
+        y = jnp.where(jnp.arange(n) >= s, jnp.maximum(y, shifted), y)
+        s *= 2
+    return y
 
 
 def _revcummin(x: jax.Array) -> jax.Array:
-    """Reverse cumulative min, log-depth.
-
-    Expressed as flips around the forward maximum scan: the ``reverse=True``
-    associative_scan wedges on the axon remote-TPU backend (observed twice at
-    15M elements), while the forward max scan is the pipeline's proven-fast
-    form.
-    """
+    """Reverse cumulative min: flips around the forward max scan."""
     return -jnp.flip(_cummax(jnp.flip(-x)))
 
 
