@@ -9,11 +9,19 @@ computes per-point expansion/height/curvature properties (:269-376).
 
 The TPU redesign runs ALL segments in one fused pass over fixed [S, MS] tables:
 
-- *Slice areas*: instead of sequential polygon insertion, each point scores K
-  support directions (one [N,2]x[2,K] MXU matmul); a scatter-max per
-  (segment, slice, direction) finds the convex hull's support points, and the
-  shoelace formula over the K ordered supports gives the area.  Exact up to the
-  K-gon inscription error (~2.6% for K=16 on a disk).
+- *Sorted, scatter-free reduction*: one lexicographic ``lax.sort`` by
+  (segment, y) makes every (segment, slice) bucket a contiguous run; per-bucket
+  support maxima and bboxes then come from log-depth segmented doubling scans +
+  a ``searchsorted`` table extraction.  Measured on v5e at 15M points
+  (tools/microbench.py): the scatter formulation costs ~170 ms per scattered
+  [N] operand column (~1.4 s for the [N,8] supports; ``indices_are_sorted`` and
+  masked-to-drop variants are no faster), while the sort is ~200 ms once and
+  each doubling pass ~3-8 ms — the sorted pipeline replaces ~11 N-column
+  scatter passes with one sort.
+- *Slice areas*: each point scores K support directions (one [N,2]x[2,K] MXU
+  matmul); the per-bucket max scores define half-planes whose intersection
+  polygon's shoelace area approximates the hull area (exact up to the K-gon
+  circumscription error, ~2.6% for K=16 on a disk).
 - *Separators*: the reference's sequential find-first scans over the area
   profile become masked argmax-of-boolean reductions over [S, MS].
 - *Classification and properties*: pure per-point gathers from the tables.
@@ -61,6 +69,71 @@ def _support_directions(k: int) -> jax.Array:
     return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=0)  # [2, K]
 
 
+def _areas_from_supports(s: jax.Array, k_dirs: int) -> jax.Array:
+    """Convex area from per-direction support values s f32[B,K].
+
+    The hull is approximated by the circumscribed polygon cut by the
+    half-planes {x . u_k <= s_k}; its vertices are adjacent boundary-line
+    intersections (a 2x2 solve, pure elementwise) and the shoelace formula
+    gives the area.  Buckets with no points (s = -INF) get 0.
+    """
+    dirs = _support_directions(k_dirs)
+    ux, uz = dirs[0], dirs[1]                            # [K]
+    nx_, nz_ = jnp.roll(ux, -1), jnp.roll(uz, -1)
+    s_next = jnp.roll(s, -1, axis=1)
+    det = ux * nz_ - uz * nx_                            # sin(2*pi/K), constant
+    vx = (s * nz_[None, :] - s_next * uz[None, :]) / det[None, :]
+    vz = (ux[None, :] * s_next - nx_[None, :] * s) / det[None, :]
+
+    wx = jnp.roll(vx, -1, axis=1)
+    wz = jnp.roll(vz, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(vx * wz - wx * vz, axis=1))
+    has_any = s[:, 0] > -INF
+    return jnp.where(has_any, area, 0.0)
+
+
+def _segmented_cummax(key: jax.Array, val: jax.Array) -> jax.Array:
+    """Forward inclusive per-run cumulative max of ``val`` f32[N] or f32[N,K].
+
+    ``key`` i32[N] must have equal values contiguous (sorted); the shifted
+    doubling form (Hillis-Steele with a key-equality mask) compiles and runs
+    fast on TPU where both ``jnp.maximum.accumulate`` and
+    ``lax.associative_scan`` do not (see ops/octree._cummax).  After
+    ceil(log2 N) passes every element holds the max over its run's prefix, so
+    each run's LAST element holds the full run max.
+    """
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s = 1
+    while s < n:
+        ok = (idx >= s) & (key == jnp.roll(key, s))
+        cand = jnp.roll(val, s, axis=0)
+        ok_b = ok[:, None] if val.ndim == 2 else ok
+        val = jnp.maximum(val, jnp.where(ok_b, cand, -INF))
+        s *= 2
+    return val
+
+
+def _run_last_table(
+    key_sorted: jax.Array, val_cum: jax.Array, n_buckets: int, fill
+) -> jax.Array:
+    """table[b] = run max for bucket b, from the cummax'd sorted values.
+
+    ``searchsorted(side=right) - 1`` lands on each bucket's run END, where the
+    segmented cummax holds the full run max; absent buckets miss the equality
+    check and read ``fill``.  787k queries into 15M keys measure ~440 ms on
+    v5e — cheaper than any scatter-based extraction (tools/microbench.py).
+    """
+    n = key_sorted.shape[0]
+    q = jnp.arange(n_buckets, dtype=key_sorted.dtype)
+    idx = jnp.searchsorted(key_sorted, q, side="right").astype(jnp.int32) - 1
+    idx = jnp.clip(idx, 0, n - 1)
+    hit = key_sorted[idx] == q
+    v = val_cum[idx]
+    hit_b = hit[:, None] if v.ndim == 2 else hit
+    return jnp.where(hit_b, v, fill)
+
+
 def slice_areas(
     xz: jax.Array,          # f32[N,2]
     bucket: jax.Array,      # i32[N] flat (segment*MS + slice), >= S*MS to drop
@@ -84,21 +157,7 @@ def slice_areas(
     scores = jnp.dot(xz, dirs, preferred_element_type=jnp.float32)  # [N,K]
     tgt = jnp.where(include, bucket, n_buckets)
     s = jnp.full((n_buckets + 1, k_dirs), -INF).at[tgt].max(scores)[:n_buckets]
-
-    # vertex_k = intersection of boundary lines k and k+1
-    ux, uz = dirs[0], dirs[1]                            # [K]
-    nx_, nz_ = jnp.roll(ux, -1), jnp.roll(uz, -1)
-    s_next = jnp.roll(s, -1, axis=1)
-    det = ux * nz_ - uz * nx_                            # sin(2*pi/K), constant
-    vx = (s * nz_[None, :] - s_next * uz[None, :]) / det[None, :]
-    vz = (ux[None, :] * s_next - nx_[None, :] * s) / det[None, :]
-
-    # shoelace over the angularly ordered vertices
-    wx = jnp.roll(vx, -1, axis=1)
-    wz = jnp.roll(vz, -1, axis=1)
-    area = 0.5 * jnp.abs(jnp.sum(vx * wz - wx * vz, axis=1))
-    has_any = s[:, 0] > -INF
-    return jnp.where(has_any, area, 0.0)
+    return _areas_from_supports(s, k_dirs)
 
 
 def _find_first(cond: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -131,40 +190,66 @@ def compute_segments(
     ms = cfg.max_slices
     sw = cfg.slice_width
     n = pos.shape[0]
+    k_dirs = cfg.hull_directions
 
-    seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
-    live = seg > 0
-    tgt = jnp.where(live, seg, s_cap)
+    live0 = valid & (segment > 0) & (segment < s_cap)
+    seg = jnp.where(live0, segment, 0)  # original-order ids (0 = dump row)
+    key = jnp.where(live0, segment, s_cap).astype(jnp.int32)
 
-    # --- per-segment bbox + count (calculations.rs:136-147) ---
-    count = jnp.zeros(s_cap + 1, jnp.int32).at[tgt].add(1)[:s_cap]
-    dims = range(3) if full_bbox else (1,)
-    lo_d = {
-        i: jnp.full(s_cap + 1, INF).at[tgt].min(jnp.where(live, pos[:, i], INF))[:s_cap]
-        for i in dims
-    }
-    hi_d = {
-        i: jnp.full(s_cap + 1, -INF).at[tgt].max(jnp.where(live, pos[:, i], -INF))[:s_cap]
-        for i in dims
-    }
-    zero = jnp.zeros(s_cap, jnp.float32)
-    lo = jnp.stack([lo_d.get(i, zero) for i in range(3)], axis=-1)
-    hi = jnp.stack([hi_d.get(i, zero) for i in range(3)], axis=-1)
+    # --- ONE lexicographic sort by (segment, y): every (segment, slice)
+    # bucket becomes a contiguous ascending run, making all per-segment and
+    # per-bucket reductions scatter-free (see module docstring perf notes) ---
+    key_s, y_s, x_s, z_s = jax.lax.sort(
+        (key, pos[:, 1], pos[:, 0], pos[:, 2]), num_keys=2
+    )
+    live_s = key_s < s_cap
+
+    # --- per-segment count + y extent from run boundaries
+    # (calculations.rs:136-147) ---
+    qs = jnp.arange(s_cap, dtype=jnp.int32)
+    left = jnp.searchsorted(key_s, qs, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(key_s, qs, side="right").astype(jnp.int32)
+    count = right - left
     present = count > 0
+    min_y = jnp.where(present, y_s[jnp.clip(left, 0, n - 1)], 0.0)
+    max_y = jnp.where(present, y_s[jnp.clip(right - 1, 0, n - 1)], 0.0)
+
+    # --- per-point slice bucket; the segment's min y is broadcast down each
+    # run by a fill-from-run-start segmented scan (no N-lookup gather) ---
+    is_start = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    min_y_pt = _segmented_cummax(key_s, jnp.where(is_start, y_s, -INF))
+    slice_s = jnp.clip(
+        jnp.floor((y_s - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
+    )
+    bucket_s = jnp.where(live_s, key_s * ms + slice_s, s_cap * ms)
+
+    # --- slice-area supports (+ x/z extents when full_bbox) in ONE segmented
+    # scan keyed by bucket; bucket runs are sub-runs of segment runs, so
+    # segment-level x/z extents reduce from the bucket table afterwards
+    # (calculations.rs:218, :136-147) ---
+    xz_s = jnp.stack([x_s, z_s], axis=-1)
+    dirs = _support_directions(k_dirs)
+    scores = jnp.dot(xz_s, dirs, preferred_element_type=jnp.float32)
+    if full_bbox:
+        scores = jnp.concatenate([scores, xz_s, -xz_s], axis=1)
+    scores = jnp.where(live_s[:, None], scores, -INF)
+    cum = _segmented_cummax(bucket_s, scores)
+    tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
+    areas = _areas_from_supports(tab[:, :k_dirs], k_dirs).reshape(s_cap, ms)
+
+    if full_bbox:
+        ext = jnp.max(tab[:, k_dirs:].reshape(s_cap, ms, 4), axis=1)
+        lo = jnp.stack([-ext[:, 2], min_y, -ext[:, 3]], axis=-1)
+        hi = jnp.stack([ext[:, 0], max_y, ext[:, 1]], axis=-1)
+    else:
+        zero = jnp.zeros(s_cap, jnp.float32)
+        lo = jnp.stack([zero, min_y, zero], axis=-1)
+        hi = jnp.stack([zero, max_y, zero], axis=-1)
     lo = jnp.where(present[:, None], lo, 0.0)
     hi = jnp.where(present[:, None], hi, 0.0)
 
-    # --- slice areas (all classifications; calculations.rs:218) ---
-    min_y = lo[:, 1]
-    height = hi[:, 1] - min_y
+    height = max_y - min_y
     n_slices = jnp.clip((height / sw).astype(jnp.int32) + 1, 1, ms)
-    slice_idx = jnp.clip(
-        jnp.floor((pos[:, 1] - min_y[seg]) / sw).astype(jnp.int32), 0, ms - 1
-    )
-    bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
-    xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)
-    areas = slice_areas(xz, bucket, live, s_cap * ms, cfg.hull_directions)
-    areas = areas.reshape(s_cap, ms)
 
     # --- separators (calculations.rs:219-259) ---
     sl = jnp.arange(ms, dtype=jnp.int32)[None, :]
@@ -222,7 +307,7 @@ def compute_segments(
         CLASS_GROUND,
         jnp.where(y < crown_sep[seg], CLASS_TRUNK, CLASS_CROWN),
     ).astype(jnp.int32)
-    classification = jnp.where(live, classification, CLASS_GROUND)
+    classification = jnp.where(live0, classification, CLASS_GROUND)
     return table, classification
 
 

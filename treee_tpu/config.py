@@ -55,7 +55,11 @@ class SegmentationConfig:
     max_bands: int = 64                 # max height bands (64 m of canopy)
     max_trees_per_band: int = 256       # max new clusters per band
     max_segments: int = 2048            # max tracked segments in a scene
-    grid_size: int = 512                # CC occupancy grid resolution per axis
+    # CC occupancy grid resolution per axis: cells stay at max_distance until
+    # the scene exceeds (grid_size-1)*d across (~287 m at d=0.75), then grow;
+    # 384 = 3*128 stays lane-aligned and costs 44% less CC/JFA/extract work
+    # than 512 (the grids dominate band_scan time at 15M points)
+    grid_size: int = 384
     cc_iters: int = 24                  # label-propagation sweeps (with jumping)
     match_rounds: int = 4               # mutual-nearest matching rounds per band
     use_pallas: bool = False            # pallas jump-flood kernel (TPU only)
