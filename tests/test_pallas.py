@@ -27,8 +27,10 @@ def _seeds(g=64, n_seeds=20, seed=0):
 
 def test_jump_flood_pallas_matches_jnp():
     slot, pos, centers = _seeds()
-    ref = np.asarray(sg._jump_flood(jnp.asarray(slot), jnp.asarray(pos),
-                                    jnp.asarray(centers)))
+    # _jump_flood is batched over bands; the pallas kernel is one band
+    ref = np.asarray(sg._jump_flood(jnp.asarray(slot)[None],
+                                    jnp.asarray(pos)[None],
+                                    jnp.asarray(centers)))[0]
     out = np.asarray(pk.jump_flood_pallas(jnp.asarray(slot), jnp.asarray(pos),
                                           jnp.asarray(centers), interpret=True))
     # JFA is approximate; both variants run the same schedule -> identical

@@ -88,7 +88,7 @@ def main() -> None:
 
     @jax.jit
     def stage_cc(cnt):
-        return sg._connected_components(cnt > 0, scfg.cc_iters)
+        return sg._connected_components(cnt > 0, scfg.cc_iters, scfg.cc_occupied_cap)[0]
 
     @jax.jit
     def stage_bandscan(cnt, lo, s, d):

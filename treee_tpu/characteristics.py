@@ -121,12 +121,15 @@ def _run_last_table(
 
     ``searchsorted(side=right) - 1`` lands on each bucket's run END, where the
     segmented cummax holds the full run max; absent buckets miss the equality
-    check and read ``fill``.  787k queries into 15M keys measure ~440 ms on
-    v5e — cheaper than any scatter-based extraction (tools/microbench.py).
+    check and read ``fill``.  787k queries into 15M keys measure ~156 ms on
+    v5e with method="scan_unrolled" (vs 441 ms default "scan", and cheaper
+    than any scatter-based extraction — tools/microbench.py).
     """
     n = key_sorted.shape[0]
     q = jnp.arange(n_buckets, dtype=key_sorted.dtype)
-    idx = jnp.searchsorted(key_sorted, q, side="right").astype(jnp.int32) - 1
+    idx = jnp.searchsorted(
+        key_sorted, q, side="right", method="scan_unrolled"
+    ).astype(jnp.int32) - 1
     idx = jnp.clip(idx, 0, n - 1)
     hit = key_sorted[idx] == q
     v = val_cum[idx]
@@ -194,21 +197,37 @@ def compute_segments(
 
     live0 = valid & (segment > 0) & (segment < s_cap)
     seg = jnp.where(live0, segment, 0)  # original-order ids (0 = dump row)
-    key = jnp.where(live0, segment, s_cap).astype(jnp.int32)
 
-    # --- ONE lexicographic sort by (segment, y): every (segment, slice)
-    # bucket becomes a contiguous ascending run, making all per-segment and
-    # per-bucket reductions scatter-free (see module docstring perf notes) ---
-    key_s, y_s, x_s, z_s = jax.lax.sort(
-        (key, pos[:, 1], pos[:, 0], pos[:, 2]), num_keys=2
-    )
-    live_s = key_s < s_cap
+    # --- ONE sort by a packed (segment | quantized-y) i32 key: every
+    # (segment, slice) bucket becomes a contiguous ascending run, making all
+    # per-segment and per-bucket reductions scatter-free (module docstring).
+    # Packing beats a 2-key lexicographic sort (~140 ms vs ~250 ms at 15M);
+    # 19 y-bits resolve ~0.03 mm on a 16 m tree — far below the 0.1 m slice
+    # width the y values feed (the exact y is only ever compared against
+    # separators in original order below). ---
+    qbits = 19
+    qmax = (1 << qbits) - 1
+    y = pos[:, 1]
+    any_valid = jnp.any(valid)
+    ylo = jnp.where(any_valid, jnp.min(jnp.where(valid, y, INF)), 0.0)
+    yhi = jnp.where(any_valid, jnp.max(jnp.where(valid, y, -INF)), 1.0)
+    yext = jnp.maximum(yhi - ylo, 1e-6)
+    qy = jnp.clip(((y - ylo) * (qmax / yext)).astype(jnp.int32), 0, qmax)
+    key = (jnp.where(live0, segment, s_cap).astype(jnp.int32) << qbits) | qy
+    key_s, x_s, z_s = jax.lax.sort((key, pos[:, 0], pos[:, 2]), num_keys=1)
+    seg_s = key_s >> qbits
+    y_s = ylo + (key_s & qmax).astype(jnp.float32) * (yext / qmax)
+    live_s = seg_s < s_cap
 
     # --- per-segment count + y extent from run boundaries
     # (calculations.rs:136-147) ---
     qs = jnp.arange(s_cap, dtype=jnp.int32)
-    left = jnp.searchsorted(key_s, qs, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(key_s, qs, side="right").astype(jnp.int32)
+    left = jnp.searchsorted(
+        key_s, qs << qbits, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
+    right = jnp.searchsorted(
+        key_s, (qs + 1) << qbits, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
     count = right - left
     present = count > 0
     min_y = jnp.where(present, y_s[jnp.clip(left, 0, n - 1)], 0.0)
@@ -216,12 +235,12 @@ def compute_segments(
 
     # --- per-point slice bucket; the segment's min y is broadcast down each
     # run by a fill-from-run-start segmented scan (no N-lookup gather) ---
-    is_start = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
-    min_y_pt = _segmented_cummax(key_s, jnp.where(is_start, y_s, -INF))
+    is_start = jnp.concatenate([jnp.ones(1, bool), seg_s[1:] != seg_s[:-1]])
+    min_y_pt = _segmented_cummax(seg_s, jnp.where(is_start, y_s, -INF))
     slice_s = jnp.clip(
         jnp.floor((y_s - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
     )
-    bucket_s = jnp.where(live_s, key_s * ms + slice_s, s_cap * ms)
+    bucket_s = jnp.where(live_s, seg_s * ms + slice_s, s_cap * ms)
 
     # --- slice-area supports (+ x/z extents when full_bbox) in ONE segmented
     # scan keyed by bucket; bucket runs are sub-runs of segment runs, so

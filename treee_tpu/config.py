@@ -61,6 +61,10 @@ class SegmentationConfig:
     # than 512 (the grids dominate band_scan time at 15M points)
     grid_size: int = 384
     cc_iters: int = 24                  # label-propagation sweeps (with jumping)
+    # compacted occupied-cell capacity for CC pointer jumps + cluster
+    # aggregation; 512k covers ~3.5 fully dense bands (forest scans occupy a
+    # few 100k cells) — overflowing cells still converge via the sweeps
+    cc_occupied_cap: int = 1 << 19
     match_rounds: int = 4               # mutual-nearest matching rounds per band
     use_pallas: bool = False            # pallas jump-flood kernel (TPU only)
 

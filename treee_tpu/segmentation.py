@@ -61,20 +61,45 @@ class SegmentationResult(flax.struct.PyTreeNode):
     tracked_active: jax.Array
 
 
-def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
+def _connected_components(
+    occupied: jax.Array, iters: int, occ_cap: int = 1 << 19
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Label CC of [B,G,G] boolean grids with 8-connectivity, all bands at once.
 
     Iterated min-pool over the per-band 3x3 window + pointer jumping; labels
     are flat in-band cell indices, unoccupied cells hold IBIG.  One batched
     while_loop across all bands utilizes the VPU far better than 64 small
     sequential loops and converges in the max (not sum) of per-band sweeps.
+
+    The occupied cells (a few 100k of the B*G*G grid at forest densities) are
+    compacted once up front so each pointer jump is two occ_cap-sized gathers
+    + one scatter instead of a full-grid gather (42 ms vs 141 ms per jump at
+    64x384^2 on v5e).  Cells beyond ``occ_cap`` still converge through the
+    min-pool sweeps, just without the jump shortcut.
+
+    Returns (labels [B,G,G], occ_idx i32[occ_cap] global flat indices of
+    occupied cells, occ_valid bool[occ_cap]) — the compaction is reused by
+    cluster extraction.
     """
     b, g, _ = occupied.shape
+    gg = g * g
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, g, g), 1) * g
         + jax.lax.broadcasted_iota(jnp.int32, (b, g, g), 2)
     )
     lbl0 = jnp.where(occupied, idx, IBIG)
+
+    flat_occ = occupied.reshape(-1)
+    rank = jnp.cumsum(flat_occ.astype(jnp.int32)) - 1
+    gidx = jnp.arange(b * gg, dtype=jnp.int32)
+    tgt = jnp.where(flat_occ & (rank < occ_cap), rank, occ_cap)
+    occ_idx = jnp.zeros(occ_cap + 1, jnp.int32).at[tgt].set(
+        gidx, mode="drop"
+    )[:occ_cap]
+    n_occ = jnp.sum(flat_occ.astype(jnp.int32))
+    occ_valid = jnp.arange(occ_cap, dtype=jnp.int32) < n_occ
+    band_off = occ_idx // gg * gg
+    jump_tgt = jnp.where(occ_valid, occ_idx, b * gg)
 
     def body(state):
         lbl, _, it = state
@@ -85,13 +110,14 @@ def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
                 new, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
             )
             new = jnp.where(occupied, jnp.minimum(new, pooled), IBIG)
-        # ... then one pointer jump (a full [B*G*G] gather — 2 orders of
-        # magnitude pricier than a sweep, so amortize it)
-        flat = new.reshape(b, g * g)
-        jumped = jnp.take_along_axis(
-            flat, jnp.clip(flat, 0, g * g - 1), axis=1
-        ).reshape(b, g, g)
-        new = jnp.minimum(new, jnp.where(new != IBIG, jumped, IBIG))
+        # ... then one compact pointer jump: occupied cells' labels always
+        # name occupied cells, so padding rows (reading cell 0) are the only
+        # garbage and the drop-mode scatter discards them
+        flat = new.reshape(-1)
+        l1 = flat[occ_idx]  # in-band label per occupied cell
+        l2 = flat[band_off + jnp.clip(l1, 0, gg - 1)]
+        flat = flat.at[jump_tgt].min(jnp.minimum(l1, l2), mode="drop")
+        new = flat.reshape(b, g, g)
         changed = jnp.any(new != lbl)
         return new, changed, it + 1
 
@@ -102,7 +128,7 @@ def _connected_components(occupied: jax.Array, iters: int) -> jax.Array:
     lbl, _, _ = jax.lax.while_loop(
         cond, body, (lbl0, jnp.bool_(True), jnp.int32(0))
     )
-    return lbl
+    return lbl, occ_idx, occ_valid
 
 
 def _extract_clusters(
@@ -111,23 +137,33 @@ def _extract_clusters(
     cell_center: jax.Array,  # f32[G,G,2]
     max_clusters: int,
     min_points: int,
+    occ_idx: jax.Array,      # i32[occ_cap] global flat occupied-cell indices
+    occ_valid: jax.Array,    # bool[occ_cap]
 ):
     """Top-``max_clusters`` clusters per band by point count, batched.
 
-    Centroids are count-weighted cell centers.  Returns
+    Centroids are count-weighted cell centers.  Aggregation scatters only the
+    compacted occupied cells (from :func:`_connected_components`) instead of
+    the full grid — scatter cost on TPU is proportional to operand rows
+    whether or not they are masked (tools/microbench.py).  Returns
     (centroids f32[B,C,2], mask bool[B,C]).
     """
     b, g, _ = labels.shape
     gg = g * g
-    lbl = labels.reshape(b, gg)
-    band_off = jnp.arange(b, dtype=jnp.int32)[:, None] * gg
-    tgt = jnp.where(lbl != IBIG, lbl + band_off, b * gg).reshape(-1)
-    cntf = cnt.astype(jnp.float32)
-    sx = cntf * cell_center[None, :, :, 0]
-    sz = cntf * cell_center[None, :, :, 1]
-    pcount = jnp.zeros(b * gg + 1, jnp.int32).at[tgt].add(cnt.reshape(-1))
-    psx = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(sx.reshape(-1))
-    psz = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(sz.reshape(-1))
+    flat_lbl = labels.reshape(-1)
+    l_occ = flat_lbl[occ_idx]
+    root = occ_idx // gg * gg + jnp.clip(l_occ, 0, gg - 1)
+    tgt = jnp.where(occ_valid & (l_occ != IBIG), root, b * gg)
+    cnt_occ = cnt.reshape(-1)[occ_idx]
+    centers = cell_center.reshape(gg, 2)[occ_idx % gg]
+    w = cnt_occ.astype(jnp.float32)
+    pcount = jnp.zeros(b * gg + 1, jnp.int32).at[tgt].add(cnt_occ, mode="drop")
+    psx = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(
+        w * centers[:, 0], mode="drop"
+    )
+    psz = jnp.zeros(b * gg + 1, jnp.float32).at[tgt].add(
+        w * centers[:, 1], mode="drop"
+    )
 
     score = jnp.where(
         pcount[: b * gg].reshape(b, gg) >= min_points,
@@ -136,7 +172,7 @@ def _extract_clusters(
     )
     top, roots = jax.lax.top_k(score, max_clusters)  # batched over bands
     mask = top > 0
-    groots = roots + band_off
+    groots = roots + jnp.arange(b, dtype=jnp.int32)[:, None] * gg
     denom = jnp.maximum(pcount[groots], 1).astype(jnp.float32)
     cents = jnp.stack([psx[groots] / denom, psz[groots] / denom], axis=-1)
     return cents, mask
@@ -202,19 +238,21 @@ def _match_band(
 
 
 def _jump_flood(
-    seed_slot: jax.Array,   # i32[G,G], -1 where no seed
-    seed_pos: jax.Array,    # f32[G,G,2] absolute centroid position of the seed
+    seed_slot: jax.Array,   # i32[B,G,G], -1 where no seed
+    seed_pos: jax.Array,    # f32[B,G,G,2] absolute centroid position of the seed
     cell_center: jax.Array, # f32[G,G,2]
 ) -> jax.Array:
-    """Discrete Voronoi by Jump Flooding: nearest seed slot per cell, i32[G,G].
+    """Discrete Voronoi by Jump Flooding: nearest seed slot per cell, i32[B,G,G].
 
+    Batched over all bands at once — each step is 8 shifted comparisons over
+    the full [B,G,G] stack (one fused VPU op each) instead of a per-band loop.
     Seed positions are absolute coordinates, so wrap-around candidates from
     ``jnp.roll`` simply lose the distance comparison — no masking needed.
     """
-    g = seed_slot.shape[0]
+    g = seed_slot.shape[-1]
     d0 = jnp.where(
         seed_slot >= 0,
-        jnp.sum((seed_pos - cell_center) ** 2, axis=-1),
+        jnp.sum((seed_pos - cell_center[None]) ** 2, axis=-1),
         INF,
     )
     best = (seed_slot, seed_pos, d0)
@@ -226,10 +264,12 @@ def _jump_flood(
             for dz in (-step, 0, step):
                 if dx == 0 and dz == 0:
                     continue
-                cs = jnp.roll(slot, (dx, dz), axis=(0, 1))
-                cp = jnp.roll(pos, (dx, dz), axis=(0, 1))
+                cs = jnp.roll(slot, (dx, dz), axis=(1, 2))
+                cp = jnp.roll(pos, (dx, dz), axis=(1, 2))
                 cd = jnp.where(
-                    cs >= 0, jnp.sum((cp - cell_center) ** 2, axis=-1), INF
+                    cs >= 0,
+                    jnp.sum((cp - cell_center[None]) ** 2, axis=-1),
+                    INF,
                 )
                 better = cd < dist
                 slot = jnp.where(better, cs, slot)
@@ -312,11 +352,15 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
 
     # cluster every band at once (batched CC + extraction); only centroid
     # matching and the per-band Voronoi stay sequential in the scan
-    labels = _connected_components(cnt > 0, cfg.cc_iters)
+    labels, occ_idx, occ_valid = _connected_components(
+        cnt > 0, cfg.cc_iters, cfg.cc_occupied_cap
+    )
     cents_b, cmask_b = _extract_clusters(
-        labels, cnt, cell_center, c_cap, cfg.min_points
+        labels, cnt, cell_center, c_cap, cfg.min_points, occ_idx, occ_valid
     )
 
+    # the sequential part of the scan carries only the tiny [T,2] matching
+    # state; the expensive per-band Voronoi moves out and runs batched below
     def band_step(carry, xs):
         tracked_pos, active, n_alloc = carry
         cents, cmask = xs
@@ -324,39 +368,55 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
             tracked_pos, active, n_alloc, cents, cmask,
             cfg.match_radius_factor * d, cfg.match_rounds,
         )
-
-        # Voronoi of all active tracked centroids over this band's grid
-        tcx = jnp.clip(
-            jnp.floor((tracked_pos[:, 0] - lo[0]) / s).astype(jnp.int32), 0, g - 1
-        )
-        tcz = jnp.clip(
-            jnp.floor((tracked_pos[:, 1] - lo[2]) / s).astype(jnp.int32), 0, g - 1
-        )
-        seed_cell = jnp.where(active, tcx * g + tcz, g * g)
-        seed_slot = jnp.full(g * g + 1, -1, jnp.int32).at[seed_cell].max(
-            jnp.arange(t_cap, dtype=jnp.int32), mode="drop"
-        )[: g * g].reshape(g, g)
-        seed_pos = jnp.where(
-            (seed_slot >= 0)[..., None],
-            tracked_pos[jnp.clip(seed_slot, 0, t_cap - 1)],
-            0.0,
-        )
-        if cfg.use_pallas:
-            from .ops.pallas_kernels import jump_flood_pallas
-
-            slot_grid = jump_flood_pallas(seed_slot, seed_pos, cell_center)
-        else:
-            slot_grid = _jump_flood(seed_slot, seed_pos, cell_center)
-        return (tracked_pos, active, n_alloc), (slot_grid, tracked_pos, active)
+        return (tracked_pos, active, n_alloc), (tracked_pos, active)
 
     init = (
         jnp.zeros((t_cap, 2), jnp.float32),
         jnp.zeros((t_cap,), bool),
         jnp.int32(0),
     )
-    (_, _, n_alloc), (slot_grids, tracked_pos_b, active_b) = jax.lax.scan(
+    (_, _, n_alloc), (tracked_pos_b, active_b) = jax.lax.scan(
         band_step, init, (cents_b, cmask_b)
     )
+
+    # batched seed grids: B*T tiny scatters (slot by max for deterministic
+    # collision resolve, then positions only for the winning slots — never a
+    # per-cell gather from the tracked table)
+    b = cnt.shape[0]
+    gg = g * g
+    tcx = jnp.clip(
+        jnp.floor((tracked_pos_b[..., 0] - lo[0]) / s).astype(jnp.int32),
+        0, g - 1,
+    )
+    tcz = jnp.clip(
+        jnp.floor((tracked_pos_b[..., 1] - lo[2]) / s).astype(jnp.int32),
+        0, g - 1,
+    )
+    band_off = jnp.arange(b, dtype=jnp.int32)[:, None] * gg
+    seed_cell = jnp.where(active_b, band_off + tcx * g + tcz, b * gg)
+    slot_ids = jnp.broadcast_to(
+        jnp.arange(t_cap, dtype=jnp.int32)[None, :], (b, t_cap)
+    )
+    seed_slot = jnp.full(b * gg + 1, -1, jnp.int32).at[
+        seed_cell.reshape(-1)
+    ].max(slot_ids.reshape(-1), mode="drop")[: b * gg]
+    won = seed_slot[jnp.clip(seed_cell.reshape(-1), 0, b * gg - 1)] \
+        == slot_ids.reshape(-1)
+    pos_tgt = jnp.where(won, seed_cell.reshape(-1), b * gg)
+    seed_pos = jnp.zeros((b * gg + 1, 2), jnp.float32).at[pos_tgt].set(
+        tracked_pos_b.reshape(-1, 2), mode="drop"
+    )[: b * gg]
+    seed_slot = seed_slot.reshape(b, g, g)
+    seed_pos = seed_pos.reshape(b, g, g, 2)
+
+    if cfg.use_pallas:
+        from .ops.pallas_kernels import jump_flood_pallas
+
+        slot_grids = jax.vmap(jump_flood_pallas, in_axes=(0, 0, None))(
+            seed_slot, seed_pos, cell_center
+        )
+    else:
+        slot_grids = _jump_flood(seed_slot, seed_pos, cell_center)
     return slot_grids, n_alloc, tracked_pos_b, active_b
 
 
