@@ -134,3 +134,29 @@ def test_curvature_endpoints():
     c_blob = np.asarray(ch.segment_curvature(jnp.asarray(blob), m, k=15))
     assert c_shell.mean() < 0.3
     assert c_blob.mean() > c_shell.mean()
+
+
+def test_segmented_cummax_vs_oracle():
+    # runs spanning multiple 256-blocks, n not a block multiple, 1-D and 2-D
+    rng = np.random.default_rng(7)
+    n = 3011
+    keys = np.sort(rng.integers(0, 9, n)).astype(np.int32)  # ~335/run, blocks=256
+    v1 = rng.normal(size=n).astype(np.float32)
+    v2 = rng.normal(size=(n, 5)).astype(np.float32)
+
+    def oracle(k, v):
+        out = v.copy()
+        for i in range(1, len(k)):
+            if k[i] == k[i - 1]:
+                out[i] = np.maximum(out[i], out[i - 1])
+        return out
+
+    got1 = np.asarray(ch._segmented_cummax(jnp.asarray(keys), jnp.asarray(v1)))
+    np.testing.assert_allclose(got1, oracle(keys, v1))
+    got2 = np.asarray(ch._segmented_cummax(jnp.asarray(keys), jnp.asarray(v2)))
+    np.testing.assert_allclose(got2, oracle(keys, v2))
+    # short input takes the single-block path
+    got3 = np.asarray(
+        ch._segmented_cummax(jnp.asarray(keys[:100]), jnp.asarray(v1[:100]))
+    )
+    np.testing.assert_allclose(got3, oracle(keys[:100], v1[:100]))

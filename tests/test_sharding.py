@@ -55,15 +55,52 @@ def test_sharded_pipeline_step_runs():
     mesh = sharding.make_mesh()
     step = sharding.sharded_pipeline_step(mesh, CFG)
     pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos), jnp.asarray(valid))
-    segment, n_alloc, count, min_y, max_y = step(pos_s, valid_s, jnp.float32(0.75))
+    segment, classification, n_alloc, table = step(
+        pos_s, valid_s, jnp.float32(0.75)
+    )
     segment = np.asarray(segment)
-    count = np.asarray(count)
+    count = np.asarray(table.count)
     assert int(n_alloc) > 0
     # counts table matches the actual assignment histogram
     hist = np.bincount(segment[segment > 0], minlength=len(count))[: len(count)]
     np.testing.assert_array_equal(count, hist)
-    # replicated per-segment y-extents are consistent
+    # replicated per-segment y-extents are consistent (quantized to ~1e-5 of
+    # the scene height by the packed sort key)
+    min_y, max_y = np.asarray(table.lo[:, 1]), np.asarray(table.hi[:, 1])
     for sid in np.unique(segment[segment > 0])[:5]:
         ys = pos[segment == sid, 1]
-        assert abs(min_y[sid] - ys.min()) < 1e-5
-        assert abs(max_y[sid] - ys.max()) < 1e-5
+        assert abs(min_y[sid] - ys.min()) < 1e-3
+        assert abs(max_y[sid] - ys.max()) < 1e-3
+    assert set(np.unique(np.asarray(classification)[segment > 0])) <= {0, 1, 2}
+
+
+def test_sharded_characteristics_match_single_device():
+    pos, valid = _forest(n_pad=10240)
+    mesh = sharding.make_mesh()
+    step = sharding.sharded_pipeline_step(mesh, CFG)
+    pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos), jnp.asarray(valid))
+    segment, cls_sh, _, table_sh = step(pos_s, valid_s, jnp.float32(0.75))
+
+    from treee_tpu import characteristics as ch
+
+    table_1, cls_1 = ch.compute_segments(
+        jnp.asarray(np.asarray(pos)), jnp.asarray(np.asarray(segment)),
+        jnp.asarray(valid), CFG.segmentation.max_segments + 1,
+        CFG.characteristics, full_bbox=False,
+    )
+    # same segments in -> near-identical analytics out (single-device path
+    # quantizes y the same way; merge order only reorders float maxima)
+    np.testing.assert_allclose(
+        np.asarray(table_sh.areas), np.asarray(table_1.areas),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(table_sh.ground_sep), np.asarray(table_1.ground_sep),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(table_sh.crown_sep), np.asarray(table_1.crown_sep),
+        atol=1e-3,
+    )
+    agree = (np.asarray(cls_sh) == np.asarray(cls_1)).mean()
+    assert agree > 0.999, f"classification agreement {agree:.4f}"

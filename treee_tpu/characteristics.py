@@ -92,26 +92,83 @@ def _areas_from_supports(s: jax.Array, k_dirs: int) -> jax.Array:
     return jnp.where(has_any, area, 0.0)
 
 
+_SCAN_BLOCK = 256  # two lane groups; log2 = 8 in-block passes
+
+
 def _segmented_cummax(key: jax.Array, val: jax.Array) -> jax.Array:
     """Forward inclusive per-run cumulative max of ``val`` f32[N] or f32[N,K].
 
-    ``key`` i32[N] must have equal values contiguous (sorted); the shifted
-    doubling form (Hillis-Steele with a key-equality mask) compiles and runs
-    fast on TPU where both ``jnp.maximum.accumulate`` and
-    ``lax.associative_scan`` do not (see ops/octree._cummax).  After
-    ceil(log2 N) passes every element holds the max over its run's prefix, so
-    each run's LAST element holds the full run max.
+    ``key`` i32[N] must be sorted (equal values contiguous).  Two-level form:
+    shifted-doubling passes within 256-element blocks (log2(256)=8 passes over
+    the full array instead of log2(N)=24 — the passes are the dominant cost at
+    15M points), then a tiny cross-block carry scan on per-block summaries
+    (``lax.associative_scan`` is safe at N/256 elements; at full N it blows up
+    XLA compile time, see ops/octree._cummax) whose result is applied to each
+    block's leading run.  Keys being sorted makes "leading run" simply the
+    cells equal to the block's first key.  After this every element holds the
+    max over its run's prefix, so each run's LAST element holds the run max.
     """
     n = key.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    blk = _SCAN_BLOCK
+    if n <= blk:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        s = 1
+        while s < n:
+            ok = (idx >= s) & (key == jnp.roll(key, s))
+            cand = jnp.roll(val, s, axis=0)
+            ok_b = ok[:, None] if val.ndim == 2 else ok
+            val = jnp.maximum(val, jnp.where(ok_b, cand, -INF))
+            s *= 2
+        return val
+
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    kmax = jnp.iinfo(jnp.int32).max
+    kp = jnp.pad(key, (0, pad), constant_values=kmax)
+    vp = jnp.pad(
+        val, ((0, pad),) + ((0, 0),) * (val.ndim - 1), constant_values=-INF
+    )
+    kb = kp.reshape(nb, blk)
+    vb = vp.reshape((nb, blk) + vp.shape[1:])
+
+    idx = jnp.arange(blk, dtype=jnp.int32)[None, :]
     s = 1
-    while s < n:
-        ok = (idx >= s) & (key == jnp.roll(key, s))
-        cand = jnp.roll(val, s, axis=0)
-        ok_b = ok[:, None] if val.ndim == 2 else ok
-        val = jnp.maximum(val, jnp.where(ok_b, cand, -INF))
+    while s < blk:
+        ok = (idx >= s) & (kb == jnp.roll(kb, s, axis=1))
+        cand = jnp.roll(vb, s, axis=1)
+        ok_b = ok[..., None] if vb.ndim == 3 else ok
+        vb = jnp.maximum(vb, jnp.where(ok_b, cand, -INF))
         s *= 2
-    return val
+
+    # per-block summary: (max of the run containing the block's last element,
+    # first key, last key, does that run reach the block's start)
+    kf, kl = kb[:, 0], kb[:, -1]
+    v_last = vb[:, -1]
+    reach = kf == kl
+
+    def comb(a, b):
+        av, akf, akl, ar = a
+        bv, bkf, bkl, br = b
+        connect = (akl == bkf) & br
+        cb = connect[..., None] if bv.ndim > connect.ndim else connect
+        return (
+            jnp.where(cb, jnp.maximum(av, bv), bv),
+            akf,
+            bkl,
+            connect & ar,
+        )
+
+    sv, _, skl, _ = jax.lax.associative_scan(comb, (v_last, kf, kl, reach))
+    prev_v = jnp.concatenate([jnp.full_like(sv[:1], -INF), sv[:-1]])
+    prev_kl = jnp.concatenate([jnp.full_like(skl[:1], kmax), skl[:-1]])
+    conn = prev_kl == kf
+    cb = conn[..., None] if sv.ndim == 2 else conn
+    carry = jnp.where(cb, prev_v, -INF)
+
+    lead = kb == kf[:, None]  # sorted keys: leading run = cells == first key
+    lb = lead[..., None] if vb.ndim == 3 else lead
+    vb = jnp.where(lb, jnp.maximum(vb, carry[:, None]), vb)
+    return vb.reshape((nb * blk,) + vb.shape[2:])[:n]
 
 
 def _run_last_table(
@@ -169,7 +226,9 @@ def _find_first(cond: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.argmax(cond, axis=1).astype(jnp.int32), found
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_segments", "full_bbox"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_segments", "full_bbox", "axis_name")
+)
 def compute_segments(
     pos: jax.Array,
     segment: jax.Array,
@@ -177,6 +236,7 @@ def compute_segments(
     num_segments: int,
     cfg: CharacteristicsConfig = CharacteristicsConfig(),
     full_bbox: bool = True,
+    axis_name: str | None = None,
 ) -> tuple[SegmentTable, jax.Array]:
     """Characteristics for every segment + per-point classification.
 
@@ -186,6 +246,12 @@ def compute_segments(
       full_bbox: when False, only the y extent is reduced (4 fewer 15M-point
         scatter passes); the fused benchmark pipeline needs only y, the
         interactive session recomputes full boxes on demand.
+      axis_name: when set (inside ``shard_map`` over a point-sharded mesh),
+        per-segment reductions merge across devices: scene y bounds and
+        per-segment y extents via pmin/pmax, counts via psum, and the
+        per-(segment, slice) support table via ONE pmax of [S*MS, K(+4)] —
+        separators then compute replicated and classification stays local.
+        The collectives are O(S*MS), independent of the shard's point count.
     Returns:
       (SegmentTable with S=num_segments rows, classification i32[N]).
     """
@@ -211,6 +277,10 @@ def compute_segments(
     any_valid = jnp.any(valid)
     ylo = jnp.where(any_valid, jnp.min(jnp.where(valid, y, INF)), 0.0)
     yhi = jnp.where(any_valid, jnp.max(jnp.where(valid, y, -INF)), 1.0)
+    if axis_name is not None:
+        # global quantization grid so slice buckets align across shards
+        ylo = jax.lax.pmin(ylo, axis_name)
+        yhi = jax.lax.pmax(yhi, axis_name)
     yext = jnp.maximum(yhi - ylo, 1e-6)
     qy = jnp.clip(((y - ylo) * (qmax / yext)).astype(jnp.int32), 0, qmax)
     key = (jnp.where(live0, segment, s_cap).astype(jnp.int32) << qbits) | qy
@@ -229,14 +299,26 @@ def compute_segments(
         key_s, (qs + 1) << qbits, side="left", method="scan_unrolled"
     ).astype(jnp.int32)
     count = right - left
+    min_y_raw = jnp.where(count > 0, y_s[jnp.clip(left, 0, n - 1)], INF)
+    max_y_raw = jnp.where(count > 0, y_s[jnp.clip(right - 1, 0, n - 1)], -INF)
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+        min_y_raw = jax.lax.pmin(min_y_raw, axis_name)
+        max_y_raw = jax.lax.pmax(max_y_raw, axis_name)
     present = count > 0
-    min_y = jnp.where(present, y_s[jnp.clip(left, 0, n - 1)], 0.0)
-    max_y = jnp.where(present, y_s[jnp.clip(right - 1, 0, n - 1)], 0.0)
+    min_y = jnp.where(present, min_y_raw, 0.0)
+    max_y = jnp.where(present, max_y_raw, 0.0)
 
-    # --- per-point slice bucket; the segment's min y is broadcast down each
-    # run by a fill-from-run-start segmented scan (no N-lookup gather) ---
-    is_start = jnp.concatenate([jnp.ones(1, bool), seg_s[1:] != seg_s[:-1]])
-    min_y_pt = _segmented_cummax(seg_s, jnp.where(is_start, y_s, -INF))
+    # --- per-point slice bucket relative to the segment's min y ---
+    if axis_name is None:
+        # broadcast min y down each run by a fill-from-run-start segmented
+        # scan (cheaper than an N-lookup gather)
+        is_start = jnp.concatenate([jnp.ones(1, bool), seg_s[1:] != seg_s[:-1]])
+        min_y_pt = _segmented_cummax(seg_s, jnp.where(is_start, y_s, -INF))
+    else:
+        # sharded: the global min may live on another shard; read the merged
+        # table (s_cap is tiny and replicated)
+        min_y_pt = jnp.append(min_y, 0.0)[jnp.clip(seg_s, 0, s_cap)]
     slice_s = jnp.clip(
         jnp.floor((y_s - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
     )
@@ -254,6 +336,8 @@ def compute_segments(
     scores = jnp.where(live_s[:, None], scores, -INF)
     cum = _segmented_cummax(bucket_s, scores)
     tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
+    if axis_name is not None:
+        tab = jax.lax.pmax(tab, axis_name)  # the one big collective, O(S*MS)
     areas = _areas_from_supports(tab[:, :k_dirs], k_dirs).reshape(s_cap, ms)
 
     if full_bbox:
@@ -319,12 +403,14 @@ def compute_segments(
         crown_height=jnp.where(present, hi[:, 1] - crown_sep, 0.0),
     )
 
-    # --- classification (calculations.rs:150-163) ---
-    y = pos[:, 1]
+    # --- classification (calculations.rs:150-163); both separators ride ONE
+    # [N,2] row gather — a row gather costs the same as a single-column gather
+    # on TPU (tools/microbench.py), so this halves the lookup passes ---
+    sep_pair = jnp.stack([ground_sep, crown_sep], axis=-1)[seg]
     classification = jnp.where(
-        y < ground_sep[seg],
+        y < sep_pair[:, 0],
         CLASS_GROUND,
-        jnp.where(y < crown_sep[seg], CLASS_TRUNK, CLASS_CROWN),
+        jnp.where(y < sep_pair[:, 1], CLASS_TRUNK, CLASS_CROWN),
     ).astype(jnp.int32)
     classification = jnp.where(live0, classification, CLASS_GROUND)
     return table, classification
@@ -354,8 +440,12 @@ def segment_properties(
     seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
     live = seg > 0
     min_y = table.lo[:, 1]
+    # fused per-point row gather: (min_y, 1/height) in one [N,2] lookup
+    height_ext = jnp.maximum(table.hi[:, 1] - table.lo[:, 1], 1e-6)
+    pair = jnp.stack([min_y, 1.0 / height_ext], axis=-1)[seg]
+    min_y_pt = pair[:, 0]
     slice_idx = jnp.clip(
-        jnp.floor((pos[:, 1] - min_y[seg]) / sw).astype(jnp.int32), 0, ms - 1
+        jnp.floor((pos[:, 1] - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
     )
     bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
     xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)
@@ -380,8 +470,7 @@ def segment_properties(
     ratio = slice_diam / jnp.maximum(crown_diam[:, None], 1e-6)
 
     expansion = jnp.where(live, ratio[seg, slice_idx], 0.0)
-    height_ext = jnp.maximum(table.hi[:, 1] - table.lo[:, 1], 1e-6)
-    height = jnp.where(live, (pos[:, 1] - min_y[seg]) / height_ext[seg], 0.0)
+    height = jnp.where(live, (pos[:, 1] - min_y_pt) * pair[:, 1], 0.0)
     return expansion, height
 
 

@@ -80,14 +80,17 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
 
 
 def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
-    """Full sharded step: segmentation + per-segment reductions + frame stats.
+    """Full sharded step: segmentation + FULL characteristics + classification.
 
     This is the multi-chip "training step" shape the driver dry-runs: point
-    shards in, psum/pmin/pmax collectives over the mesh, replicated small
-    tables out.
+    shards in; collectives are the O(B*G^2) band-grid psum (segmentation) and
+    the O(S*MS) support-table pmax (characteristics) — both independent of
+    the per-shard point count; per-point outputs stay sharded, the analytics
+    table is replicated.
     """
+    from .. import characteristics as ch
+
     scfg = cfg.segmentation
-    s_cap = scfg.max_segments + 1
 
     def local_step(pos, valid, d):
         lo_l, hi_l = seg.scene_bounds(pos, valid)
@@ -100,25 +103,16 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
         slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
         segment = seg.assign_points(slot_grids, band, cx, cz, valid)
 
-        # per-segment bbox/count: local segment reductions + cross-device merge
-        live = valid & (segment > 0)
-        tgt = jnp.where(live, segment, s_cap)
-        count = jnp.zeros(s_cap + 1, jnp.int32).at[tgt].add(1)[:s_cap]
-        count = jax.lax.psum(count, axis)
-        min_y = jnp.full(s_cap + 1, 3.0e38).at[tgt].min(
-            jnp.where(live, pos[:, 1], 3.0e38)
-        )[:s_cap]
-        min_y = jax.lax.pmin(min_y, axis)
-        max_y = jnp.full(s_cap + 1, -3.0e38).at[tgt].max(
-            jnp.where(live, pos[:, 1], -3.0e38)
-        )[:s_cap]
-        max_y = jax.lax.pmax(max_y, axis)
-        return segment, n_alloc, count, min_y, max_y
+        table, classification = ch.compute_segments(
+            pos, segment, valid, scfg.max_segments + 1, cfg.characteristics,
+            full_bbox=False, axis_name=axis,
+        )
+        return segment, classification, n_alloc, table
 
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P()),
-        out_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(), P()),
     )
     return jax.jit(fn)
