@@ -209,6 +209,40 @@ def main() -> None:
         lod_fps=round(1000.0 / lod_frame_ms, 1),
         lod_points=int(count),
     )
+
+    # --- interactive edit latency: brush delete + full-cloud re-render.
+    # The reference re-uploads the whole edited segment to the GPU per brush
+    # stroke (interactive/mod.rs:182-221); here the edit is a pure jitted
+    # transition on device state and the frame re-renders from it directly.
+    from treee_tpu import interactive as edit_mod
+    from treee_tpu.cloud import PointCloud
+
+    cloud = PointCloud(
+        pos=pos, segment=segment, classification=out[2], valid=valid
+    )
+
+    @jax.jit
+    def edit_and_frame(cloud, center, cam):
+        c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
+        prop = splat.prop_from_segment(c2.segment)
+        mask = c2.valid & (c2.segment != 0)
+        img = splat.render_frame(c2.pos, prop, mask, cam, palette, cfg.render)
+        return c2, jnp.sum(img)
+
+    center = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
+    cloud2, _ = sync(edit_and_frame(cloud, center, cam0))  # compile
+    touch()
+    t0 = time.time()
+    reps = 3
+    for i in range(reps):
+        cloud2, chk = edit_and_frame(
+            cloud2, center + jnp.float32(i), cam0
+        )
+    sync(chk)
+    edit_ms = (time.time() - t0) / reps * 1e3
+    touch()
+    RESULT.update(edit_frame_ms=round(edit_ms, 2))
+    print(f"# bench: edit+frame {edit_ms:.0f} ms", file=sys.stderr, flush=True)
     print(json.dumps(RESULT))
 
 

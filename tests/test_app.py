@@ -66,3 +66,108 @@ def test_cli_arg_errors(tmp_path, monkeypatch):
     # per-segment exports without --segment-id
     rc = app.main(["--demo", "--export-hull-ply", str(tmp_path / "h.ply")])
     assert rc == 2
+
+
+def test_repl_interactive_session(tmp_path, monkeypatch):
+    """Drive the Interactive-phase REPL: select, edit, focus, panels, save."""
+    import dataclasses
+    import io
+
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, SegmentationConfig, RenderConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=4000,
+                               ground_points=4000, seed=3)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    png = str(tmp_path / "f.png")
+    script = f"""
+    status
+    mode view
+    click 96 40           # center-ish pixel: should hit a tree or ground
+    info
+    camera orbit 60
+    rotate 30 10
+    key w 2
+    scroll 1.0
+    mode delete
+    drag 96 54
+    mode spawn
+    click 60 54
+    mode draw
+    click 96 54
+    drag 100 54
+    mode combine
+    click 40 54
+    click 140 54
+    radius 2.5
+    pointsize 0.2
+    palette warm
+    eyedome 0.5
+    range 0 4294967295
+    display classification
+    overlay axis on
+    render {png}
+    save {tmp_path}/repl.npz
+    status
+    quit
+    """
+    for line in script.strip().splitlines():
+        alive = r.handle(line)
+    assert alive is False  # quit consumed
+    text = out.getvalue()
+    assert "points" in text and "error: unknown command" not in text
+    assert (tmp_path / "repl.npz").exists()
+    import os
+    assert os.path.exists(png) or os.path.exists(png + ".npy")
+    # edits really happened on device: some points moved to the deleted bucket
+    import numpy as np
+    deleted = (np.asarray(r.s.cloud.segment) == 0) & np.asarray(r.s.cloud.valid)
+    # (delete may miss if the ray missed; only assert the state is consistent)
+    assert deleted.dtype == bool
+
+
+def test_repl_bad_commands_keep_looping():
+    import io
+
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, SegmentationConfig, RenderConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=2000,
+                               ground_points=2000, seed=4)
+    s = Session.from_points(pts, cfg)
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    assert r.handle("frobnicate 1 2") is True
+    assert "error" in out.getvalue()
+    assert r.handle("mode dance") is True
+    assert r.handle("click notanumber 3") is True
+    assert r.handle("") is True
+    assert r.handle("# pure comment") is True

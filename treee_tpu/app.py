@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(hull.rs:293-306); requires --segment-id")
     p.add_argument("--segment-id", type=int, default=None,
                    help="focus segment for per-segment exports")
+    p.add_argument("--repl", action="store_true",
+                   help="interactive command loop (the reference's windowed "
+                        "Interactive phase as line commands; 'help' lists them)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -162,6 +165,11 @@ def main(argv=None) -> int:
         with phase_timer("segment+characteristics", block_on=None):
             res = session.segment(args.distance)
         print(f"segments: {int(res.n_segments)}")
+
+    if args.repl:
+        from .repl import Repl
+
+        Repl(session).run(sys.stdin)
 
     if args.frames > 0:
         os.makedirs(args.out_dir, exist_ok=True)

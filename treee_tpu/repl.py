@@ -1,0 +1,375 @@
+"""Interactive command loop — the reference's Interactive phase as a REPL.
+
+The reference drives interaction through a winit/egui window: a mode selector
+(View/Draw/Combine/Spawn/Delete, interactive/mod.rs:958-968), mouse click
+dispatch per mode (:713-804), right-drag brush edits (:807-954), camera
+WASD/QE + drag-rotate + scroll (camera.rs:153-216, program.rs:412-450), egui
+sliders (point size, brush radius, segmentation distance, eye-dome strength,
+palette radios, property range) and a focused single-tree view with property
+displays and hull/RBV/trunk-axis overlays (:971-1000).
+
+The TPU build is headless, so the same event surface is a line-oriented REPL:
+every widget and mouse interaction maps to a command; frames render to PNG on
+demand.  All edits are the pure jitted transitions of ``Session``/
+``interactive.py`` — state never leaves the device between commands.
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+import numpy as np
+
+from .pipeline import Session
+from .render import Camera
+
+HELP = """\
+commands (reference widget/mouse equivalents in parens):
+  mode view|draw|combine|spawn|delete   interaction mode (Modus radio)
+  click PX PY             mouse click at pixel: select / set draw target /
+                          combine pair / spawn segment (mod.rs:713-804)
+  drag PX PY              brush drag at pixel: delete / draw / reclassify
+                          along current mode (mod.rs:807-954)
+  radius R                brush radius slider 0.1-10 (mod.rs:455-463)
+  distance D              re-segment with new min distance (segmenting slider)
+  camera orbit|fp         controller (camera.rs Orbital/FirstPerson)
+  key K [N]               WASD/QE movement, N ticks (program.rs:412-450)
+  rotate DX DY | scroll V mouse-look / zoom
+  display classification|expansion|height|curve    focused property view
+  overlay hull|rbv|axis on|off                     focused overlays
+  classify ground|trunk|crown PX PY                focused reclassify brush
+  lod on|off              render from the octree LOD subset
+  pointsize V | palette turbo|warm|white | eyedome S | range MIN MAX
+  render [PATH] | focusrender [PATH]               write a frame PNG
+  info [SEG] | traits [SEG] | coords [SEG]         analytics (egui panels)
+  save PATH | open PATH | add SCAN | addsession NPZ
+  status | help | quit
+"""
+
+
+class Repl:
+    """Line-command interactive session over a :class:`Session`."""
+
+    def __init__(self, session: Session, out=sys.stdout):
+        self.s = session
+        self.out = out
+        self.mode = "view"
+        self.selected: int | None = None
+        self.draw_target: int | None = None
+        self.combine_first: int | None = None
+        self.display = "classification"
+        self.overlays = {"hull": False, "rbv": False, "axis": False}
+        self.use_lod = False
+        self.fp = False  # Controller::FirstPerson vs Orbital (camera.rs:147-151)
+        self.frame_idx = 0
+
+    # ---- helpers ---------------------------------------------------------
+
+    def _print(self, msg: str) -> None:
+        print(msg, file=self.out)
+
+    def _ray_hit(self, px: float, py: float):
+        """Pick through a pixel; returns (seg, hit_point) or (None, None)."""
+        seg, dist, found = self.s.pick(px, py)
+        if not found:
+            return None, None
+        cam = self.s.camera
+        d = np.asarray(
+            cam.ray_direction(
+                px, py, self.s.config.render.width, self.s.config.render.height
+            )
+        )
+        origin = np.asarray(cam.position)
+        return seg, origin + d * dist
+
+    def _resolve_seg(self, args) -> int | None:
+        if args:
+            return int(args[0])
+        if self.selected is None:
+            self._print("no segment selected (click in view mode first)")
+            return None
+        return self.selected
+
+    def _save_png(self, img: np.ndarray, path: str | None) -> None:
+        if path is None:
+            path = f"frame_{self.frame_idx:03d}.png"
+            self.frame_idx += 1
+        try:
+            from PIL import Image
+
+            Image.fromarray(img).save(path)
+        except ImportError:
+            np.save(path + ".npy", img)
+            path += ".npy"
+        self._print(f"wrote {path}")
+
+    # ---- command dispatch -------------------------------------------------
+
+    def run(self, stream=sys.stdin) -> None:
+        for line in stream:
+            if not self.handle(line):
+                break
+
+    def handle(self, line: str) -> bool:
+        """Execute one command line; returns False on quit."""
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return True
+        try:
+            cmd, *args = shlex.split(line)
+            return self._dispatch(cmd.lower(), args)
+        except Exception as e:  # surface, keep looping (reference error toast)
+            self._print(f"error: {e}")
+            return True
+
+    def _dispatch(self, cmd: str, args) -> bool:
+        import dataclasses
+
+        s = self.s
+        rcfg = s.config.render
+        if cmd in ("quit", "exit", "q"):
+            return False
+        elif cmd == "help":
+            self._print(HELP)
+        elif cmd == "mode":
+            if args[0] not in ("view", "draw", "combine", "spawn", "delete"):
+                raise ValueError(f"unknown mode {args[0]!r}")
+            self.mode = args[0]
+            self.combine_first = None
+            self._print(f"mode: {self.mode}")
+        elif cmd == "click":
+            self._click(float(args[0]), float(args[1]))
+        elif cmd == "drag":
+            self._drag(float(args[0]), float(args[1]))
+        elif cmd == "radius":
+            s.config = s.config.replace(
+                interactive=dataclasses.replace(
+                    s.config.interactive, draw_radius=float(args[0])
+                )
+            )
+        elif cmd == "distance":
+            res = s.segment(float(args[0]))
+            self._print(f"segments: {int(res.n_segments)}")
+        elif cmd == "camera":
+            if args[0] in ("orbit", "orbital"):
+                s.camera = Camera.orbital(
+                    distance=float(args[1]) if len(args) > 1 else 100.0
+                )
+                self.fp = False
+            elif args[0] in ("fp", "first-person"):
+                self.fp = True  # same transform, different controls
+            else:
+                raise ValueError(f"unknown camera {args[0]!r}")
+        elif cmd == "key":
+            n = int(args[1]) if len(args) > 1 else 1
+            for _ in range(n):
+                s.camera = _apply_key(s.camera, args[0], self.fp)
+        elif cmd == "rotate":
+            s.camera = (
+                s.camera.rotate_first_person(float(args[0]), float(args[1]))
+                if self.fp
+                else s.camera.rotate_orbital(float(args[0]), float(args[1]))
+            )
+        elif cmd == "scroll":
+            s.camera = (
+                s.camera.scroll_first_person(float(args[0]))
+                if self.fp
+                else s.camera.scroll_orbital(float(args[0]))
+            )
+        elif cmd == "display":
+            if args[0] not in ("classification", "expansion", "height", "curve"):
+                raise ValueError(f"unknown display {args[0]!r}")
+            self.display = args[0]
+        elif cmd == "overlay":
+            self.overlays[args[0]] = args[1] == "on"
+        elif cmd == "lod":
+            self.use_lod = args[0] == "on"
+        elif cmd == "pointsize":
+            s.config = s.config.replace(
+                render=dataclasses.replace(rcfg, point_size=float(args[0]))
+            )
+        elif cmd == "palette":
+            from .render import palettes
+
+            s.config = s.config.replace(
+                render=dataclasses.replace(rcfg, palette=args[0])
+            )
+            s.palette = palettes.get(args[0])
+        elif cmd == "eyedome":
+            s.config = s.config.replace(
+                render=dataclasses.replace(
+                    rcfg, eye_dome_strength=float(args[0])
+                )
+            )
+        elif cmd == "range":
+            s.config = s.config.replace(
+                render=dataclasses.replace(
+                    rcfg, prop_min=int(args[0]), prop_max=int(args[1])
+                )
+            )
+        elif cmd == "render":
+            self._save_png(s.render(use_lod=self.use_lod),
+                           args[0] if args else None)
+        elif cmd == "focusrender":
+            sid = self.selected
+            if sid is None:
+                raise ValueError("select a segment first (view-mode click)")
+            img = s.render_focus(
+                sid,
+                display=self.display,
+                show_hull=self.overlays["hull"],
+                show_rbv=self.overlays["rbv"],
+                show_axis=self.overlays["axis"],
+            )
+            self._save_png(img, args[0] if args else None)
+        elif cmd == "classify":
+            cls = {"ground": 0, "trunk": 1, "crown": 2}[args[0]]
+            seg, hit = self._ray_hit(float(args[1]), float(args[2]))
+            if hit is None:
+                self._print("miss")
+            else:
+                target = self.selected if self.selected is not None else seg
+                s.reclassify_sphere(hit, cls, target)
+                self._print(f"classified {args[0]} around {np.round(hit, 2)}")
+        elif cmd == "info":
+            sid = self._resolve_seg(args)
+            if sid is not None:
+                self._info(sid)
+        elif cmd == "traits":
+            sid = self._resolve_seg(args)
+            if sid is not None:
+                self._traits(sid)
+        elif cmd == "coords":
+            sid = self._resolve_seg(args)
+            if sid is not None:
+                c = s.segment_coords(sid)
+                if c is None:
+                    self._print("proj string did not parse")
+                else:
+                    self._print(
+                        f"lon {np.degrees(c[0]):.6f} lat {np.degrees(c[1]):.6f}"
+                    )
+        elif cmd == "save":
+            s.save(args[0])
+            self._print(f"saved {args[0]}")
+        elif cmd == "open":
+            self.s = Session.open(args[0], s.config)
+            self._print(f"opened {args[0]}")
+        elif cmd == "add":
+            s.add_las(args[0])
+            self._print(f"added {args[0]}: {int(s.cloud.count):,} points")
+        elif cmd == "addsession":
+            s.add_session(args[0])
+            self._print(f"merged {args[0]}: {int(s.cloud.count):,} points")
+        elif cmd == "status":
+            n_seg = (
+                int(np.asarray(s.table.present).sum()) if s.table is not None else "?"
+            )
+            self._print(
+                f"points {int(s.cloud.count):,}  segments {n_seg}  "
+                f"mode {self.mode}  selected {self.selected}  lod {self.use_lod}"
+            )
+        else:
+            raise ValueError(f"unknown command {cmd!r} (try 'help')")
+        return True
+
+    # ---- mouse dispatch (mod.rs:713-954) ----------------------------------
+
+    def _click(self, px: float, py: float) -> None:
+        seg, hit = self._ray_hit(px, py)
+        if self.mode == "view":
+            if seg is None:
+                self.selected = None
+                self._print("miss (deselected)")
+            else:
+                self.selected = seg
+                self._print(f"selected segment {seg}")
+        elif self.mode == "draw":
+            # first click picks the target, later drags paint into it
+            if seg is not None:
+                self.draw_target = seg
+                self._print(f"draw target: {seg}")
+        elif self.mode == "combine":
+            if seg is None:
+                return
+            if self.combine_first is None:
+                self.combine_first = seg
+                self._print(f"combine: first {seg}")
+            else:
+                self.s.combine(self.combine_first, seg)
+                self._print(f"combined {seg} into {self.combine_first}")
+                self.combine_first = None
+        elif self.mode == "spawn":
+            if hit is not None:
+                nid = self.s.spawn(hit)
+                self.draw_target = nid
+                self._print(f"spawned segment {nid}")
+        elif self.mode == "delete":
+            self._drag(px, py)
+
+    def _drag(self, px: float, py: float) -> None:
+        seg, hit = self._ray_hit(px, py)
+        if hit is None:
+            self._print("miss")
+            return
+        if self.mode == "delete":
+            self.s.delete_sphere(hit)
+            self._print(f"deleted around {np.round(hit, 2)}")
+        elif self.mode == "draw":
+            target = self.draw_target
+            if target is None:
+                self._print("no draw target (click a segment first)")
+                return
+            self.s.draw_sphere(hit, target)
+            self._print(f"drew {np.round(hit, 2)} -> segment {target}")
+        else:
+            self._print(f"drag has no effect in {self.mode} mode")
+
+    # ---- panels -----------------------------------------------------------
+
+    def _info(self, sid: int) -> None:
+        s = self.s
+        if s.table is None:
+            s.characteristics()
+        t = s.table
+        if not bool(t.present[sid]):
+            self._print(f"segment {sid}: absent")
+            return
+        self._print(
+            f"segment {sid}: {int(t.count[sid]):,} points  "
+            f"trunk_height {float(t.trunk_height[sid]):.2f}  "
+            f"crown_height {float(t.crown_height[sid]):.2f}  "
+            f"ground_sep {float(t.ground_sep[sid]):.2f}  "
+            f"crown_sep {float(t.crown_sep[sid]):.2f}"
+        )
+
+    def _traits(self, sid: int) -> None:
+        from . import rbv as rbv_mod
+
+        s = self.s
+        member = s.cloud.valid & (s.cloud.segment == sid)
+        if not bool(np.asarray(member).any()):
+            self._print(f"segment {sid}: absent")
+            return
+        crown, trunk = rbv_mod.split_rbv(
+            s.cloud.pos, s.cloud.classification, member
+        )
+        self._print(rbv_mod.traits(crown, trunk).to_json())
+
+
+def _apply_key(cam: Camera, key: str, fp: bool) -> Camera:
+    """WASD/QE movement (program.rs:418-447, camera.rs:153-171)."""
+    step = {
+        "w": (0.0, -1.0), "s": (0.0, 1.0), "a": (-1.0, 0.0), "d": (1.0, 0.0),
+    }
+    if key in step:
+        dx, dy = step[key]
+        return (
+            cam.move_first_person(dx, dy) if fp else cam.move_orbital(dx, dy)
+        )
+    if key == "q":
+        return cam.move_vertical(1.0)
+    if key == "e":
+        return cam.move_vertical(-1.0)
+    raise ValueError(f"unknown key {key!r}")
