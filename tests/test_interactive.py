@@ -143,3 +143,44 @@ def test_ipc_merge_shifts_and_renumbers():
     # colliding id 2 renumbered, non-colliding 3 kept
     assert merged["segment"][4] not in (0, 1, 2)
     assert merged["segment"][5] == 3
+
+
+def test_lod_refresh_after_edit_reuses_cached_octree():
+    """Edits flip valid/segment only, so the Morton sort is reused
+    (BASELINE.md config 3: incremental octree/LOD update on edit)."""
+    import numpy as np
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        )
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=6)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    s.build_lod(level=6)
+    tree_before = s._tree
+    before = s._lod
+    assert before is not None
+
+    center = np.asarray(pts[0], np.float32)
+    s.delete_sphere(center, radius=1.5)
+    assert s._lod is None  # stale subset dropped
+    img = s.render(use_lod=True)  # triggers refresh
+    assert img.shape[2] == 3
+    assert s._tree is tree_before  # no re-sort: positions never moved
+    assert s._lod is not None
+
+    # position-changing merge invalidates the octree too
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.npz")
+        s.save(p)
+        s.add_session(p)
+    assert getattr(s, "_tree", None) is None

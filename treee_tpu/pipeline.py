@@ -97,6 +97,8 @@ class Session:
         )
         self.cloud = PointCloud.from_numpy(pos, segment=seg, classification=cls_)
         self.table = None
+        self._tree = None
+        self._lod = None
 
     # ---- phases ----------------------------------------------------------------
 
@@ -171,12 +173,20 @@ class Session:
 
         The reference draws every point every frame (program.rs:309-311); the
         octree LOD keeps frame cost bounded by the subset size instead of the
-        scan size.  Call again after edits to refresh.
+        scan size.  Call again after edits to refresh: edits only flip
+        ``valid``/``segment`` (positions never move), so the sorted Morton
+        order is CACHED and a refresh re-derives just the mask + compaction —
+        no re-sort (the incremental octree/LOD update of BASELINE.md config 3).
         """
         from .ops import octree as octree_mod
 
         mask = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
-        tree = octree_mod.build(self.cloud.pos, mask)
+        tree = getattr(self, "_tree", None)
+        if tree is None or tree.capacity != self.cloud.capacity:
+            tree = octree_mod.build(self.cloud.pos, mask)
+            self._tree = tree
+        # rank/LOD strides follow the CURRENT mask: invalid slots keep their
+        # keys (harmless: their mask bit drops them from the subset)
         lod = octree_mod.lod_mask(tree, level, points_per_node) & mask
         cap = capacity or min(self.cloud.capacity, 4 << 20)
         prop = splat.prop_from_segment(self.cloud.segment)
@@ -292,6 +302,7 @@ class Session:
         self.cloud = edit.remove_points(
             self.cloud, jnp.asarray(center, jnp.float32), r, DELETED_SEGMENT
         )
+        self._lod = None
 
     def draw_sphere(self, center, target: int, radius=None,
                     include_deleted: bool = False):
@@ -300,6 +311,7 @@ class Session:
         self.cloud = edit.remove_points(self.cloud, c, r, target)
         if include_deleted:
             self.cloud = edit.restore_deleted(self.cloud, c, r, target)
+        self._lod = None
 
     def reclassify_sphere(self, center, classification: int, segment: int,
                           radius=None):
@@ -307,9 +319,11 @@ class Session:
         self.cloud = edit.change_classification(
             self.cloud, jnp.asarray(center, jnp.float32), r, classification, segment
         )
+        self._lod = None
 
     def combine(self, a: int, b: int):
         self.cloud = edit.combine_segments(self.cloud, a, b)
+        self._lod = None
 
     def spawn(self, center, radius=None) -> int:
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -317,6 +331,7 @@ class Session:
         self.cloud = edit.spawn_segment(
             self.cloud, jnp.asarray(center, jnp.float32), r, nid
         )
+        self._lod = None
         return nid
 
     def pick(self, pixel_x: float, pixel_y: float):
@@ -358,6 +373,8 @@ class Session:
         )
         self._next_id = None
         self.table = None
+        self._tree = None
+        self._lod = None
 
 
 def _demo():  # pragma: no cover
