@@ -116,3 +116,35 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
         out_specs=(P(axis), P(axis), P(), P()),
     )
     return jax.jit(fn)
+
+
+def sharded_render(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
+    """Sharded splat frame: (pos, prop, mask, cam, palette) -> f32[H,W,3].
+
+    Each device rasterizes its local point shard into the packed
+    (depth << 8 | palette) key image; ONE ``pmin`` over the mesh composites
+    depth — exact at the key level, because the z-test is a min over an
+    associative integer key (render/splat.rasterize_keys).  Dilation, palette
+    and eye-dome then run replicated on the composited [H,W] image
+    (O(pixels), independent of N; the float shading may fuse slightly
+    differently than the single-device program, see tests).
+    The reference has no multi-GPU analogue; its wgpu pass draws every chunk
+    on one queue (program.rs:309-311).
+    """
+    from ..render import splat
+
+    rcfg = cfg.render
+
+    def local_frame(pos, prop, mask, cam, palette):
+        kimg = splat.rasterize_keys(pos, prop, mask, cam, rcfg)
+        kimg = jax.lax.pmin(kimg, axis)
+        color, z01, _ = splat.resolve_keys(kimg, cam, palette, rcfg)
+        return splat.eye_dome(color, z01, rcfg)
+
+    fn = jax.shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)

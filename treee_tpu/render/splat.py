@@ -58,22 +58,19 @@ def _project(pos: jax.Array, cam: Camera, width: int, height: int):
     return fx, fy, depth, z01, proj[1, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_points(
+def rasterize_keys(
     pos: jax.Array,
     prop: jax.Array,
     mask: jax.Array,
     cam: Camera,
-    palette: jax.Array,
     cfg: RenderConfig = RenderConfig(),
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Rasterize splats; returns (color f32[H,W,3], depth01 f32[H,W], hit bool[H,W]).
+) -> jax.Array:
+    """Splat visibility pass -> packed key image i32[H,W].
 
-    ``prop`` is the normalized [0,1] point property; points outside
-    [prop_min, prop_max]/2^32 are filtered like the vertex-stage range test
-    (point_cloud.wgsl:44-49).  Point identity does not survive rasterization
-    (the z-key packs depth+palette index); picking goes through the exact ray
-    path (interactive.pick) like the reference (mod.rs:680-710).
+    The key packs (quantized depth << 8 | palette index), so scatter-min IS
+    the z-test.  Min is associative, which makes multi-device compositing
+    exact: each shard rasterizes its own points and a ``pmin`` over the mesh
+    equals the single-device image bit-for-bit (parallel/sharding.py).
     """
     w, h = cfg.width, cfg.height
     n = pos.shape[0]
@@ -118,8 +115,23 @@ def render_points(
     buf = jnp.full(n_pix + 1, IBIG, jnp.int32).at[pix].min(
         jnp.where(vis, key, IBIG), mode="drop"
     )
+    return buf[:n_pix].reshape(h, w)
 
-    kimg = buf[:n_pix].reshape(h, w)
+
+def resolve_keys(
+    kimg: jax.Array,
+    cam: Camera,
+    palette: jax.Array,
+    cfg: RenderConfig = RenderConfig(),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shade a packed key image: splat dilation, palette, background.
+
+    Returns (color f32[H,W,3], depth01 f32[H,W], hit bool[H,W]).
+    """
+    w, h = cfg.width, cfg.height
+    depth_bits = 23
+    r = cfg.max_splat_radius
+    f_proj = cam.projection_matrix(w / h)[1, 1]
     hit = kimg != IBIG
     zscale = jnp.float32(1.0 / ((1 << depth_bits) - 1))
 
@@ -165,6 +177,27 @@ def render_points(
     color = jnp.where(hit[..., None], color, bg)
     z01_px = jnp.where(hit, unpack_z01(kimg), 1.0)
     return color, z01_px, hit
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_points(
+    pos: jax.Array,
+    prop: jax.Array,
+    mask: jax.Array,
+    cam: Camera,
+    palette: jax.Array,
+    cfg: RenderConfig = RenderConfig(),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Rasterize splats; returns (color f32[H,W,3], depth01 f32[H,W], hit bool[H,W]).
+
+    ``prop`` is the normalized [0,1] point property; points outside
+    [prop_min, prop_max]/2^32 are filtered like the vertex-stage range test
+    (point_cloud.wgsl:44-49).  Point identity does not survive rasterization
+    (the z-key packs depth+palette index); picking goes through the exact ray
+    path (interactive.pick) like the reference (mod.rs:680-710).
+    """
+    return resolve_keys(rasterize_keys(pos, prop, mask, cam, cfg),
+                        cam, palette, cfg)
 
 
 def eye_dome(
