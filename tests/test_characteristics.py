@@ -160,3 +160,16 @@ def test_segmented_cummax_vs_oracle():
         ch._segmented_cummax(jnp.asarray(keys[:100]), jnp.asarray(v1[:100]))
     )
     np.testing.assert_allclose(got3, oracle(keys[:100], v1[:100]))
+
+
+def test_segment_curvature_grid_close_to_bruteforce():
+    rng = np.random.default_rng(9)
+    pts = rng.normal(size=(3000, 3)).astype(np.float32) * 2.0
+    m = jnp.ones(3000, bool)
+    c_bf = np.asarray(ch.segment_curvature(jnp.asarray(pts), m, k=15))
+    c_gr = np.asarray(
+        ch.segment_curvature(jnp.asarray(pts), m, k=15, use_grid=True,
+                             cell_size=0.8)
+    )
+    # grid k-NN is approximate (27-cell candidates); curvature stays close
+    assert np.abs(c_bf - c_gr).mean() < 0.05

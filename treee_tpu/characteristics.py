@@ -474,18 +474,29 @@ def segment_properties(
     return expansion, height
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "use_grid"))
 def segment_curvature(
     pos: jax.Array,
     member: jax.Array,
     k: int = 31,
+    use_grid: bool = False,
+    cell_size: jax.Array | float = 0.5,
 ) -> jax.Array:
     """Per-point curvature for one segment's members (calculations.rs:328-373).
 
     k-NN within the member set, covariance of the neighborhood, then
     3*lambda_min/trace via the analytic eigenvalues.  Non-members get 0.
+
+    ``use_grid`` switches the exact tiled brute force (the reference's typical
+    per-tree sizes) to the grid-hash candidate k-NN for very large member
+    sets, where O(N^2) distances would not fit the time or memory budget —
+    the reference's unbounded KD-tree query has no such cliff but also no
+    vectorization (k-nearest/src/kd_tree.rs:105-143).
     """
-    idx, _ = neighbors.knn_bruteforce(pos, member, k=k)
+    if use_grid:
+        idx, _ = neighbors.knn_grid(pos, member, cell_size, k=k)
+    else:
+        idx, _ = neighbors.knn_bruteforce(pos, member, k=k)
     cov = neighbors.neighbor_covariance(pos, idx)
     curve = eigen.curvature_from_cov(cov)
     return jnp.where(member, curve, 0.0)

@@ -144,8 +144,13 @@ class Session:
 
     def curvature(self, segment_id: int):
         member = self.cloud.valid & (self.cloud.segment == segment_id)
+        # typical trees brute-force exactly; huge segments (e.g. ground)
+        # switch to the grid-hash engine so selection can't hit an O(N^2) wall
+        ncfg = self.config.neighbors
+        use_grid = int(jnp.sum(member)) > ncfg.brute_force_max
         return ch.segment_curvature(
-            self.cloud.pos, member, k=self.config.characteristics.neighbors
+            self.cloud.pos, member, k=self.config.characteristics.neighbors,
+            use_grid=use_grid,
         )
 
     def segment_coords(self, segment_id: int):
