@@ -64,3 +64,38 @@ def test_eye_dome_pallas_matches_jnp():
         cfg.eye_dome_color, interpret=True,
     ))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_dilate_pallas_matches_jnp():
+    import dataclasses
+
+    from treee_tpu.config import RenderConfig
+    from treee_tpu.render import splat
+    from treee_tpu.render.camera import Camera
+
+    rng = np.random.default_rng(4)
+    cfg = RenderConfig(width=64, height=48, use_pallas=False)
+    cam = Camera.orbital(distance=30.0)
+    pos = rng.normal(size=(500, 3)).astype(np.float32) * 5.0
+    prop = rng.random(500).astype(np.float32)
+    mask = jnp.ones(500, bool)
+
+    kimg = splat.rasterize_keys(jnp.asarray(pos), jnp.asarray(prop), mask,
+                                cam, cfg)
+    # jnp reference path
+    color_ref, z_ref, _ = splat.resolve_keys(kimg, cam, jnp.zeros((256, 3)),
+                                             cfg)
+    # pallas interpret path: run the kernel directly with the same params
+    f_proj = cam.projection_matrix(cfg.width / cfg.height)[1, 1]
+    p22 = cfg.far / (cfg.near - cfg.far)
+    p23 = cfg.near * cfg.far / (cfg.near - cfg.far)
+    k_pal = pk.dilate_pallas(
+        kimg, p22, p23, cfg.point_size * f_proj * (cfg.height / 2.0),
+        radius=cfg.max_splat_radius, interpret=True,
+    )
+    cfg_j = dataclasses.replace(cfg, max_splat_radius=0)
+    # dilated keys drive everything downstream: compare against the scan by
+    # re-resolving with radius 0 on the pallas-dilated image
+    color_pal, z_pal, _ = splat.resolve_keys(k_pal, cam, jnp.zeros((256, 3)),
+                                             cfg_j)
+    np.testing.assert_array_equal(np.asarray(z_pal), np.asarray(z_ref))

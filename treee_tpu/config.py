@@ -66,7 +66,10 @@ class SegmentationConfig:
     # few 100k cells) — overflowing cells still converge via the sweeps
     cc_occupied_cap: int = 1 << 19
     match_rounds: int = 4               # mutual-nearest matching rounds per band
-    use_pallas: bool = False            # pallas jump-flood kernel (TPU only)
+    # pallas jump-flood kernel: measured within noise of the batched jnp JFA
+    # on v5e (31.3 vs 31.9 ms for 16 bands) — XLA fuses the roll/select
+    # chains — so it stays a tested alternate, default OFF
+    use_pallas: bool | None = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +123,12 @@ class RenderConfig:
     # property range filter (point_cloud.wgsl:44-49); u32 range semantics
     prop_min: int = 0
     prop_max: int = 0xFFFFFFFF
+    # fused Pallas kernels for the image-space passes (splat dilation,
+    # eye-dome).  Measured on v5e at 720p: within noise of the XLA ops
+    # (47.3 vs 46.3 ms at 2M pts; 31.8 vs 34.0 ms at 60k) — XLA already
+    # fuses these elementwise/roll chains — while costing ~10 min extra
+    # compile, so they default OFF and remain as tested alternates.
+    use_pallas: bool | None = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,6 +87,77 @@ def jump_flood_pallas(
     )
 
 
+def _dilate_kernel(kimg_ref, params_ref, out_ref, *, radius):
+    """Splat dilation fused in VMEM (render/splat.resolve_keys semantics).
+
+    ``radius`` min-depth growth passes over the 8-neighborhood with the
+    circle test; the winner's pixel radius is recomputed from its packed key
+    each probe (pure ALU) instead of carrying a radius plane, so the live
+    state is just (key, sdx, sdy).  As plain XLA ops this stage is ~radius*8
+    separate HBM round-trips over [H,W]; here it is one load + one store.
+    """
+    p22 = params_ref[0, 0]
+    p23 = params_ref[0, 1]
+    coef = params_ref[0, 2]
+    zscale = 1.0 / float((1 << 23) - 1)
+    ibig = 0x7FFFFFFF
+
+    def rad(kk):
+        z = (kk >> 8).astype(jnp.float32) * zscale
+        d = p23 / jnp.minimum(z + p22, -1e-9)
+        return jnp.maximum(coef / jnp.maximum(d, 1e-6), 0.71)
+
+    k = kimg_ref[:]
+    # source offsets packed ((sdx+8)<<4 | sdy+8) into one plane: |offset| <=
+    # radius <= 7, and fewer live [H,W] planes keeps the scoped VMEM budget
+    sd = jnp.full_like(k, (8 << 4) | 8)
+    for _ in range(radius):
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                       (-1, -1), (-1, 1), (1, -1), (1, 1)):
+            ck = _roll(_roll(k, dy, 0), dx, 1)
+            csd = _roll(_roll(sd, dy, 0), dx, 1)
+            cdx = (csd >> 4) - 8 + dx
+            cdy = (csd & 15) - 8 + dy
+            crd = rad(ck)
+            inside = (cdx * cdx + cdy * cdy).astype(jnp.float32) <= crd * crd
+            better = (ck != ibig) & inside & (ck < k)
+            k = jnp.where(better, ck, k)
+            sd = jnp.where(better, ((cdx + 8) << 4) | (cdy + 8), sd)
+    out_ref[:] = k
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def dilate_pallas(
+    kimg: jax.Array,  # i32[H,W] packed (depth<<8 | palette) keys
+    p22: jax.Array | float,
+    p23: jax.Array | float,
+    coef: jax.Array | float,  # point_size * proj[1,1] * h/2
+    radius: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused splat dilation; drop-in for the scan in render/splat.resolve_keys."""
+    h, w = kimg.shape
+    params = jnp.stack(
+        [jnp.float32(p22), jnp.float32(p23), jnp.float32(coef),
+         jnp.float32(0.0)]
+    )[None, :]
+    return pl.pallas_call(
+        functools.partial(_dilate_kernel, radius=radius),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # ~5 [H,W] i32 planes live (in/out/k/sd + roll temp): above the 16MB
+        # default scoped budget at 720p but well within v5e's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(kimg, params)
+
+
 def _eye_dome_kernel(z01_ref, color_ref, params_ref, out_ref):
     """Eye-dome lighting fused in VMEM (eye_dome.wgsl:37-67 semantics)."""
     near = params_ref[0, 0]
@@ -139,6 +210,10 @@ def eye_dome_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # [3,H,W] color in+out exceeds the 16MB default scoped budget at 720p
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(z01, chw, params)
     return jnp.moveaxis(out, 0, -1)

@@ -147,7 +147,20 @@ def resolve_keys(
             cfg.point_size * f_proj * (h / 2.0) / jnp.maximum(d, 1e-6), 0.71
         )
 
-    if r > 0:
+    use_pk = cfg.use_pallas
+    if use_pk is None:
+        use_pk = jax.default_backend() == "tpu"
+    if r > 0 and use_pk:
+        # one fused VMEM kernel instead of r*8 HBM round-trips over [H,W]
+        from ..ops.pallas_kernels import dilate_pallas
+
+        p22 = cfg.far / (cfg.near - cfg.far)
+        p23 = cfg.near * cfg.far / (cfg.near - cfg.far)
+        kimg = dilate_pallas(
+            kimg, p22, p23, cfg.point_size * f_proj * (h / 2.0), radius=r
+        )
+        hit = kimg != IBIG
+    elif r > 0:
         rimg = jnp.where(hit, radius_from_key(kimg), 0.0)
         zero = jnp.zeros((h, w), jnp.float32)
 
@@ -213,6 +226,14 @@ def eye_dome(
     """
     s = max(1.0 - cfg.eye_dome_strength, 0.1) ** 6  # eye_dome.rs:226-229
     n, f = cfg.near, cfg.far
+
+    use_pk = cfg.use_pallas
+    if use_pk is None:
+        use_pk = jax.default_backend() == "tpu"
+    if use_pk:
+        from ..ops.pallas_kernels import eye_dome_pallas
+
+        return eye_dome_pallas(color, z01, n, f, s, cfg.eye_dome_color)
 
     def linearize(d):
         return jnp.where(d >= 1.0, 1.0, (2.0 * n) / (f + n - d * (f - n)))

@@ -409,7 +409,10 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
     seed_slot = seed_slot.reshape(b, g, g)
     seed_pos = seed_pos.reshape(b, g, g, 2)
 
-    if cfg.use_pallas:
+    use_pk = cfg.use_pallas
+    if use_pk is None:
+        use_pk = jax.default_backend() == "tpu"
+    if use_pk:
         from .ops.pallas_kernels import jump_flood_pallas
 
         slot_grids = jax.vmap(jump_flood_pallas, in_axes=(0, 0, None))(
