@@ -131,7 +131,10 @@ def test_repl_interactive_session(tmp_path, monkeypatch):
         alive = r.handle(line)
     assert alive is False  # quit consumed
     text = out.getvalue()
-    assert "points" in text and "error: unknown command" not in text
+    assert "points" in text
+    # every scripted command must succeed (handle() prints 'error: ...'
+    # for ANY exception, so this catches regressions in each handler)
+    assert "error:" not in text, text
     assert (tmp_path / "repl.npz").exists()
     import os
     assert os.path.exists(png) or os.path.exists(png + ".npy")

@@ -169,7 +169,9 @@ def main(argv=None) -> int:
     if args.repl:
         from .repl import Repl
 
-        Repl(session).run(sys.stdin)
+        r = Repl(session)
+        r.run(sys.stdin)
+        session = r.s  # 'open' inside the REPL rebinds the session
 
     if args.frames > 0:
         os.makedirs(args.out_dir, exist_ok=True)

@@ -271,7 +271,17 @@ def compute_segments(
     # 19 y-bits resolve ~0.03 mm on a 16 m tree — far below the 0.1 m slice
     # width the y values feed (the exact y is only ever compared against
     # separators in original order below). ---
-    qbits = 19
+    # adaptive y-quantization bits: the packed key (segment << qbits | qy)
+    # must stay in positive int32, so huge segment capacities trade y
+    # resolution (still far below the 0.1 m slice width: 8 bits resolve
+    # 1/255 of the scene height)
+    # max key = (s_cap << qbits) | qmax < 2^31 requires s_cap < 2^(31-qbits)
+    qbits = min(19, 31 - max(s_cap.bit_length(), 1))
+    if qbits < 8:
+        raise ValueError(
+            f"num_segments={num_segments} leaves {qbits} y-bits in the packed "
+            "sort key; supported capacity is < 2^22 segments"
+        )
     qmax = (1 << qbits) - 1
     y = pos[:, 1]
     any_valid = jnp.any(valid)

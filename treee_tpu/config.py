@@ -31,6 +31,15 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def resolve_use_pallas(flag: bool | None) -> bool:
+    """Resolve a tri-state pallas flag: None = auto (TPU backend only)."""
+    if flag is not None:
+        return flag
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 @dataclasses.dataclass(frozen=True)
 class SegmentationConfig:
     """Tree segmentation parameters.

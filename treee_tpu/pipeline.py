@@ -114,6 +114,7 @@ class Session:
         )
         self.table = table
         self._next_id = None
+        self._lod = None  # subset colors/membership derive from segments
         return res
 
     def characteristics(self) -> ch.SegmentTable:
@@ -188,10 +189,12 @@ class Session:
         mask = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
         tree = getattr(self, "_tree", None)
         if tree is None or tree.capacity != self.cloud.capacity:
-            tree = octree_mod.build(self.cloud.pos, mask)
+            # build over ALL valid points (deleted included): deleted points
+            # may be restored later, and a tree built without them would pool
+            # them under INVALID_KEY forever.  The deletion mask is applied
+            # per refresh below.
+            tree = octree_mod.build(self.cloud.pos, self.cloud.valid)
             self._tree = tree
-        # rank/LOD strides follow the CURRENT mask: invalid slots keep their
-        # keys (harmless: their mask bit drops them from the subset)
         lod = octree_mod.lod_mask(tree, level, points_per_node) & mask
         cap = capacity or min(self.cloud.capacity, 4 << 20)
         prop = splat.prop_from_segment(self.cloud.segment)

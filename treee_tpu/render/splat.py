@@ -147,10 +147,9 @@ def resolve_keys(
             cfg.point_size * f_proj * (h / 2.0) / jnp.maximum(d, 1e-6), 0.71
         )
 
-    use_pk = cfg.use_pallas
-    if use_pk is None:
-        use_pk = jax.default_backend() == "tpu"
-    if r > 0 and use_pk:
+    from ..config import resolve_use_pallas
+
+    if r > 0 and resolve_use_pallas(cfg.use_pallas):
         # one fused VMEM kernel instead of r*8 HBM round-trips over [H,W]
         from ..ops.pallas_kernels import dilate_pallas
 
@@ -227,10 +226,9 @@ def eye_dome(
     s = max(1.0 - cfg.eye_dome_strength, 0.1) ** 6  # eye_dome.rs:226-229
     n, f = cfg.near, cfg.far
 
-    use_pk = cfg.use_pallas
-    if use_pk is None:
-        use_pk = jax.default_backend() == "tpu"
-    if use_pk:
+    from ..config import resolve_use_pallas
+
+    if resolve_use_pallas(cfg.use_pallas):
         from ..ops.pallas_kernels import eye_dome_pallas
 
         return eye_dome_pallas(color, z01, n, f, s, cfg.eye_dome_color)

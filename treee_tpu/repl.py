@@ -297,7 +297,9 @@ class Repl:
                 self.combine_first = seg
                 self._print(f"combine: first {seg}")
             else:
-                self.s.combine(self.combine_first, seg)
+                # second click merges INTO the first-selected survivor
+                # (Session.combine(a, b) relabels a's points to b)
+                self.s.combine(seg, self.combine_first)
                 self._print(f"combined {seg} into {self.combine_first}")
                 self.combine_first = None
         elif self.mode == "spawn":

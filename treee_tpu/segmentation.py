@@ -145,8 +145,13 @@ def _extract_clusters(
     Centroids are count-weighted cell centers.  Aggregation scatters only the
     compacted occupied cells (from :func:`_connected_components`) instead of
     the full grid — scatter cost on TPU is proportional to operand rows
-    whether or not they are masked (tools/microbench.py).  Returns
-    (centroids f32[B,C,2], mask bool[B,C]).
+    whether or not they are masked (tools/microbench.py).
+
+    CAVEAT: occupied cells beyond the compaction capacity contribute neither
+    counts nor centroid weight (they also lose the CC jump shortcut) — at the
+    default 512k cap that needs >3.5 fully dense 384^2 bands, far denser than
+    forest scans; raise SegmentationConfig.cc_occupied_cap for pathological
+    density.  Returns (centroids f32[B,C,2], mask bool[B,C]).
     """
     b, g, _ = labels.shape
     gg = g * g
@@ -409,10 +414,9 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
     seed_slot = seed_slot.reshape(b, g, g)
     seed_pos = seed_pos.reshape(b, g, g, 2)
 
-    use_pk = cfg.use_pallas
-    if use_pk is None:
-        use_pk = jax.default_backend() == "tpu"
-    if use_pk:
+    from .config import resolve_use_pallas
+
+    if resolve_use_pallas(cfg.use_pallas):
         from .ops.pallas_kernels import jump_flood_pallas
 
         slot_grids = jax.vmap(jump_flood_pallas, in_axes=(0, 0, None))(
