@@ -446,6 +446,8 @@ def segment_properties(
     s_cap = num_segments
     ms = cfg.max_slices
     sw = cfg.slice_width
+    n = pos.shape[0]
+    k_dirs = cfg.hull_directions
 
     seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
     live = seg > 0
@@ -457,12 +459,27 @@ def segment_properties(
     slice_idx = jnp.clip(
         jnp.floor((pos[:, 1] - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
     )
+
+    # crown-filtered slice areas via the same sorted scatter-free reduction
+    # as compute_segments: sort by the flat (segment*MS + slice) bucket (it
+    # already determines the run order — no y key needed here since the
+    # slice index is precomputed from the table), then a segmented cummax +
+    # run-end extraction.  ~2x cheaper than the scatter formulation at 15M.
     bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
-    xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)
     crown_only = live & (classification == CLASS_CROWN)
-    areas_crown = slice_areas(
-        xz, bucket, crown_only, s_cap * ms, cfg.hull_directions
-    ).reshape(s_cap, ms)
+    bucket_s, x_s, z_s, crown_s = jax.lax.sort(
+        (bucket, pos[:, 0], pos[:, 2], crown_only.astype(jnp.int32)),
+        num_keys=1,
+    )
+    dirs = _support_directions(k_dirs)
+    scores = jnp.dot(
+        jnp.stack([x_s, z_s], axis=-1), dirs,
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(crown_s[:, None] > 0, scores, -INF)
+    cum = _segmented_cummax(bucket_s, scores)
+    tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
+    areas_crown = _areas_from_supports(tab, k_dirs).reshape(s_cap, ms)
 
     # crown area: max area at/above the crown separator slice (calculations.rs:301-306)
     crown_sep_idx = jnp.clip(
