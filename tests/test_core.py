@@ -158,3 +158,34 @@ def test_neighbor_covariance_sphere():
     cov = neighbors.neighbor_covariance(jnp.asarray(pos), idx)
     curve = np.asarray(eigen.curvature_from_cov(cov))
     assert curve.mean() > 0.3
+
+
+def test_lod_mask_live_promotes_siblings():
+    """Deleting a node's first Morton point must promote a live sibling into
+    the LOD subset instead of leaving the node unrepresented (the octree is
+    cached across edits; pipeline.Session.build_lod passes live=)."""
+    import jax.numpy as jnp
+
+    from treee_tpu.ops import octree, morton
+
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, 100, size=(5000, 3)).astype(np.float32)
+    valid = jnp.ones(5000, bool)
+    tree = octree.build(jnp.asarray(pos), valid)
+    level = 4
+
+    keep_all = np.asarray(octree.lod_mask(tree, level))
+    # drop exactly the selected representatives; nodes with >1 point must
+    # re-elect a different live point
+    live = jnp.asarray(~keep_all)
+    keep_live = np.asarray(octree.lod_mask(tree, level, live=live))
+    assert not (keep_live & keep_all).any()  # only live points selected
+
+    shift = 3 * (morton.MORTON_BITS - level)
+    prefix = np.asarray(tree.keys) >> shift
+    order = np.asarray(tree.order)
+    node_of = np.empty(5000, np.int64)
+    node_of[order] = prefix
+    nodes_with_live = set(np.unique(node_of[np.asarray(live)]))
+    nodes_kept = set(np.unique(node_of[keep_live]))
+    assert nodes_kept == nodes_with_live  # every live node re-represented

@@ -272,15 +272,17 @@ def compute_segments(
     # width the y values feed (the exact y is only ever compared against
     # separators in original order below). ---
     # adaptive y-quantization bits: the packed key (segment << qbits | qy)
-    # must stay in positive int32, so huge segment capacities trade y
-    # resolution (still far below the 0.1 m slice width: 8 bits resolve
-    # 1/255 of the scene height)
-    # max key = (s_cap << qbits) | qmax < 2^31 requires s_cap < 2^(31-qbits)
+    # must stay in positive int32 (max key = (s_cap << qbits) | qmax < 2^31
+    # requires s_cap < 2^(31-qbits)), so huge segment capacities trade y
+    # resolution.  The 12-bit floor keeps quantization at <= yext/4095 —
+    # well under the 0.1 m slice width for any realistic scene height — and
+    # bounds capacity at 2^19 segments; the [S,MS] bucket space must also
+    # fit int32.
     qbits = min(19, 31 - max(s_cap.bit_length(), 1))
-    if qbits < 8:
+    if qbits < 12 or s_cap * ms >= 2**31:
         raise ValueError(
-            f"num_segments={num_segments} leaves {qbits} y-bits in the packed "
-            "sort key; supported capacity is < 2^22 segments"
+            f"num_segments={num_segments} (max_slices={ms}) exceeds the "
+            "packed int32 key space; supported capacity is < 2^19 segments"
         )
     qmax = (1 << qbits) - 1
     y = pos[:, 1]
@@ -446,7 +448,6 @@ def segment_properties(
     s_cap = num_segments
     ms = cfg.max_slices
     sw = cfg.slice_width
-    n = pos.shape[0]
     k_dirs = cfg.hull_directions
 
     seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
@@ -465,18 +466,19 @@ def segment_properties(
     # already determines the run order — no y key needed here since the
     # slice index is precomputed from the table), then a segmented cummax +
     # run-end extraction.  ~2x cheaper than the scatter formulation at 15M.
-    bucket = jnp.where(live, seg * ms + slice_idx, s_cap * ms)
+    # non-crown points route straight to the dump bucket: their buckets read
+    # as absent runs (area 0), same as the masked-scatter formulation, and
+    # the sort carries no extra crown payload
     crown_only = live & (classification == CLASS_CROWN)
-    bucket_s, x_s, z_s, crown_s = jax.lax.sort(
-        (bucket, pos[:, 0], pos[:, 2], crown_only.astype(jnp.int32)),
-        num_keys=1,
+    bucket = jnp.where(crown_only, seg * ms + slice_idx, s_cap * ms)
+    bucket_s, x_s, z_s = jax.lax.sort(
+        (bucket, pos[:, 0], pos[:, 2]), num_keys=1
     )
     dirs = _support_directions(k_dirs)
     scores = jnp.dot(
         jnp.stack([x_s, z_s], axis=-1), dirs,
         preferred_element_type=jnp.float32,
     )
-    scores = jnp.where(crown_s[:, None] > 0, scores, -INF)
     cum = _segmented_cummax(bucket_s, scores)
     tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
     areas_crown = _areas_from_supports(tab, k_dirs).reshape(s_cap, ms)

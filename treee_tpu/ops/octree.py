@@ -104,7 +104,12 @@ def build(pos: jax.Array, valid: jax.Array) -> Octree:
     return Octree(keys=keys_sorted, order=order, rank=rank, inv=inv, lo=lo, hi=hi)
 
 
-def lod_mask(tree: Octree, level: int, points_per_node: int = 1) -> jax.Array:
+def lod_mask(
+    tree: Octree,
+    level: int,
+    points_per_node: int = 1,
+    live: jax.Array | None = None,
+) -> jax.Array:
     """Boolean mask (in ORIGINAL point order) of the LOD subset for ``level``.
 
     ``level`` in [0, 10]: points are grouped by the level-``level`` key prefix and
@@ -112,20 +117,33 @@ def lod_mask(tree: Octree, level: int, points_per_node: int = 1) -> jax.Array:
     through the node's Morton run so the subset stays spatially spread (taking the
     first k would bias toward one child octant).  Coarser levels select subsets of
     finer levels' selections per nesting of the Morton prefixes.
+
+    ``live`` (original order, e.g. validity minus deleted points) makes ranks
+    and strides count only live points, so deleting a node's first Morton
+    point promotes a live sibling instead of leaving the node unrepresented —
+    required when the octree is cached across edits (pipeline.Session).
     """
     shift = 3 * (morton.MORTON_BITS - level)
     coarse = tree.keys >> shift
     n = tree.capacity
     new_node = jnp.concatenate([jnp.ones(1, bool), coarse[1:] != coarse[:-1]])
     slot = jnp.arange(n, dtype=jnp.int32)
-    node_start = _cummax(jnp.where(new_node, slot, 0))
-    rank = slot - node_start
-    # node end (exclusive) via reverse min-accumulate of next starts
-    next_start = jnp.concatenate([jnp.where(new_node[1:], slot[1:], n), jnp.full(1, n)])
-    node_end = _revcummin(next_start)
-    count = node_end - node_start
+    live_sorted = (
+        tree.keys != INVALID_KEY
+        if live is None
+        else live[tree.order] & (tree.keys != INVALID_KEY)
+    )
+    # rank among LIVE slots of the node + live count per node, from one
+    # cumulative live count: exclusive value at the node start broadcast
+    # forward, inclusive value at the node end broadcast backward
+    cum = jnp.cumsum(live_sorted.astype(jnp.int32))
+    start_excl = _cummax(jnp.where(new_node, cum - live_sorted, 0))
+    is_end = jnp.concatenate([new_node[1:], jnp.ones(1, bool)])
+    end_incl = _revcummin(jnp.where(is_end, cum, jnp.int32(0x7FFFFFFF)))
+    rank = cum - 1 - start_excl
+    count = end_incl - start_excl
     stride = jnp.maximum((count + points_per_node - 1) // points_per_node, 1)
-    keep_sorted = (rank % stride == 0) & (tree.keys != INVALID_KEY)
+    keep_sorted = live_sorted & (rank % stride == 0)
     # scatter back to original order
     keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
     return keep

@@ -195,7 +195,7 @@ class Session:
             # per refresh below.
             tree = octree_mod.build(self.cloud.pos, self.cloud.valid)
             self._tree = tree
-        lod = octree_mod.lod_mask(tree, level, points_per_node) & mask
+        lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask)
         cap = capacity or min(self.cloud.capacity, 4 << 20)
         prop = splat.prop_from_segment(self.cloud.segment)
         count, (pos_c, prop_c) = octree_mod.compact(
