@@ -255,6 +255,9 @@ class Repl:
             self._print(f"saved {args[0]}")
         elif cmd == "open":
             self.s = Session.open(args[0], s.config)
+            self.selected = None
+            self.draw_target = None
+            self.combine_first = None
             self._print(f"opened {args[0]}")
         elif cmd == "add":
             s.add_las(args[0])
