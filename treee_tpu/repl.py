@@ -40,6 +40,9 @@ commands (reference widget/mouse equivalents in parens):
   overlay hull|rbv|axis on|off                     focused overlays
   classify ground|trunk|crown PX PY                focused reclassify brush
   lod on|off              render from the octree LOD subset
+  showdeleted on|off      include deleted points in renders (mod.rs:36)
+  undelete PX PY          restore deleted points in the brush (draw with
+                          show-deleted, mod.rs:845-870)
   pointsize V | palette turbo|warm|white | eyedome S | range MIN MAX
   render [PATH] | focusrender [PATH]               write a frame PNG
   info [SEG] | traits [SEG] | coords [SEG]         analytics (egui panels)
@@ -61,6 +64,7 @@ class Repl:
         self.display = "classification"
         self.overlays = {"hull": False, "rbv": False, "axis": False}
         self.use_lod = False
+        self.show_deleted = False  # mod.rs:36,261 show_deleted toggle
         self.fp = False  # Controller::FirstPerson vs Orbital (camera.rs:147-151)
         self.frame_idx = 0
 
@@ -185,6 +189,21 @@ class Repl:
             self.overlays[args[0]] = args[1] == "on"
         elif cmd == "lod":
             self.use_lod = args[0] == "on"
+        elif cmd == "showdeleted":
+            self.show_deleted = args[0] == "on"
+        elif cmd == "undelete":
+            # restore deleted points in the brush into the selected segment
+            # (the reference draws over deleted points when show_deleted is
+            # on, mod.rs:845-870)
+            seg, hit = self._ray_hit(float(args[0]), float(args[1]))
+            if hit is None:
+                self._print("miss")
+            else:
+                target = self.selected if self.selected is not None else seg
+                self.s.draw_sphere(hit, target, include_deleted=True)
+                self._print(
+                    f"restored around {np.round(hit, 2)} -> segment {target}"
+                )
         elif cmd == "pointsize":
             s.config = s.config.replace(
                 render=dataclasses.replace(rcfg, point_size=float(args[0]))
@@ -209,8 +228,11 @@ class Repl:
                 )
             )
         elif cmd == "render":
-            self._save_png(s.render(use_lod=self.use_lod),
-                           args[0] if args else None)
+            self._save_png(
+                s.render(use_lod=self.use_lod,
+                         show_deleted=self.show_deleted),
+                args[0] if args else None,
+            )
         elif cmd == "focusrender":
             sid = self.selected
             if sid is None:
