@@ -117,6 +117,31 @@ def main() -> None:
     segment = bench("assign_points(gather)", stage_assign,
                     slot_grids, band, cx, cz, valid)
     bench("characteristics", stage_chars, pos, segment, valid)
+
+    # characteristics internals (the remaining big stage): isolate the sort,
+    # the [N,K] segmented scan, and the bucket-table searchsorted
+    import jax.numpy as jnp2
+
+    @jax.jit
+    def chars_sort(pos, segment, valid):
+        s_cap = scfg.max_segments + 1
+        key = jnp2.where(
+            valid & (segment > 0) & (segment < s_cap), segment, s_cap
+        ).astype(jnp2.int32)
+        return jax.lax.sort((key, pos[:, 0], pos[:, 2]), num_keys=1)[0]
+
+    key_s = bench("  chars: sort(key+2 payloads)", chars_sort,
+                  pos, segment, valid)
+    scores = jnp.zeros((pos.shape[0], cfg.characteristics.hull_directions),
+                       jnp.float32)
+    bench("  chars: [N,K] segmented scan",
+          jax.jit(ch._segmented_cummax), key_s, scores)
+    bench("  chars: bucket searchsorted",
+          jax.jit(lambda k, v: ch._run_last_table(
+              k, v, (scfg.max_segments + 1) * cfg.characteristics.max_slices,
+              -3.0e38)),
+          key_s, scores)
+
     bench("FULL full_pipeline", pipe, pos, valid, d)
 
 
