@@ -1,0 +1,1343 @@
+// LASzip layered (v3) point codec: LAS 1.4 point formats 6-8 (.laz
+// "compressor 3" streams with POINT14 / RGB14 / RGBNIR14 / BYTE14 items).
+//
+// Native counterpart of the reference's layered decompressor path
+// (treee/src/laz.rs:147-159: item version 3|4 -> LayeredPointRecordDecompressor
+// from the Rust `laz` crate).  Implements the public LASzip layered scheme:
+//
+// - each chunk stores its first point RAW, then a u32 point count, then one
+//   u32 byte-size per layer, then the layers' arithmetic-coded byte blobs;
+// - every field family is its own LAYER with an independent FastAC stream
+//   (channel/returns/XY, Z, classification, flags, intensity, scan angle,
+//   user data, point source, GPS time for POINT14; one layer per RGB/NIR
+//   block; one layer per extra-byte column), enabling selective field decode;
+// - model state is quadruplicated over the 4 scanner-channel CONTEXTS with
+//   lazy seeding from the previously active context.
+//
+// Both directions are implemented; correctness is established by roundtrip
+// (this environment has no ground-truth format-6+ .laz sample).  Details most
+// at risk vs. upstream LASzip bit-streams, kept honest here:
+//   * the 16x16 (n_returns, return_number) -> {6 contexts, 8 levels} tables
+//     are DERIVED (extension of the published 8x8 v2 tables + |n-r| level),
+//     not copied from upstream's clustered tables — a real upstream stream
+//     would pick different adaptive models (decode would diverge);
+//   * the exact changed_values bit assignments and the chunk-internal
+//     ordering of count/sizes/blobs follow the published layout as documented,
+//     validated by self-roundtrip only.
+// If a real .laz format-6 file ever fails, look here first.
+
+#include <cstring>
+#include <vector>
+
+#include "laszip_core.h"
+
+namespace laszip {
+namespace layered {
+
+// ---------------------------------------------------------------------------
+// (number_of_returns, return_number) context tables, 4-bit domain.
+// m6: single(0) / first(1) / last(2) / second(3) / second-to-last(4) /
+// intermediate(5); l8: clamp(|n - r|, 0, 7) (the v2 8x8 level table is
+// exactly |n - r|; this extends it to the 4-bit LAS 1.4 fields).
+// ---------------------------------------------------------------------------
+
+static inline u32 map6(u32 n, u32 r) {
+  if (n <= 1) return r <= 1 ? 0u : 5u;
+  if (r == 1) return 1;
+  if (r >= n) return 2;
+  if (r == 2) return 3;
+  if (r + 1 == n) return 4;
+  return 5;
+}
+
+static inline u32 level8(u32 n, u32 r) {
+  const u32 d = n > r ? n - r : r - n;
+  return d > 7 ? 7 : d;
+}
+
+// LAS 1.4 point format 6 record (30 bytes on disk).
+#pragma pack(push, 1)
+struct Point14 {
+  i32 x, y, z;
+  u16 intensity;
+  u8 returns;  // return#(0-3) | number of returns(4-7)
+  u8 flags;    // class flags(0-3) | scanner channel(4-5) | scan dir(6) | edge(7)
+  u8 classification;
+  u8 user_data;
+  i16 scan_angle;
+  u16 point_source_id;
+  u64 gps_time_bits;
+};
+#pragma pack(pop)
+static_assert(sizeof(Point14) == 30, "LAS point format 6 is 30 bytes");
+
+// POINT14 layer indices (one independent arithmetic stream each).
+enum P14Layer {
+  L_XY = 0, L_Z, L_CLS, L_FLAGS, L_INT, L_SA, L_UD, L_PS, L_GPS,
+  P14_LAYERS
+};
+
+constexpr u32 kGpsMulti = 500;
+constexpr i32 kGpsMultiMinus = -10;
+constexpr u32 kGpsMultiUnchanged = kGpsMulti - kGpsMultiMinus + 1;  // 511
+constexpr u32 kGpsMultiCodeFull = kGpsMulti - kGpsMultiMinus + 2;   // 512
+constexpr u32 kGpsMultiTotal = kGpsMulti - kGpsMultiMinus + 6;      // 516
+
+// Full model state for one scanner-channel context of POINT14.
+struct P14Context {
+  bool unused = true;
+  Point14 last;
+  bool gps_time_change = false;
+  u16 last_intensity[8];
+  StreamingMedian5 med_x[12], med_y[12];
+  i32 last_z[8];
+
+  SymbolModel m_changed_values[8];
+  SymbolModel m_scanner_channel;
+  SymbolModel m_number_of_returns[16];
+  u8 init_nr[16];
+  SymbolModel m_return_number[16];
+  u8 init_rn[16];
+  SymbolModel m_return_number_gps_same;
+  IntegerCompressor ic_dx, ic_dy, ic_z;
+  SymbolModel m_classification[64];
+  u8 init_cls[64];
+  SymbolModel m_flags[64];
+  u8 init_flags[64];
+  SymbolModel m_user_data[64];
+  u8 init_ud[64];
+  IntegerCompressor ic_intensity, ic_scan_angle, ic_point_source;
+
+  i64 last_gpstime[4];
+  i32 last_gpstime_diff[4];
+  i32 multi_extreme_counter[4];
+  u32 gps_last, gps_next;
+  SymbolModel m_gpstime_multi, m_gpstime_0diff;
+  IntegerCompressor ic_gpstime;
+
+  void init(const Point14& seed, u32 channel, bool for_compress) {
+    unused = false;
+    last = seed;
+    last.flags = static_cast<u8>((last.flags & ~0x30u) | (channel << 4));
+    gps_time_change = false;
+    for (int i = 0; i < 8; ++i) {
+      last_intensity[i] = seed.intensity;
+      last_z[i] = seed.z;
+    }
+    for (int i = 0; i < 12; ++i) {
+      med_x[i].init();
+      med_y[i].init();
+    }
+    for (auto& m : m_changed_values) m.init(128, for_compress);
+    m_scanner_channel.init(3, for_compress);
+    std::memset(init_nr, 0, sizeof(init_nr));
+    std::memset(init_rn, 0, sizeof(init_rn));
+    m_return_number_gps_same.init(13, for_compress);
+    ic_dx.init(32, 2, for_compress);
+    ic_dy.init(32, 22, for_compress);
+    ic_z.init(32, 20, for_compress);
+    std::memset(init_cls, 0, sizeof(init_cls));
+    std::memset(init_flags, 0, sizeof(init_flags));
+    std::memset(init_ud, 0, sizeof(init_ud));
+    ic_intensity.init(16, 4, for_compress);
+    ic_scan_angle.init(16, 2, for_compress);
+    ic_point_source.init(16, 1, for_compress);
+
+    i64 t;
+    std::memcpy(&t, &seed.gps_time_bits, 8);
+    last_gpstime[0] = t;
+    last_gpstime[1] = last_gpstime[2] = last_gpstime[3] = 0;
+    for (int i = 0; i < 4; ++i) {
+      last_gpstime_diff[i] = 0;
+      multi_extreme_counter[i] = 0;
+    }
+    gps_last = gps_next = 0;
+    m_gpstime_multi.init(kGpsMultiTotal, for_compress);
+    m_gpstime_0diff.init(5, for_compress);
+    ic_gpstime.init(32, 9, for_compress);
+  }
+
+  SymbolModel& lazy(SymbolModel* ms, u8* flags_, u32 i, u32 n_symbols,
+                    bool for_compress) {
+    if (!flags_[i]) {
+      ms[i].init(n_symbols, for_compress);
+      flags_[i] = 1;
+    }
+    return ms[i];
+  }
+};
+
+struct Point14Codec {
+  bool compressing = false;
+  u32 current = 0;
+  P14Context ctx[4];
+
+  void init(const Point14& first, bool for_compress) {
+    compressing = for_compress;
+    for (auto& c : ctx) c.unused = true;
+    current = (first.flags >> 4) & 3;
+    ctx[current].init(first, current, for_compress);
+  }
+
+  void bump_extreme(P14Context& c, i32 diff) {
+    if (++c.multi_extreme_counter[c.gps_last] > 3) {
+      c.last_gpstime_diff[c.gps_last] = diff;
+      c.multi_extreme_counter[c.gps_last] = 0;
+    }
+  }
+
+  void read_gps(Decoder& dec, P14Context& c) {
+    for (;;) {
+      if (c.last_gpstime_diff[c.gps_last] == 0) {
+        const u32 multi = dec.decode_symbol(c.m_gpstime_0diff);
+        if (multi == 0) {  // difference fits in 32 bits
+          const i32 d = c.ic_gpstime.decompress(dec, 0, 0);
+          c.last_gpstime_diff[c.gps_last] = d;
+          c.last_gpstime[c.gps_last] += d;
+          c.multi_extreme_counter[c.gps_last] = 0;
+        } else if (multi == 1) {  // full 64-bit escape -> new sequence
+          c.gps_next = (c.gps_next + 1) & 3;
+          const u64 hi = static_cast<u32>(c.ic_gpstime.decompress(
+              dec,
+              static_cast<i32>(static_cast<u64>(c.last_gpstime[c.gps_last]) >> 32),
+              8));
+          c.gps_last = c.gps_next;
+          c.last_gpstime[c.gps_last] =
+              static_cast<i64>((hi << 32) | dec.read_bits(32));
+          c.last_gpstime_diff[c.gps_last] = 0;
+          c.multi_extreme_counter[c.gps_last] = 0;
+        } else {  // 2..4: switch to another tracked sequence
+          c.gps_last = (c.gps_last + multi - 1) & 3;
+          continue;
+        }
+        return;
+      }
+      const u32 multi = dec.decode_symbol(c.m_gpstime_multi);
+      if (multi == 1) {
+        c.last_gpstime[c.gps_last] += c.ic_gpstime.decompress(
+            dec, c.last_gpstime_diff[c.gps_last], 1);
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi < kGpsMultiUnchanged) {
+        i32 diff;
+        if (multi == 0) {
+          diff = c.ic_gpstime.decompress(dec, 0, 7);
+          bump_extreme(c, diff);
+        } else if (multi < kGpsMulti) {
+          diff = c.ic_gpstime.decompress(
+              dec,
+              static_cast<i32>(multi) * c.last_gpstime_diff[c.gps_last],
+              multi < 10 ? 2 : 3);
+        } else if (multi == kGpsMulti) {
+          diff = c.ic_gpstime.decompress(
+              dec, static_cast<i32>(kGpsMulti) * c.last_gpstime_diff[c.gps_last],
+              4);
+          bump_extreme(c, diff);
+        } else {
+          const i32 neg = static_cast<i32>(kGpsMulti) - static_cast<i32>(multi);
+          if (neg > kGpsMultiMinus) {
+            diff = c.ic_gpstime.decompress(
+                dec, neg * c.last_gpstime_diff[c.gps_last], 5);
+          } else {
+            diff = c.ic_gpstime.decompress(
+                dec, kGpsMultiMinus * c.last_gpstime_diff[c.gps_last], 6);
+            bump_extreme(c, diff);
+          }
+        }
+        c.last_gpstime[c.gps_last] += diff;
+      } else if (multi == kGpsMultiCodeFull) {
+        c.gps_next = (c.gps_next + 1) & 3;
+        const u64 hi = static_cast<u32>(c.ic_gpstime.decompress(
+            dec,
+            static_cast<i32>(static_cast<u64>(c.last_gpstime[c.gps_last]) >> 32),
+            8));
+        c.gps_last = c.gps_next;
+        c.last_gpstime[c.gps_last] =
+            static_cast<i64>((hi << 32) | dec.read_bits(32));
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi > kGpsMultiCodeFull) {
+        c.gps_last = (c.gps_last + multi - kGpsMultiCodeFull) & 3;
+        continue;
+      }
+      // multi == kGpsMultiUnchanged: value unchanged
+      return;
+    }
+  }
+
+  void write_gps(Encoder& enc, P14Context& c, i64 cur) {
+    for (;;) {
+      const i64 lastv = c.last_gpstime[c.gps_last];
+      if (c.last_gpstime_diff[c.gps_last] == 0) {
+        const i64 diff64 = cur - lastv;
+        const i32 diff = static_cast<i32>(diff64);
+        if (diff64 == static_cast<i64>(diff)) {
+          enc.encode_symbol(c.m_gpstime_0diff, 0);
+          c.ic_gpstime.compress(enc, 0, diff, 0);
+          c.last_gpstime_diff[c.gps_last] = diff;
+          c.multi_extreme_counter[c.gps_last] = 0;
+          c.last_gpstime[c.gps_last] = cur;
+          return;
+        }
+        // huge: continue another tracked sequence if one fits
+        for (u32 i = 1; i < 4; ++i) {
+          const i64 od = cur - c.last_gpstime[(c.gps_last + i) & 3];
+          if (od == static_cast<i64>(static_cast<i32>(od))) {
+            enc.encode_symbol(c.m_gpstime_0diff, i + 1);
+            c.gps_last = (c.gps_last + i) & 3;
+            goto continue_outer0;
+          }
+        }
+        enc.encode_symbol(c.m_gpstime_0diff, 1);
+        c.ic_gpstime.compress(
+            enc, static_cast<i32>(static_cast<u64>(lastv) >> 32),
+            static_cast<i32>(static_cast<u64>(cur) >> 32), 8);
+        enc.write_bits(32, static_cast<u32>(static_cast<u64>(cur)));
+        c.gps_next = (c.gps_next + 1) & 3;
+        c.gps_last = c.gps_next;
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+        c.last_gpstime[c.gps_last] = cur;
+        return;
+      continue_outer0:;
+        continue;
+      }
+      if (cur == lastv) {
+        enc.encode_symbol(c.m_gpstime_multi, kGpsMultiUnchanged);
+        return;
+      }
+      const i64 diff64 = cur - lastv;
+      const i32 diff = static_cast<i32>(diff64);
+      if (diff64 == static_cast<i64>(diff)) {
+        const float mf = static_cast<float>(diff) /
+                         static_cast<float>(c.last_gpstime_diff[c.gps_last]);
+        const i32 multi = mf >= 0.0f ? static_cast<i32>(mf + 0.5f)
+                                     : static_cast<i32>(mf - 0.5f);
+        if (multi == 1) {
+          enc.encode_symbol(c.m_gpstime_multi, 1);
+          c.ic_gpstime.compress(enc, c.last_gpstime_diff[c.gps_last], diff, 1);
+          c.multi_extreme_counter[c.gps_last] = 0;
+        } else if (multi > 0) {
+          if (multi < static_cast<i32>(kGpsMulti)) {
+            enc.encode_symbol(c.m_gpstime_multi, static_cast<u32>(multi));
+            c.ic_gpstime.compress(enc, multi * c.last_gpstime_diff[c.gps_last],
+                                  diff, multi < 10 ? 2 : 3);
+          } else {
+            enc.encode_symbol(c.m_gpstime_multi, kGpsMulti);
+            c.ic_gpstime.compress(
+                enc,
+                static_cast<i32>(kGpsMulti) * c.last_gpstime_diff[c.gps_last],
+                diff, 4);
+            bump_extreme(c, diff);
+          }
+        } else if (multi < 0) {
+          if (multi > kGpsMultiMinus) {
+            enc.encode_symbol(c.m_gpstime_multi,
+                              static_cast<u32>(static_cast<i32>(kGpsMulti) - multi));
+            c.ic_gpstime.compress(enc, multi * c.last_gpstime_diff[c.gps_last],
+                                  diff, 5);
+          } else {
+            enc.encode_symbol(
+                c.m_gpstime_multi,
+                static_cast<u32>(static_cast<i32>(kGpsMulti) - kGpsMultiMinus));
+            c.ic_gpstime.compress(
+                enc, kGpsMultiMinus * c.last_gpstime_diff[c.gps_last], diff, 6);
+            bump_extreme(c, diff);
+          }
+        } else {
+          enc.encode_symbol(c.m_gpstime_multi, 0);
+          c.ic_gpstime.compress(enc, 0, diff, 7);
+          bump_extreme(c, diff);
+        }
+        c.last_gpstime[c.gps_last] = cur;
+        return;
+      }
+      for (u32 i = 1; i < 4; ++i) {
+        const i64 od = cur - c.last_gpstime[(c.gps_last + i) & 3];
+        if (od == static_cast<i64>(static_cast<i32>(od))) {
+          enc.encode_symbol(c.m_gpstime_multi, kGpsMultiCodeFull + i);
+          c.gps_last = (c.gps_last + i) & 3;
+          goto continue_outer1;
+        }
+      }
+      enc.encode_symbol(c.m_gpstime_multi, kGpsMultiCodeFull);
+      c.ic_gpstime.compress(enc,
+                            static_cast<i32>(static_cast<u64>(lastv) >> 32),
+                            static_cast<i32>(static_cast<u64>(cur) >> 32), 8);
+      enc.write_bits(32, static_cast<u32>(static_cast<u64>(cur)));
+      c.gps_next = (c.gps_next + 1) & 3;
+      c.gps_last = c.gps_next;
+      c.last_gpstime_diff[c.gps_last] = 0;
+      c.multi_extreme_counter[c.gps_last] = 0;
+      c.last_gpstime[c.gps_last] = cur;
+      return;
+    continue_outer1:;
+    }
+  }
+
+  void read(Decoder* dec, Point14* out) {
+    // lpr context: single/first/last of the LAST point + its gps change flag
+    {
+      const Point14& pl = ctx[current].last;
+      const u32 last_r = pl.returns & 15, last_n = pl.returns >> 4;
+      const u32 lpr = (last_r == 1 ? 1u : 0u) + (last_r >= last_n ? 2u : 0u) +
+                      (ctx[current].gps_time_change ? 4u : 0u);
+      const u32 changed =
+          dec[L_XY].decode_symbol(ctx[current].m_changed_values[lpr]);
+      if (changed & 64) {  // scanner channel changed (old context's model)
+        const u32 diff = dec[L_XY].decode_symbol(ctx[current].m_scanner_channel);
+        const u32 sc = (current + diff + 1) & 3;
+        if (ctx[sc].unused) ctx[sc].init(ctx[current].last, sc, compressing);
+        current = sc;
+      }
+      decode_rest(dec, changed, out);
+    }
+  }
+
+  void decode_rest(Decoder* dec, u32 changed, Point14* out) {
+    P14Context& c = ctx[current];
+    Point14& last = c.last;
+    const u32 last_r = last.returns & 15, last_n = last.returns >> 4;
+    const bool ps_change = changed & 32;
+    const bool gps_change = changed & 16;
+    const bool sa_change = changed & 8;
+    const u32 g = gps_change ? 1u : 0u;
+
+    u32 n = last_n;
+    if (changed & 4)
+      n = dec[L_XY].decode_symbol(
+          c.lazy(c.m_number_of_returns, c.init_nr, last_n, 16, compressing));
+    u32 r;
+    switch (changed & 3) {
+      case 0: r = last_r; break;
+      case 1: r = (last_r + 1) & 15; break;
+      case 2: r = (last_r + 15) & 15; break;
+      default:
+        if (gps_change) {
+          r = dec[L_XY].decode_symbol(
+              c.lazy(c.m_return_number, c.init_rn, last_r, 16, compressing));
+        } else {
+          const u32 sym = dec[L_XY].decode_symbol(c.m_return_number_gps_same);
+          r = (last_r + sym + 2) & 15;
+        }
+        break;
+    }
+    last.returns = static_cast<u8>(r | (n << 4));
+
+    const u32 m = map6(n, r);
+    const u32 l = level8(n, r);
+    const u32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    // X/Y (same layer): median-of-5 predicted deltas
+    i32 median = c.med_x[(m << 1) | g].get();
+    i32 diff = c.ic_dx.decompress(dec[L_XY], median, n == 1 ? 1 : 0);
+    last.x += diff;
+    c.med_x[(m << 1) | g].add(diff);
+
+    const u32 kx = c.ic_dx.k;
+    median = c.med_y[(m << 1) | g].get();
+    diff = c.ic_dy.decompress(dec[L_XY], median,
+                              (n == 1 ? 1 : 0) + (kx < 20 ? (kx & ~1u) : 20));
+    last.y += diff;
+    c.med_y[(m << 1) | g].add(diff);
+
+    // Z layer: per-level height prediction
+    const u32 kz = (kx + c.ic_dy.k) / 2;
+    last.z = c.ic_z.decompress(dec[L_Z], c.last_z[l],
+                               (n == 1 ? 1 : 0) + (kz < 18 ? (kz & ~1u) : 18));
+    c.last_z[l] = last.z;
+
+    // classification layer
+    const u32 ccc = ((last.classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+    last.classification = static_cast<u8>(dec[L_CLS].decode_symbol(
+        c.lazy(c.m_classification, c.init_cls, ccc, 256, compressing)));
+
+    // flags layer: class flags(0-3) | scan dir(4) | edge(5)
+    const u32 lf = (last.flags & 0x0F) | (((last.flags >> 6) & 1) << 4) |
+                   (((last.flags >> 7) & 1) << 5);
+    const u32 f = dec[L_FLAGS].decode_symbol(
+        c.lazy(c.m_flags, c.init_flags, lf, 64, compressing));
+    last.flags = static_cast<u8>((f & 0x0F) | (current << 4) |
+                                 (((f >> 4) & 1) << 6) | (((f >> 5) & 1) << 7));
+
+    // intensity layer
+    const u16 it = static_cast<u16>(c.ic_intensity.decompress(
+        dec[L_INT], c.last_intensity[(cpr << 1) | g], cpr));
+    c.last_intensity[(cpr << 1) | g] = it;
+    last.intensity = it;
+
+    // scan angle layer
+    if (sa_change) {
+      last.scan_angle = static_cast<i16>(static_cast<u16>(
+          c.ic_scan_angle.decompress(
+              dec[L_SA], static_cast<u16>(last.scan_angle), g)));
+    }
+
+    // user data layer
+    last.user_data = static_cast<u8>(dec[L_UD].decode_symbol(
+        c.lazy(c.m_user_data, c.init_ud, last.user_data / 4, 256, compressing)));
+
+    // point source layer
+    if (ps_change)
+      last.point_source_id = static_cast<u16>(
+          c.ic_point_source.decompress(dec[L_PS], last.point_source_id));
+
+    // GPS time layer
+    if (gps_change) read_gps(dec[L_GPS], c);
+    std::memcpy(&last.gps_time_bits, &c.last_gpstime[c.gps_last], 8);
+
+    c.gps_time_change = gps_change;
+    *out = last;
+  }
+
+  void write(Encoder* enc, const Point14& cur) {
+    const u32 sc = (cur.flags >> 4) & 3;
+    const u32 old = current;
+    P14Context& co = ctx[old];
+    const Point14& pl = co.last;
+    const u32 last_r_old = pl.returns & 15, last_n_old = pl.returns >> 4;
+    const u32 lpr = (last_r_old == 1 ? 1u : 0u) +
+                    (last_r_old >= last_n_old ? 2u : 0u) +
+                    (co.gps_time_change ? 4u : 0u);
+
+    const bool channel_change = sc != current;
+    if (channel_change && ctx[sc].unused)
+      ctx[sc].init(ctx[current].last, sc, compressing);
+    P14Context& c = ctx[sc];
+    const Point14& lastt = c.last;
+    const u32 last_r = lastt.returns & 15, last_n = lastt.returns >> 4;
+
+    const u32 r = cur.returns & 15, n = cur.returns >> 4;
+    i64 cur_gps;
+    std::memcpy(&cur_gps, &cur.gps_time_bits, 8);
+    const bool gps_change = cur_gps != c.last_gpstime[c.gps_last];
+
+    u32 rn_code;
+    if (r == last_r) rn_code = 0;
+    else if (r == ((last_r + 1) & 15)) rn_code = 1;
+    else if (r == ((last_r + 15) & 15)) rn_code = 2;
+    else rn_code = 3;
+
+    const u32 changed =
+        (channel_change ? 64u : 0u) |
+        (cur.point_source_id != lastt.point_source_id ? 32u : 0u) |
+        (gps_change ? 16u : 0u) |
+        (cur.scan_angle != lastt.scan_angle ? 8u : 0u) |
+        (n != last_n ? 4u : 0u) | rn_code;
+    enc[L_XY].encode_symbol(co.m_changed_values[lpr], changed);
+    if (channel_change) {
+      enc[L_XY].encode_symbol(co.m_scanner_channel, (sc - current - 1) & 3);
+      current = sc;
+    }
+
+    const u32 g = gps_change ? 1u : 0u;
+    if (changed & 4)
+      enc[L_XY].encode_symbol(
+          c.lazy(c.m_number_of_returns, c.init_nr, last_n, 16, compressing), n);
+    if (rn_code == 3) {
+      if (gps_change) {
+        enc[L_XY].encode_symbol(
+            c.lazy(c.m_return_number, c.init_rn, last_r, 16, compressing), r);
+      } else {
+        enc[L_XY].encode_symbol(c.m_return_number_gps_same,
+                                (r - last_r - 2) & 15);
+      }
+    }
+    c.last.returns = cur.returns;
+
+    const u32 m = map6(n, r);
+    const u32 l = level8(n, r);
+    const u32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    i32 median = c.med_x[(m << 1) | g].get();
+    i32 diff = cur.x - c.last.x;
+    c.ic_dx.compress(enc[L_XY], median, diff, n == 1 ? 1 : 0);
+    c.med_x[(m << 1) | g].add(diff);
+    c.last.x = cur.x;
+
+    const u32 kx = c.ic_dx.k;
+    median = c.med_y[(m << 1) | g].get();
+    diff = cur.y - c.last.y;
+    c.ic_dy.compress(enc[L_XY], median, diff,
+                     (n == 1 ? 1 : 0) + (kx < 20 ? (kx & ~1u) : 20));
+    c.med_y[(m << 1) | g].add(diff);
+    c.last.y = cur.y;
+
+    const u32 kz = (kx + c.ic_dy.k) / 2;
+    c.ic_z.compress(enc[L_Z], c.last_z[l], cur.z,
+                    (n == 1 ? 1 : 0) + (kz < 18 ? (kz & ~1u) : 18));
+    c.last_z[l] = cur.z;
+    c.last.z = cur.z;
+
+    const u32 ccc =
+        ((c.last.classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+    enc[L_CLS].encode_symbol(
+        c.lazy(c.m_classification, c.init_cls, ccc, 256, compressing),
+        cur.classification);
+    c.last.classification = cur.classification;
+
+    const u32 lf = (c.last.flags & 0x0F) | (((c.last.flags >> 6) & 1) << 4) |
+                   (((c.last.flags >> 7) & 1) << 5);
+    const u32 f = (cur.flags & 0x0F) | (((cur.flags >> 6) & 1) << 4) |
+                  (((cur.flags >> 7) & 1) << 5);
+    enc[L_FLAGS].encode_symbol(
+        c.lazy(c.m_flags, c.init_flags, lf, 64, compressing), f);
+    c.last.flags = static_cast<u8>((cur.flags & ~0x30u) | (sc << 4));
+
+    c.ic_intensity.compress(enc[L_INT], c.last_intensity[(cpr << 1) | g],
+                            cur.intensity, cpr);
+    c.last_intensity[(cpr << 1) | g] = cur.intensity;
+    c.last.intensity = cur.intensity;
+
+    if (changed & 8) {
+      c.ic_scan_angle.compress(enc[L_SA],
+                               static_cast<u16>(c.last.scan_angle),
+                               static_cast<u16>(cur.scan_angle), g);
+      c.last.scan_angle = cur.scan_angle;
+    }
+
+    enc[L_UD].encode_symbol(
+        c.lazy(c.m_user_data, c.init_ud, c.last.user_data / 4, 256, compressing),
+        cur.user_data);
+    c.last.user_data = cur.user_data;
+
+    if (changed & 32) {
+      c.ic_point_source.compress(enc[L_PS], c.last.point_source_id,
+                                 cur.point_source_id);
+      c.last.point_source_id = cur.point_source_id;
+    }
+
+    if (gps_change) write_gps(enc[L_GPS], c, cur_gps);
+    c.last.gps_time_bits = cur.gps_time_bits;
+    c.gps_time_change = gps_change;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// RGB14 v3: the v2 RGB scheme with per-scanner-channel contexts + own layer.
+// ---------------------------------------------------------------------------
+
+struct RgbContext {
+  bool unused = true;
+  u16 last[3];
+  SymbolModel m_byte_used;
+  SymbolModel m_diff[6];
+
+  void init(const u8* seed6, bool for_compress) {
+    unused = false;
+    std::memcpy(last, seed6, 6);
+    m_byte_used.init(128, for_compress);
+    for (auto& m : m_diff) m.init(256, for_compress);
+  }
+};
+
+static u8 clamp8(i32 v) {
+  return v < 0 ? 0 : (v > 255 ? 255 : static_cast<u8>(v));
+}
+
+struct Rgb14Codec {
+  bool compressing = false;
+  u32 current = 0;
+  RgbContext ctx[4];
+
+  void init(const u8* first6, u32 context, bool for_compress) {
+    compressing = for_compress;
+    for (auto& c : ctx) c.unused = true;
+    current = context & 3;
+    ctx[current].init(first6, for_compress);
+  }
+
+  RgbContext& sync(u32 context) {
+    const u32 tgt = context & 3;
+    if (tgt != current) {
+      if (ctx[tgt].unused)
+        ctx[tgt].init(reinterpret_cast<u8*>(ctx[current].last), compressing);
+      current = tgt;
+    }
+    return ctx[current];
+  }
+
+  void read(Decoder& dec, u32 context, u8* out) {
+    RgbContext& c = sync(context);
+    u16 item[3];
+    const u32 sym = dec.decode_symbol(c.m_byte_used);
+    if (sym & 1)
+      item[0] = static_cast<u16>(
+          (dec.decode_symbol(c.m_diff[0]) + (c.last[0] & 0xFF)) & 0xFF);
+    else
+      item[0] = c.last[0] & 0xFF;
+    if (sym & 2)
+      item[0] |= static_cast<u16>(
+          ((dec.decode_symbol(c.m_diff[1]) + (c.last[0] >> 8)) & 0xFF) << 8);
+    else
+      item[0] |= c.last[0] & 0xFF00;
+    if (sym & 64) {
+      i32 diff = (item[0] & 0xFF) - (c.last[0] & 0xFF);
+      if (sym & 4)
+        item[1] = static_cast<u16>(
+            (dec.decode_symbol(c.m_diff[2]) + clamp8(diff + (c.last[1] & 0xFF))) &
+            0xFF);
+      else
+        item[1] = c.last[1] & 0xFF;
+      if (sym & 16) {
+        const i32 d2 = (diff + ((item[1] & 0xFF) - (c.last[1] & 0xFF))) / 2;
+        item[2] = static_cast<u16>(
+            (dec.decode_symbol(c.m_diff[4]) + clamp8(d2 + (c.last[2] & 0xFF))) &
+            0xFF);
+      } else {
+        item[2] = c.last[2] & 0xFF;
+      }
+      diff = (item[0] >> 8) - (c.last[0] >> 8);
+      if (sym & 8)
+        item[1] |= static_cast<u16>(
+            ((dec.decode_symbol(c.m_diff[3]) + clamp8(diff + (c.last[1] >> 8))) &
+             0xFF)
+            << 8);
+      else
+        item[1] |= c.last[1] & 0xFF00;
+      if (sym & 32) {
+        const i32 d2 = (diff + ((item[1] >> 8) - (c.last[1] >> 8))) / 2;
+        item[2] |= static_cast<u16>(
+            ((dec.decode_symbol(c.m_diff[5]) + clamp8(d2 + (c.last[2] >> 8))) &
+             0xFF)
+            << 8);
+      } else {
+        item[2] |= c.last[2] & 0xFF00;
+      }
+    } else {
+      item[1] = item[0];
+      item[2] = item[0];
+    }
+    std::memcpy(out, item, 6);
+    std::memcpy(c.last, item, 6);
+  }
+
+  void write(Encoder& enc, u32 context, const u8* cur6) {
+    RgbContext& c = sync(context);
+    u16 item[3];
+    std::memcpy(item, cur6, 6);
+    u32 sym = 0;
+    if ((c.last[0] & 0x00FF) != (item[0] & 0x00FF)) sym |= 1;
+    if ((c.last[0] & 0xFF00) != (item[0] & 0xFF00)) sym |= 2;
+    if ((c.last[1] & 0x00FF) != (item[1] & 0x00FF)) sym |= 4;
+    if ((c.last[1] & 0xFF00) != (item[1] & 0xFF00)) sym |= 8;
+    if ((c.last[2] & 0x00FF) != (item[2] & 0x00FF)) sym |= 16;
+    if ((c.last[2] & 0xFF00) != (item[2] & 0xFF00)) sym |= 32;
+    const bool differ = ((item[0] & 0x00FF) != (item[1] & 0x00FF)) ||
+                        ((item[0] & 0x00FF) != (item[2] & 0x00FF)) ||
+                        ((item[0] & 0xFF00) != (item[1] & 0xFF00)) ||
+                        ((item[0] & 0xFF00) != (item[2] & 0xFF00));
+    if (differ) sym |= 64;
+    enc.encode_symbol(c.m_byte_used, sym);
+    i32 diff;
+    if (sym & 1) {
+      diff = (item[0] & 0xFF) - (c.last[0] & 0xFF);
+      enc.encode_symbol(c.m_diff[0], static_cast<u8>(diff));
+    }
+    if (sym & 2) {
+      diff = (item[0] >> 8) - (c.last[0] >> 8);
+      enc.encode_symbol(c.m_diff[1], static_cast<u8>(diff));
+    }
+    if (sym & 64) {
+      if (sym & 4) {
+        diff = (item[0] & 0xFF) - (c.last[0] & 0xFF);
+        enc.encode_symbol(c.m_diff[2],
+                          static_cast<u8>((item[1] & 0xFF) -
+                                          clamp8(diff + (c.last[1] & 0xFF))));
+      }
+      if (sym & 16) {
+        diff = (((item[0] & 0xFF) - (c.last[0] & 0xFF)) +
+                ((item[1] & 0xFF) - (c.last[1] & 0xFF))) /
+               2;
+        enc.encode_symbol(c.m_diff[4],
+                          static_cast<u8>((item[2] & 0xFF) -
+                                          clamp8(diff + (c.last[2] & 0xFF))));
+      }
+      if (sym & 8) {
+        diff = (item[0] >> 8) - (c.last[0] >> 8);
+        enc.encode_symbol(
+            c.m_diff[3],
+            static_cast<u8>((item[1] >> 8) - clamp8(diff + (c.last[1] >> 8))));
+      }
+      if (sym & 32) {
+        diff = (((item[0] >> 8) - (c.last[0] >> 8)) +
+                ((item[1] >> 8) - (c.last[1] >> 8))) /
+               2;
+        enc.encode_symbol(
+            c.m_diff[5],
+            static_cast<u8>((item[2] >> 8) - clamp8(diff + (c.last[2] >> 8))));
+      }
+    }
+    std::memcpy(c.last, item, 6);
+  }
+};
+
+// NIR half of RGBNIR14: a 2-byte intensity-like channel with a used-mask,
+// sharing the RGB layer structure but its own layer stream.
+struct NirContext {
+  bool unused = true;
+  u16 last;
+  SymbolModel m_used;
+  SymbolModel m_diff[2];
+
+  void init(u16 seed, bool for_compress) {
+    unused = false;
+    last = seed;
+    m_used.init(4, for_compress);
+    for (auto& m : m_diff) m.init(256, for_compress);
+  }
+};
+
+struct Nir14Codec {
+  bool compressing = false;
+  u32 current = 0;
+  NirContext ctx[4];
+
+  void init(u16 first, u32 context, bool for_compress) {
+    compressing = for_compress;
+    for (auto& c : ctx) c.unused = true;
+    current = context & 3;
+    ctx[current].init(first, for_compress);
+  }
+
+  NirContext& sync(u32 context) {
+    const u32 tgt = context & 3;
+    if (tgt != current) {
+      if (ctx[tgt].unused) ctx[tgt].init(ctx[current].last, compressing);
+      current = tgt;
+    }
+    return ctx[current];
+  }
+
+  u16 read(Decoder& dec, u32 context) {
+    NirContext& c = sync(context);
+    u16 v;
+    const u32 sym = dec.decode_symbol(c.m_used);
+    if (sym & 1)
+      v = static_cast<u16>((dec.decode_symbol(c.m_diff[0]) + (c.last & 0xFF)) &
+                           0xFF);
+    else
+      v = c.last & 0xFF;
+    if (sym & 2)
+      v |= static_cast<u16>(
+          ((dec.decode_symbol(c.m_diff[1]) + (c.last >> 8)) & 0xFF) << 8);
+    else
+      v |= c.last & 0xFF00;
+    c.last = v;
+    return v;
+  }
+
+  void write(Encoder& enc, u32 context, u16 cur) {
+    NirContext& c = sync(context);
+    u32 sym = 0;
+    if ((c.last & 0x00FF) != (cur & 0x00FF)) sym |= 1;
+    if ((c.last & 0xFF00) != (cur & 0xFF00)) sym |= 2;
+    enc.encode_symbol(c.m_used, sym);
+    if (sym & 1)
+      enc.encode_symbol(c.m_diff[0],
+                        static_cast<u8>((cur & 0xFF) - (c.last & 0xFF)));
+    if (sym & 2)
+      enc.encode_symbol(c.m_diff[1],
+                        static_cast<u8>((cur >> 8) - (c.last >> 8)));
+    c.last = cur;
+  }
+};
+
+// BYTE14 v3: per-context, one folded-difference model AND one layer per
+// extra-byte column.
+struct Byte14Codec {
+  bool compressing = false;
+  u32 n = 0;
+  u32 current = 0;
+  struct Ctx {
+    bool unused = true;
+    std::vector<u8> last;
+    std::vector<SymbolModel> models;
+  } ctx[4];
+
+  void init_ctx(Ctx& c, const u8* seed, bool for_compress) {
+    c.unused = false;
+    c.last.assign(seed, seed + n);
+    c.models.assign(n, SymbolModel());
+    for (auto& m : c.models) m.init(256, for_compress);
+  }
+
+  void init(const u8* first, u32 n_bytes, u32 context, bool for_compress) {
+    compressing = for_compress;
+    n = n_bytes;
+    for (auto& c : ctx) c.unused = true;
+    current = context & 3;
+    init_ctx(ctx[current], first, for_compress);
+  }
+
+  Ctx& sync(u32 context) {
+    const u32 tgt = context & 3;
+    if (tgt != current) {
+      if (ctx[tgt].unused)
+        init_ctx(ctx[tgt], ctx[current].last.data(), compressing);
+      current = tgt;
+    }
+    return ctx[current];
+  }
+
+  void read(Decoder* dec, u32 context, u8* out) {
+    Ctx& c = sync(context);
+    for (u32 i = 0; i < n; ++i) {
+      const u32 corr = dec[i].decode_symbol(c.models[i]);
+      c.last[i] = static_cast<u8>(corr + c.last[i]);
+      out[i] = c.last[i];
+    }
+  }
+
+  void write(Encoder* enc, u32 context, const u8* cur) {
+    Ctx& c = sync(context);
+    for (u32 i = 0; i < n; ++i) {
+      enc[i].encode_symbol(c.models[i], static_cast<u8>(cur[i] - c.last[i]));
+      c.last[i] = cur[i];
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Layered chunk codec driven by the VLR item list
+// ---------------------------------------------------------------------------
+
+enum LayeredItemType : u16 {
+  ITEM_POINT14 = 10,
+  ITEM_RGB14 = 11,
+  ITEM_RGBNIR14 = 12,
+  ITEM_WAVEPACKET14 = 13,
+  ITEM_BYTE14 = 14,
+};
+
+struct LayeredItemSpec {
+  u16 type;
+  u16 size;
+};
+
+static u32 item_layers(const LayeredItemSpec& it) {
+  switch (it.type) {
+    case ITEM_POINT14: return P14_LAYERS;
+    case ITEM_RGB14: return 1;
+    case ITEM_RGBNIR14: return 2;
+    case ITEM_BYTE14: return it.size;
+    default: return 0;
+  }
+}
+
+static bool item_supported(const LayeredItemSpec& it) {
+  switch (it.type) {
+    case ITEM_POINT14: return it.size == 30;
+    case ITEM_RGB14: return it.size == 6;
+    case ITEM_RGBNIR14: return it.size == 8;
+    case ITEM_BYTE14: return it.size > 0;
+    default: return false;
+  }
+}
+
+// Decompress one layered chunk:
+// [raw first record][u32 n_points][layer size u32s, item order][layer blobs].
+int decompress_chunk(const u8* data, u64 len, u32 n_points,
+                     const std::vector<LayeredItemSpec>& items,
+                     u32 point_length, u8* out) {
+  if (n_points == 0) return 0;
+  if (len < static_cast<u64>(point_length) + 4) return 1;
+  std::memcpy(out, data, point_length);
+  if (n_points == 1) return 0;
+
+  u64 pos = point_length;
+  u32 stored_count;
+  std::memcpy(&stored_count, data + pos, 4);
+  pos += 4;
+  (void)stored_count;  // redundant with the chunk table except the last chunk
+
+  // layer sizes, in item order
+  u32 total_layers = 0;
+  for (const auto& it : items) total_layers += item_layers(it);
+  if (pos + 4ull * total_layers > len) return 1;
+  std::vector<u32> sizes(total_layers);
+  for (u32 i = 0; i < total_layers; ++i) {
+    std::memcpy(&sizes[i], data + pos, 4);
+    pos += 4;
+  }
+
+  // layer decoders over the blob ranges
+  std::vector<Decoder> dec(total_layers);
+  for (u32 i = 0; i < total_layers; ++i) {
+    if (pos + sizes[i] > len) return 1;
+    dec[i].init(data + pos, sizes[i]);
+    pos += sizes[i];
+  }
+
+  // codec states seeded from the raw first record
+  Point14Codec p14;
+  Rgb14Codec rgb;
+  Nir14Codec nir;
+  std::vector<Byte14Codec> bytes;
+  u32 context = 0;
+  {
+    u32 off = 0, layer = 0;
+    for (const auto& it : items) {
+      (void)layer;
+      switch (it.type) {
+        case ITEM_POINT14: {
+          Point14 p;
+          std::memcpy(&p, out + off, sizeof(Point14));
+          p14.init(p, false);
+          context = p14.current;
+          break;
+        }
+        case ITEM_RGB14:
+          rgb.init(out + off, context, false);
+          break;
+        case ITEM_RGBNIR14: {
+          rgb.init(out + off, context, false);
+          u16 nv;
+          std::memcpy(&nv, out + off + 6, 2);
+          nir.init(nv, context, false);
+          break;
+        }
+        case ITEM_BYTE14:
+          bytes.emplace_back();
+          bytes.back().init(out + off, it.size, context, false);
+          break;
+        default:
+          return 2;
+      }
+      off += it.size;
+      layer += item_layers(it);
+    }
+  }
+
+  for (u32 i = 1; i < n_points; ++i) {
+    u8* rec = out + static_cast<u64>(i) * point_length;
+    u32 off = 0, layer = 0, byte_codec = 0;
+    for (const auto& it : items) {
+      switch (it.type) {
+        case ITEM_POINT14: {
+          Point14 p;
+          p14.read(&dec[layer], &p);
+          context = p14.current;
+          std::memcpy(rec + off, &p, sizeof(Point14));
+          break;
+        }
+        case ITEM_RGB14:
+          rgb.read(dec[layer], context, rec + off);
+          break;
+        case ITEM_RGBNIR14: {
+          rgb.read(dec[layer], context, rec + off);
+          const u16 nv = nir.read(dec[layer + 1], context);
+          std::memcpy(rec + off + 6, &nv, 2);
+          break;
+        }
+        case ITEM_BYTE14:
+          bytes[byte_codec++].read(&dec[layer], context, rec + off);
+          break;
+      }
+      off += it.size;
+      layer += item_layers(it);
+    }
+  }
+  return 0;
+}
+
+int compress_chunk(const u8* records, u32 n_points,
+                   const std::vector<LayeredItemSpec>& items, u32 point_length,
+                   std::vector<u8>* out) {
+  out->insert(out->end(), records, records + point_length);
+  if (n_points == 1) {
+    const u32 cnt = 1;
+    out->insert(out->end(), reinterpret_cast<const u8*>(&cnt),
+                reinterpret_cast<const u8*>(&cnt) + 4);
+    u32 total_layers = 0;
+    for (const auto& it : items) total_layers += item_layers(it);
+    const u32 zero = 0;
+    for (u32 i = 0; i < total_layers; ++i)
+      out->insert(out->end(), reinterpret_cast<const u8*>(&zero),
+                  reinterpret_cast<const u8*>(&zero) + 4);
+    return 0;
+  }
+
+  u32 total_layers = 0;
+  for (const auto& it : items) total_layers += item_layers(it);
+  std::vector<Encoder> enc(total_layers);
+  for (auto& e : enc) e.init();
+
+  Point14Codec p14;
+  Rgb14Codec rgb;
+  Nir14Codec nir;
+  std::vector<Byte14Codec> bytes;
+  u32 context = 0;
+  {
+    u32 off = 0;
+    for (const auto& it : items) {
+      switch (it.type) {
+        case ITEM_POINT14: {
+          Point14 p;
+          std::memcpy(&p, records + off, sizeof(Point14));
+          p14.init(p, true);
+          context = p14.current;
+          break;
+        }
+        case ITEM_RGB14:
+          rgb.init(records + off, context, true);
+          break;
+        case ITEM_RGBNIR14: {
+          rgb.init(records + off, context, true);
+          u16 nv;
+          std::memcpy(&nv, records + off + 6, 2);
+          nir.init(nv, context, true);
+          break;
+        }
+        case ITEM_BYTE14:
+          bytes.emplace_back();
+          bytes.back().init(records + off, it.size, context, true);
+          break;
+        default:
+          return 2;
+      }
+      off += it.size;
+    }
+  }
+
+  for (u32 i = 1; i < n_points; ++i) {
+    const u8* rec = records + static_cast<u64>(i) * point_length;
+    u32 off = 0, layer = 0, byte_codec = 0;
+    for (const auto& it : items) {
+      switch (it.type) {
+        case ITEM_POINT14: {
+          Point14 p;
+          std::memcpy(&p, rec + off, sizeof(Point14));
+          p14.write(&enc[layer], p);
+          context = p14.current;
+          break;
+        }
+        case ITEM_RGB14:
+          rgb.write(enc[layer], context, rec + off);
+          break;
+        case ITEM_RGBNIR14: {
+          rgb.write(enc[layer], context, rec + off);
+          u16 nv;
+          std::memcpy(&nv, rec + off + 6, 2);
+          nir.write(enc[layer + 1], context, nv);
+          break;
+        }
+        case ITEM_BYTE14:
+          bytes[byte_codec++].write(&enc[layer], context, rec + off);
+          break;
+      }
+      off += it.size;
+      layer += item_layers(it);
+    }
+  }
+
+  for (auto& e : enc) e.done();
+  const u32 cnt = n_points;
+  out->insert(out->end(), reinterpret_cast<const u8*>(&cnt),
+              reinterpret_cast<const u8*>(&cnt) + 4);
+  for (auto& e : enc) {
+    const u32 sz = static_cast<u32>(e.out.size());
+    out->insert(out->end(), reinterpret_cast<const u8*>(&sz),
+                reinterpret_cast<const u8*>(&sz) + 4);
+  }
+  for (auto& e : enc) out->insert(out->end(), e.out.begin(), e.out.end());
+  return 0;
+}
+
+}  // namespace layered
+}  // namespace laszip
+
+// ---------------------------------------------------------------------------
+// Stream framing: [i64 chunk table offset][chunks...][chunk table].
+// Fixed-size chunks use the VLR chunk size; chunk_size == 0xFFFFFFFF means
+// variable-size chunks whose point counts live in the chunk table (context 0)
+// alongside the byte sizes (context 1).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace laszip {
+namespace layered {
+
+struct ChunkRange {
+  u64 offset;
+  u32 n_points;
+  u64 out_index;
+};
+
+int decompress_stream(const u8* file, u64 file_len, u64 point_data_offset,
+                      u64 n_points, u32 point_length,
+                      const std::vector<LayeredItemSpec>& items, u32 chunk_size,
+                      u8* out, i32 n_threads) {
+  for (const auto& it : items)
+    if (!item_supported(it)) return 2;
+  if (point_data_offset + 8 > file_len) return 1;
+
+  i64 table_offset;
+  std::memcpy(&table_offset, file + point_data_offset, 8);
+  if (table_offset < 0 || static_cast<u64>(table_offset) + 8 > file_len)
+    return 1;
+
+  u32 version, n_chunks;
+  std::memcpy(&version, file + table_offset, 4);
+  std::memcpy(&n_chunks, file + table_offset + 4, 4);
+  if (version != 0) return 2;
+
+  const bool variable = chunk_size == 0xFFFFFFFFu;
+  std::vector<u64> sizes(n_chunks);
+  std::vector<u32> counts(n_chunks);
+  {
+    Decoder dec;
+    dec.init(file + table_offset + 8, file_len - (table_offset + 8));
+    IntegerCompressor ic;
+    ic.init(32, 2, /*for_compress=*/false);
+    i32 prev_count = 0, prev_size = 0;
+    for (u32 i = 0; i < n_chunks; ++i) {
+      if (variable) {
+        prev_count = ic.decompress(dec, prev_count, 0);
+        counts[i] = static_cast<u32>(prev_count);
+      }
+      prev_size = ic.decompress(dec, prev_size, 1);
+      sizes[i] = static_cast<u32>(prev_size);
+    }
+  }
+
+  std::vector<ChunkRange> ranges;
+  u64 off = point_data_offset + 8;
+  u64 remaining = n_points, out_idx = 0;
+  for (u32 i = 0; i < n_chunks && remaining; ++i) {
+    u64 npts = variable ? counts[i] : chunk_size;
+    if (npts > remaining) npts = remaining;
+    ranges.push_back({off, static_cast<u32>(npts), out_idx});
+    off += sizes[i];
+    out_idx += npts;
+    remaining -= npts;
+    if (off > file_len) return 1;
+  }
+  if (remaining) return 1;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  u64 workers =
+      n_threads > 0 ? static_cast<u64>(n_threads) : (hw > 0 ? hw : 4);
+  if (workers > ranges.size()) workers = ranges.size();
+  std::atomic<size_t> next{0};
+  std::atomic<int> status{0};
+  auto worker = [&]() {
+    for (;;) {
+      const size_t i = next.fetch_add(1);
+      if (i >= ranges.size()) return;
+      const ChunkRange& r = ranges[i];
+      const u64 avail = (i + 1 < ranges.size())
+                            ? ranges[i + 1].offset - r.offset
+                            : file_len - r.offset;
+      const int rc =
+          decompress_chunk(file + r.offset, avail, r.n_points, items,
+                           point_length, out + r.out_index * point_length);
+      if (rc) status.store(rc);
+    }
+  };
+  if (workers <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (u64 w = 0; w < workers; ++w) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
+}
+
+int compress_stream(const u8* records, u32 n_points, u32 point_length,
+                    const std::vector<LayeredItemSpec>& items, u32 chunk_size,
+                    u64 base_offset, u8* out_buf, u64 out_cap, u64* out_len) {
+  for (const auto& it : items)
+    if (!item_supported(it)) return 2;
+  if (chunk_size == 0 || chunk_size == 0xFFFFFFFFu) chunk_size = 50000;
+
+  std::vector<std::vector<u8>> chunks;
+  for (u64 i = 0; i < n_points; i += chunk_size) {
+    const u32 npts = static_cast<u32>(
+        (n_points - i) < chunk_size ? (n_points - i) : chunk_size);
+    chunks.emplace_back();
+    const int rc = compress_chunk(records + i * point_length, npts, items,
+                                  point_length, &chunks.back());
+    if (rc) return rc;
+  }
+
+  u64 total = 8;
+  for (auto& c : chunks) total += c.size();
+  const u64 table_offset = base_offset + total;
+
+  Encoder table_enc;
+  table_enc.init();
+  {
+    IntegerCompressor ic;
+    ic.init(32, 2, /*for_compress=*/true);
+    i32 prev = 0;
+    for (auto& c : chunks) {
+      ic.compress(table_enc, prev, static_cast<i32>(c.size()), 1);
+      prev = static_cast<i32>(c.size());
+    }
+    table_enc.done();
+  }
+  total += 8 + table_enc.out.size();
+  if (total > out_cap) {
+    *out_len = total;
+    return 3;
+  }
+
+  u8* p = out_buf;
+  const i64 to = static_cast<i64>(table_offset);
+  std::memcpy(p, &to, 8);
+  p += 8;
+  for (auto& c : chunks) {
+    std::memcpy(p, c.data(), c.size());
+    p += c.size();
+  }
+  const u32 version = 0, n_chunks = static_cast<u32>(chunks.size());
+  std::memcpy(p, &version, 4);
+  p += 4;
+  std::memcpy(p, &n_chunks, 4);
+  p += 4;
+  std::memcpy(p, table_enc.out.data(), table_enc.out.size());
+  p += table_enc.out.size();
+  *out_len = static_cast<u64>(p - out_buf);
+  return 0;
+}
+
+}  // namespace layered
+}  // namespace laszip
+
+extern "C" {
+
+// Layered (compressor 3 / item version 3) LAZ decompression for LAS 1.4
+// point formats 6+.  Same contract as treee_laz_decompress_items.
+int treee_laz_decompress_layered(
+    const laszip::u8* file, laszip::u64 file_len,
+    laszip::u64 point_data_offset, laszip::u32 n_points,
+    laszip::u32 point_length, const laszip::u16* item_types,
+    const laszip::u16* item_sizes, laszip::u32 n_items,
+    laszip::u32 chunk_size, laszip::u8* out, laszip::i32 n_threads) {
+  using namespace laszip::layered;
+  if (n_items == 0) return 2;
+  std::vector<LayeredItemSpec> items(n_items);
+  for (laszip::u32 i = 0; i < n_items; ++i)
+    items[i] = {item_types[i], item_sizes[i]};
+  return decompress_stream(file, file_len, point_data_offset, n_points,
+                           point_length, items, chunk_size, out, n_threads);
+}
+
+int treee_laz_compress_layered(
+    const laszip::u8* records, laszip::u32 n_points, laszip::u32 point_length,
+    const laszip::u16* item_types, const laszip::u16* item_sizes,
+    laszip::u32 n_items, laszip::u32 chunk_size, laszip::u64 base_offset,
+    laszip::u8* out_buf, laszip::u64 out_cap, laszip::u64* out_len) {
+  using namespace laszip::layered;
+  if (n_items == 0) return 2;
+  std::vector<LayeredItemSpec> items(n_items);
+  for (laszip::u32 i = 0; i < n_items; ++i)
+    items[i] = {item_types[i], item_sizes[i]};
+  return compress_stream(records, n_points, point_length, items, chunk_size,
+                         base_offset, out_buf, out_cap, out_len);
+}
+
+}  // extern "C"

@@ -215,3 +215,172 @@ def test_record_fields_roundtrip():
     )
     assert rc == 0
     np.testing.assert_array_equal(out.reshape(n, 20), rec)
+
+
+# ---------------------------------------------------------------------------
+# Layered v3 (LAS 1.4 point formats 6-8): POINT14/RGB14/RGBNIR14/BYTE14 items
+# ---------------------------------------------------------------------------
+
+def _decompress_layered(stream, n, length, fmt, chunk_size):
+    import ctypes
+
+    lib = native_build.load_library()
+    items = laz_native.standard_items(fmt, length)
+    types = np.asarray([it["type"] for it in items], np.uint16)
+    sizes = np.asarray([it["size"] for it in items], np.uint16)
+    out = np.empty(n * length, np.uint8)
+    rc = lib.treee_laz_decompress_layered(
+        stream, len(stream), 0, n, length,
+        types.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), len(items),
+        chunk_size, out.ctypes.data_as(ctypes.c_void_p), 0,
+    )
+    assert rc == 0
+    return out.reshape(n, length)
+
+
+def _point14_records(rng, n, length, fmt):
+    """Rich format-6/7/8 records: scanner-channel runs (context switches),
+    multi-return pulses, full attribute coverage."""
+    rec = np.zeros((n, length), np.uint8)
+    xyz = np.cumsum(rng.integers(-150, 150, (n, 3)), axis=0).astype("<i4")
+    rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    rec[:, 12:14] = rng.integers(0, 65535, n).astype("<u2").view(np.uint8).reshape(n, 2)
+    ret = rng.integers(1, 6, n)
+    nret = np.maximum(ret, rng.integers(1, 6, n))
+    rec[:, 14] = (ret | (nret << 4)).astype(np.uint8)  # 4-bit LAS 1.4 fields
+    chan = np.repeat(rng.integers(0, 4, n // 64 + 1), 64)[:n].astype(np.uint8)
+    rec[:, 15] = (rng.integers(0, 16, n) | (chan << 4)
+                  | (rng.integers(0, 2, n) << 6)
+                  | (rng.integers(0, 2, n) << 7)).astype(np.uint8)
+    rec[:, 16] = rng.integers(0, 64, n)    # classification (6-bit in 1.4)
+    rec[:, 17] = rng.integers(0, 256, n)   # user data
+    rec[:, 18:20] = rng.integers(-15000, 15000, n).astype("<i2").view(np.uint8).reshape(n, 2)
+    rec[:, 20:22] = rng.integers(0, 8, n).astype("<u2").view(np.uint8).reshape(n, 2)
+    rec[:, 22:30] = _gps_times(rng, n).view(np.uint8).reshape(n, 8)
+    if fmt == 7:
+        rgb = (rng.integers(0, 256, (n, 3)) * 257).astype("<u2")
+        rec[:, 30:36] = rgb.view(np.uint8).reshape(n, 6)
+    if fmt == 8:
+        rgbn = (rng.integers(0, 256, (n, 4)) * 257).astype("<u2")
+        rec[:, 30:38] = rgbn.view(np.uint8).reshape(n, 8)
+    return rec
+
+
+def test_layered_formats_roundtrip():
+    """Formats 6-8 through the layered POINT14-family v3 item codecs
+    (laz.rs:147-159's LayeredPointRecordDecompressor path)."""
+    rng = np.random.default_rng(17)
+    n = 25_000
+    for fmt in (6, 7, 8):
+        length = las.POINT_LENGTHS[fmt]
+        rec = _point14_records(rng, n, length, fmt)
+        stream = laz_native.compress(rec, length, base_offset=0,
+                                     chunk_size=8_000, point_format=fmt)
+        out = _decompress_layered(stream, n, length, fmt, 8_000)
+        np.testing.assert_array_equal(out, rec)
+        assert len(stream) < 0.8 * rec.nbytes  # actually compresses
+
+
+def test_layered_extra_bytes():
+    """Format 6 + extra payload -> BYTE14 (one layer per column)."""
+    rng = np.random.default_rng(19)
+    n, extra = 12_000, 5
+    length = 30 + extra
+    rec = _point14_records(rng, n, length, 6)
+    rec[:, 30:] = rng.integers(0, 256, (n, extra))
+    stream = laz_native.compress(rec, length, base_offset=0,
+                                 chunk_size=5_000, point_format=6)
+    out = _decompress_layered(stream, n, length, 6, 5_000)
+    np.testing.assert_array_equal(out, rec)
+    items = laz_native.standard_items(6, length)
+    assert items[-1] == {"type": 14, "size": extra, "version": 3}
+
+
+def test_layered_laz_file_roundtrip(tmp_path):
+    """Full .laz file path for a LAS 1.4 / format-6 file: 1.4 header with
+    extended counts, compressor-3 VLR, layered stream."""
+    rng = np.random.default_rng(23)
+    pos = rng.uniform(-30, 30, (60_000, 3)).astype(np.float32)
+    path = str(tmp_path / "scan14.laz")
+    las.write_laz(path, pos, point_format=6, chunk_size=16_000)
+    scan = las.load(path)
+    assert scan.header.point_format == 6
+    assert scan.header.version_minor == 4
+    assert scan.header.compressed
+    recovered = scan.pos + scan.world_offset.astype(np.float32)
+    np.testing.assert_allclose(recovered, pos, atol=2e-3)
+    info = laz_native.parse_vlr(
+        laz_native.make_vlr(point_length=30, point_format=6))
+    assert info["compressor"] == 3
+    assert info["items"] == [{"type": 10, "size": 30, "version": 3}]
+
+
+def test_layered_scanner_channel_contexts():
+    """Per-channel model contexts: channel-interleaved streams roundtrip
+    (each switch re-seeds the target context from the active one)."""
+    rng = np.random.default_rng(29)
+    n = 8_000
+    rec = _point14_records(rng, n, 30, 6)
+    chan = (np.arange(n) % 4).astype(np.uint8)  # worst case: switch every point
+    rec[:, 15] = (rec[:, 15] & ~np.uint8(0x30)) | (chan << 4)
+    stream = laz_native.compress(rec, 30, base_offset=0,
+                                 chunk_size=n, point_format=6)
+    out = _decompress_layered(stream, n, 30, 6, n)
+    np.testing.assert_array_equal(out, rec)
+
+
+def test_layered_corrupt_streams(tmp_path):
+    """Corrupt/truncated layered streams fail cleanly (rc=1 -> CorruptFile)."""
+    rng = np.random.default_rng(31)
+    pos = rng.uniform(0, 10, (20_000, 3)).astype(np.float32)
+    path = str(tmp_path / "c14.laz")
+    las.write_laz(path, pos, point_format=6, chunk_size=6_000)
+    data = bytearray(open(path, "rb").read())
+    from treee_tpu.utils.errors import CorruptFile
+
+    # truncated: chunk table offset beyond EOF
+    with pytest.raises((CorruptFile, ValueError)):
+        las.load(bytes(data[: len(data) // 2]))
+    # chunk table offset scribbled to a huge value
+    scan = las.load(bytes(data))  # sanity: intact file loads
+    hdr = las.LasHeader.parse(bytes(data))
+    bad = bytearray(data)
+    bad[hdr.offset_to_point_data : hdr.offset_to_point_data + 8] = (
+        (1 << 62)).to_bytes(8, "little")
+    with pytest.raises((CorruptFile, ValueError)):
+        las.load(bytes(bad))
+
+
+def test_wavepacket_items_rejected():
+    """WAVEPACKET14 (type 13) streams are refused as unsupported, not
+    misdecoded."""
+    import ctypes
+
+    lib = native_build.load_library()
+    types = np.asarray([10, 13], np.uint16)
+    sizes = np.asarray([30, 29], np.uint16)
+    out = np.empty(10 * 59, np.uint8)
+    rc = lib.treee_laz_decompress_layered(
+        b"\0" * 128, 128, 0, 10, 59,
+        types.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), 2,
+        50_000, out.ctypes.data_as(ctypes.c_void_p), 0,
+    )
+    assert rc == 2
+
+
+def test_v2_truncated_chunk_rejected(tmp_path):
+    """v2 path: a stream whose chunk data is cut mid-chunk fails cleanly."""
+    pos = np.random.default_rng(37).uniform(0, 5, (30_000, 3)).astype(np.float32)
+    path = str(tmp_path / "t2.laz")
+    las.write_laz(path, pos, chunk_size=10_000)
+    data = bytearray(open(path, "rb").read())
+    hdr = las.LasHeader.parse(bytes(data))
+    from treee_tpu.utils.errors import CorruptFile
+
+    bad = bytearray(data)
+    bad[hdr.offset_to_point_data : hdr.offset_to_point_data + 8] = (
+        len(data) * 4).to_bytes(8, "little")
+    with pytest.raises((CorruptFile, ValueError)):
+        las.load(bytes(bad))

@@ -206,6 +206,10 @@ def load(source, center: np.ndarray | None = None, max_points: int | None = None
     )
 
 
+# Record length per LAS point format (ASPRS spec).
+POINT_LENGTHS = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
+
+
 def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
                    scale, offset, mins, maxs) -> bytes:
     legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
@@ -220,8 +224,35 @@ def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
     )
 
 
-def _records_from_positions(pos_up: np.ndarray, scale: float):
-    """y-up f32 -> (raw point-format-0 records, LAS-space offset/min/max)."""
+def _header14(n, point_format, point_length, offset_to_points, n_vlrs,
+              scale, offset, mins, maxs) -> bytes:
+    """LAS 1.4 public header (375 bytes): legacy counts zeroed, extended
+    u64 point count set — required for point formats 6+ (ASPRS LAS 1.4)."""
+    return struct.pack(
+        _HEADER_FMT,
+        LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 4,
+        b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
+        1, 2026, _HEADER_SIZE_V14, offset_to_points, n_vlrs,
+        point_format, point_length,
+        0, 0, 0, 0, 0, 0,  # legacy counts must be zero for formats 6+
+        scale, scale, scale, offset[0], offset[1], offset[2],
+        maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
+        b"\0" * 8, 0, 0,  # waveform offset, first EVLR, #EVLRs
+        n, *([0] * 15),   # extended point count + by-return
+    )
+
+
+def _header_for(n, point_format, point_length, offset_to_points, n_vlrs,
+                scale, mins, maxs) -> bytes:
+    make = _header14 if (point_format & 0x7F) >= 6 else _legacy_header
+    return make(n, point_format, point_length, offset_to_points, n_vlrs,
+                scale, mins, mins, maxs)
+
+
+def _records_from_positions(pos_up: np.ndarray, scale: float,
+                            point_length: int = 20):
+    """y-up f32 -> (raw records with xyz ints at offset 0, LAS-space
+    offset/min/max).  Non-coordinate fields are zero; callers may fill them."""
     las = np.empty((pos_up.shape[0], 3), np.float64)
     las[:, 0] = pos_up[:, 0]
     las[:, 1] = -pos_up[:, 2]
@@ -229,44 +260,62 @@ def _records_from_positions(pos_up: np.ndarray, scale: float):
     mins, maxs = las.min(axis=0), las.max(axis=0)
     n = las.shape[0]
     ints = np.round((las - mins) / scale).astype(np.int32)
-    rec = np.zeros((n, 20), np.uint8)
+    rec = np.zeros((n, point_length), np.uint8)
     rec[:, 0:12] = ints.astype("<i4").view(np.uint8).reshape(n, 12)
     return rec, mins, maxs
 
 
-def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001) -> None:
-    """Write y-up positions back to a minimal LAS 1.2 / point-format-0 file.
+def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001,
+              point_format: int = 0,
+              records: np.ndarray | None = None) -> None:
+    """Write y-up positions to a LAS file (1.2 for formats 0-3, 1.4 for 6+).
 
     Inverse of the load swizzle: (x, y_up, z) -> LAS (x, -z, y_up).  Used by the
-    synthetic-scan generators and round-trip tests.
+    synthetic-scan generators and round-trip tests.  ``records`` optionally
+    supplies full raw records (xyz bytes are overwritten from ``pos_up``).
     """
-    rec, mins, maxs = _records_from_positions(pos_up, scale)
+    point_length = POINT_LENGTHS[point_format]
+    rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
+    if records is not None:
+        records = np.ascontiguousarray(records, np.uint8).reshape(rec.shape)
+        records[:, 0:12] = rec[:, 0:12]
+        rec = records
     n = rec.shape[0]
+    header_size = 375 if point_format >= 6 else 227
     buf = _io.BytesIO()
-    buf.write(_legacy_header(n, 0, 20, 227, 0, scale, mins, mins, maxs))
+    buf.write(_header_for(n, point_format, point_length, header_size, 0,
+                          scale, mins, maxs))
     buf.write(rec.tobytes())
     with open(path, "wb") as fh:
         fh.write(buf.getvalue())
 
 
 def write_laz(path: str, pos_up: np.ndarray, scale: float = 0.001,
-              chunk_size: int = 50_000) -> None:
-    """Write a LASzip-compressed .laz (chunked POINT10) via the native codec."""
+              chunk_size: int = 50_000, point_format: int = 0,
+              records: np.ndarray | None = None) -> None:
+    """Write a LASzip-compressed .laz via the native codec: chunked POINT10
+    (formats 0-3) or layered POINT14 (formats 6-8, LAS 1.4)."""
     from . import laz_native
 
-    rec, mins, maxs = _records_from_positions(pos_up, scale)
+    point_length = POINT_LENGTHS[point_format]
+    rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
+    if records is not None:
+        records = np.ascontiguousarray(records, np.uint8).reshape(rec.shape)
+        records[:, 0:12] = rec[:, 0:12]
+        rec = records
     n = rec.shape[0]
-    vlr_payload = laz_native.make_vlr(chunk_size)
+    header_size = 375 if point_format >= 6 else 227
+    vlr_payload = laz_native.make_vlr(chunk_size, point_length, point_format)
     vlr_header = struct.pack(
         "<H16sHH32s", 0, b"laszip encoded".ljust(16, b"\0"), 22204,
         len(vlr_payload), b"treee-tpu laszip".ljust(32, b"\0"),
     )
-    offset_to_points = 227 + len(vlr_header) + len(vlr_payload)
-    stream = laz_native.compress(rec, 20, offset_to_points, chunk_size)
+    offset_to_points = header_size + len(vlr_header) + len(vlr_payload)
+    stream = laz_native.compress(rec, point_length, offset_to_points,
+                                 chunk_size, point_format)
     buf = _io.BytesIO()
-    buf.write(_legacy_header(
-        n, 0x80, 20, offset_to_points, 1, scale, mins, mins, maxs
-    ))
+    buf.write(_header_for(n, point_format | 0x80, point_length,
+                          offset_to_points, 1, scale, mins, maxs))
     buf.write(vlr_header)
     buf.write(vlr_payload)
     buf.write(stream)

@@ -45,43 +45,65 @@ def parse_vlr(payload: bytes) -> dict:
 
 
 # LASzip item types (published constants): BYTE=0, POINT10=6, GPSTIME11=7,
-# RGB12=8.  Standard layout per LAS point format 0-3.
+# RGB12=8 (sequential v2, LAS point formats 0-3); POINT14=10, RGB14=11,
+# RGBNIR14=12, WAVEPACKET14=13, BYTE14=14 (layered v3, LAS 1.4 formats 6+).
 ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12 = 0, 6, 7, 8
+ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14 = 10, 11, 12
+ITEM_WAVEPACKET14, ITEM_BYTE14 = 13, 14
+
+_LAYERED_TYPES = (ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_BYTE14)
 
 
 def standard_items(point_format: int, point_length: int) -> list[dict]:
-    """The LASzip v2 item sequence for a LAS point format 0-3 record."""
-    if not 0 <= point_format <= 3:
-        raise UnsupportedFormat(f"point format {point_format} (0-3 supported)")
-    items = [{"type": ITEM_POINT10, "size": 20, "version": 2}]
-    used = 20
-    if point_format in (1, 3):
-        items.append({"type": ITEM_GPSTIME11, "size": 8, "version": 2})
-        used += 8
-    if point_format in (2, 3):
-        items.append({"type": ITEM_RGB12, "size": 6, "version": 2})
-        used += 6
+    """The LASzip item sequence for a LAS point format 0-3 (sequential v2)
+    or 6-8 (layered v3) record."""
+    if 0 <= point_format <= 3:
+        items = [{"type": ITEM_POINT10, "size": 20, "version": 2}]
+        used = 20
+        if point_format in (1, 3):
+            items.append({"type": ITEM_GPSTIME11, "size": 8, "version": 2})
+            used += 8
+        if point_format in (2, 3):
+            items.append({"type": ITEM_RGB12, "size": 6, "version": 2})
+            used += 6
+        tail = {"type": ITEM_BYTE, "version": 2}
+    elif 6 <= point_format <= 8:
+        items = [{"type": ITEM_POINT14, "size": 30, "version": 3}]
+        used = 30
+        if point_format == 7:
+            items.append({"type": ITEM_RGB14, "size": 6, "version": 3})
+            used += 6
+        if point_format == 8:
+            items.append({"type": ITEM_RGBNIR14, "size": 8, "version": 3})
+            used += 8
+        tail = {"type": ITEM_BYTE14, "version": 3}
+    else:
+        raise UnsupportedFormat(
+            f"point format {point_format} (0-3 and 6-8 supported)"
+        )
     if point_length < used:
         raise CorruptFile(
             f"point length {point_length} shorter than format "
             f"{point_format}'s items ({used})"
         )
     if point_length > used:
-        items.append({"type": ITEM_BYTE, "size": point_length - used, "version": 2})
+        items.append(dict(tail, size=point_length - used))
     return items
 
 
 def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20,
              point_format: int = 0) -> bytes:
-    """LASzip VLR payload: chunked v2 items for the given point format."""
+    """LASzip VLR payload: chunked v2 (formats 0-3) or layered v3 (formats
+    6-8) items for the given point format."""
     items = standard_items(point_format, point_length)
     packed = [struct.pack("<HHH", it["type"], it["size"], it["version"])
               for it in items]
+    compressor = 3 if point_format >= 6 else 2  # 3 = layered chunked
     head = struct.pack(
         "<HHBBHIIqqH",
-        2,            # compressor: pointwise chunked
+        compressor,
         0,            # coder: arithmetic
-        2, 4, 3,      # version 2.4 r3
+        3, 4, 3,      # version
         0,            # options
         chunk_size,
         0, 0,         # special EVLRs
@@ -97,25 +119,38 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
     info = parse_vlr(vlr)
     if info["coder"] != 0:
         raise UnsupportedFormat(f"LASzip coder {info['coder']} not supported")
-    if info["compressor"] != 2:
-        raise UnsupportedFormat(
-            f"LASzip compressor {info['compressor']} (only chunked pointwise "
-            "POINT10 is implemented so far)"
-        )
     items = info["items"]
-    ok = (
-        len(items) >= 1
-        and items[0]["type"] == ITEM_POINT10
-        and all(
-            it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12, ITEM_BYTE)
-            and it["version"] == 2
-            for it in items
+    if info["compressor"] == 2:  # sequential chunked (formats 0-3)
+        ok = (
+            len(items) >= 1
+            and items[0]["type"] == ITEM_POINT10
+            and all(
+                it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12,
+                               ITEM_BYTE)
+                and it["version"] in (1, 2)
+                for it in items
+            )
         )
-    )
+        entry = "treee_laz_decompress_items"
+    elif info["compressor"] == 3:  # layered chunked (LAS 1.4 formats 6+)
+        ok = (
+            len(items) >= 1
+            and items[0]["type"] == ITEM_POINT14
+            and all(
+                it["type"] in _LAYERED_TYPES and it["version"] in (3, 4)
+                for it in items
+            )
+        )
+        entry = "treee_laz_decompress_layered"
+    else:
+        raise UnsupportedFormat(
+            f"LASzip compressor {info['compressor']} (pointwise chunked and "
+            "layered chunked are implemented)"
+        )
     if not ok:
         raise UnsupportedFormat(
-            f"LASzip items {items} (POINT10/GPSTIME11/RGB12/BYTE v2 "
-            "implemented; POINT14-family items are a later round)"
+            f"LASzip items {items} (sequential v2 POINT10-family and layered "
+            "v3 POINT14-family implemented; WAVEPACKET items are not)"
         )
     if sum(it["size"] for it in items) != header.point_length:
         raise CorruptFile("LASzip item sizes disagree with the point length")
@@ -123,12 +158,13 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
     out = np.empty(n_points * header.point_length, np.uint8)
     types = np.asarray([it["type"] for it in items], np.uint16)
     sizes = np.asarray([it["size"] for it in items], np.uint16)
-    rc = lib.treee_laz_decompress_items(
+    chunk_size = info["chunk_size"] or DEFAULT_CHUNK_SIZE
+    rc = getattr(lib, entry)(
         data, len(data), header.offset_to_point_data, n_points,
         header.point_length,
         types.ctypes.data_as(ctypes.c_void_p),
         sizes.ctypes.data_as(ctypes.c_void_p), len(items),
-        info["chunk_size"] or DEFAULT_CHUNK_SIZE,
+        chunk_size,
         out.ctypes.data_as(ctypes.c_void_p), 0,
     )
     if rc == 1:
@@ -142,11 +178,14 @@ def compress(records: np.ndarray, point_length: int, base_offset: int,
              chunk_size: int = DEFAULT_CHUNK_SIZE,
              point_format: int = 0) -> bytes:
     """Compress raw point records into a chunked LAZ stream using the
-    standard item sequence for ``point_format``."""
+    standard item sequence for ``point_format`` (sequential v2 for formats
+    0-3, layered v3 for formats 6-8)."""
     if point_length < 20:
         raise UnsupportedFormat("point record shorter than the POINT10 core")
     items = standard_items(point_format, point_length)
     lib = native_build.load_library(required=True)
+    entry = (lib.treee_laz_compress_layered if point_format >= 6
+             else lib.treee_laz_compress_items)
     records = np.ascontiguousarray(records, np.uint8)
     n = records.size // point_length
     types = np.asarray([it["type"] for it in items], np.uint16)
@@ -156,7 +195,7 @@ def compress(records: np.ndarray, point_length: int, base_offset: int,
     out_len = ctypes.c_uint64(0)
 
     def run(cap, out):
-        return lib.treee_laz_compress_items(
+        return entry(
             records.ctypes.data_as(ctypes.c_void_p), n, point_length,
             types.ctypes.data_as(ctypes.c_void_p),
             sizes.ctypes.data_as(ctypes.c_void_p), len(items),

@@ -21,7 +21,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libtreee_native.so")
 
-_SOURCES = ["las_decode.cpp", "laz_decompress.cpp"]
+_SOURCES = ["las_decode.cpp", "laz_decompress.cpp", "laz_layered.cpp"]
 
 _cached_lib: ctypes.CDLL | None = None
 _cached_failed = False
@@ -100,6 +100,14 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
         ]
         lib.treee_laz_compress_items.restype = ctypes.c_int
+        lib.treee_laz_decompress_layered.argtypes = (
+            lib.treee_laz_decompress_items.argtypes
+        )
+        lib.treee_laz_decompress_layered.restype = ctypes.c_int
+        lib.treee_laz_compress_layered.argtypes = (
+            lib.treee_laz_compress_items.argtypes
+        )
+        lib.treee_laz_compress_layered.restype = ctypes.c_int
         _cached_lib = lib
         return lib
     except Exception:
