@@ -185,18 +185,26 @@ def main() -> None:
           flush=True)
 
     # LOD frame sweep: the octree subset the reference lacks (its draw is
-    # brute-force, program.rs:309-311); subset built once, reused per frame
-    lod_cap = 2 << 20
+    # brute-force, program.rs:309-311).  The subset is INDEX-compacted once,
+    # then padded SNUGLY: projection+scatter work scales with the padded row
+    # count, so a 52k subset padded to 2M rows cost 26 ms/frame in round 1
+    # while the same subset at a 64k cap costs ~7 ms (tools/profile_frame.py).
     build_lod = jax.jit(
-        lambda pos, valid, prop: octree.compact(
+        lambda pos, valid: octree.compact_indices(
             octree.lod_mask(octree.build(pos, valid), level=7) & valid,
-            lod_cap, pos, prop,
+            2 << 20,
         )
     )
-    count, (pos_l, prop_l) = sync(build_lod(pos, valid, prop))
-    touch()
-    print("# bench: lod built", file=sys.stderr, flush=True)
+    count, idx_big = sync(build_lod(pos, valid))
+    lod_n = int(count)
+    lod_cap = 1 << max(12, (int(lod_n * 1.25) - 1).bit_length())
+    idx = idx_big[:lod_cap]
+    pos_l = pos[idx]
+    prop_l = prop[idx]
     mask_l = jnp.arange(lod_cap) < count
+    touch()
+    print(f"# bench: lod built ({lod_n} pts, cap {lod_cap})", file=sys.stderr,
+          flush=True)
     sync(sweep(pos_l, prop_l, mask_l, cam_stack))  # compile
     touch()
     print("# bench: lod sweep compiled", file=sys.stderr, flush=True)
@@ -207,13 +215,15 @@ def main() -> None:
     RESULT.update(
         lod_frame_ms=round(lod_frame_ms, 2),
         lod_fps=round(1000.0 / lod_frame_ms, 1),
-        lod_points=int(count),
+        lod_points=lod_n,
     )
 
-    # --- interactive edit latency: brush delete + full-cloud re-render.
-    # The reference re-uploads the whole edited segment to the GPU per brush
-    # stroke (interactive/mod.rs:182-221); here the edit is a pure jitted
-    # transition on device state and the frame re-renders from it directly.
+    # --- interactive edit latency (BASELINE config 3: incremental octree/LOD
+    # update).  The reference re-uploads the whole edited segment to the GPU
+    # per brush stroke (interactive/mod.rs:182-221); here the edit is a pure
+    # jitted transition on the SoA arrays and the next frame re-reads
+    # segment/valid through the CACHED LOD indices with subset-sized gathers
+    # — no full-N compaction, no octree re-sort (positions never move).
     from treee_tpu import interactive as edit_mod
     from treee_tpu.cloud import PointCloud
 
@@ -224,9 +234,11 @@ def main() -> None:
     @jax.jit
     def edit_and_frame(cloud, center, cam):
         c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
-        prop = splat.prop_from_segment(c2.segment)
-        mask = c2.valid & (c2.segment != 0)
-        img = splat.render_frame(c2.pos, prop, mask, cam, palette, cfg.render)
+        seg_c = c2.segment[idx]
+        mask_c = c2.valid[idx] & (seg_c != 0) & mask_l
+        prop_c = splat.prop_from_segment(seg_c)
+        img = splat.render_frame(pos_l, prop_c, mask_c, cam, palette,
+                                 cfg.render)
         return c2, jnp.sum(img)
 
     center = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
@@ -242,7 +254,28 @@ def main() -> None:
     edit_ms = (time.time() - t0) / reps * 1e3
     touch()
     RESULT.update(edit_frame_ms=round(edit_ms, 2))
-    print(f"# bench: edit+frame {edit_ms:.0f} ms", file=sys.stderr, flush=True)
+    print(f"# bench: edit+lod-frame {edit_ms:.0f} ms", file=sys.stderr,
+          flush=True)
+
+    # full-cloud edit + re-render (the round-1 metric, kept for comparison):
+    # measured scatter floor at 15M rows is ~122 ms/frame (profile_frame.py),
+    # so this is ~= edit + full frame by construction.
+    @jax.jit
+    def edit_and_full_frame(cloud, center, cam):
+        c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
+        prop = splat.prop_from_segment(c2.segment)
+        mask = c2.valid & (c2.segment != 0)
+        img = splat.render_frame(c2.pos, prop, mask, cam, palette, cfg.render)
+        return c2, jnp.sum(img)
+
+    cloud2, _ = sync(edit_and_full_frame(cloud, center, cam0))
+    touch()
+    t0 = time.time()
+    for i in range(reps):
+        cloud2, chk = edit_and_full_frame(cloud2, center + jnp.float32(i), cam0)
+    sync(chk)
+    RESULT.update(edit_full_frame_ms=round((time.time() - t0) / reps * 1e3, 2))
+    touch()
     print(json.dumps(RESULT))
 
 

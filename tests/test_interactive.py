@@ -171,11 +171,24 @@ def test_lod_refresh_after_edit_reuses_cached_octree():
 
     center = np.asarray(pts[0], np.float32)
     s.delete_sphere(center, radius=1.5)
-    assert s._lod is None  # stale subset dropped
-    img = s.render(use_lod=True)  # triggers refresh
+    # edits keep the index-compacted subset: the next frame re-reads
+    # segment/valid through the cached indices (subset-sized gathers), so
+    # neither the octree nor the LOD compaction is redone
+    assert s._lod is before
+    img = s.render(use_lod=True)  # per-frame refresh through the indices
     assert img.shape[2] == 3
     assert s._tree is tree_before  # no re-sort: positions never moved
-    assert s._lod is not None
+    assert s._lod is before
+    # the deleted representative is actually masked out of the LOD frame:
+    # deleting everything leaves only background
+    c = (pts.min(0) + pts.max(0)) / 2.0
+    s.delete_sphere(c, radius=float(np.abs(pts - c).max()) * 2.0)
+    img2 = s.render(use_lod=True)
+    bg = np.clip(
+        np.asarray(s.config.render.background, np.float32) * 255.0 + 0.5,
+        0, 255,
+    ).astype(np.uint8)
+    assert (img2 == bg[None, None, :]).all()
 
     # position-changing merge invalidates the octree too
     import tempfile, os

@@ -67,7 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
     # exports / persistence
     p.add_argument("--save", help="write a session checkpoint (.npz)")
     p.add_argument("--export-info", help="write per-segment info JSON")
-    p.add_argument("--export-ply", help="write segmented points .ply")
+    p.add_argument("--export-ply",
+                   help="write points .ply with expansion/height/curvature; "
+                        "with --segment-id exports only that segment "
+                        "(mod.rs:1069-1107)")
+    p.add_argument("--export-crown-ply",
+                   help="crown-only point export of --segment-id "
+                        "(the Crown button, mod.rs:629-660)")
+    p.add_argument("--export-trunk-ply",
+                   help="trunk-only point export of --segment-id")
+    p.add_argument("--export-ground-ply",
+                   help="ground-only point export of --segment-id")
     p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
     p.add_argument("--export-hull-ply",
                    help="write the focus segment's crown convex hull .ply "
@@ -80,6 +90,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(hull.rs:293-306); requires --segment-id")
     p.add_argument("--segment-id", type=int, default=None,
                    help="focus segment for per-segment exports")
+    p.add_argument("--hull-include", default="crown",
+                   choices=("all", "crown", "trunk", "ground", "tree", "nocrown"),
+                   help="class filter for the convex hull "
+                        "(IncludeMode, hull.rs:15-67)")
+    p.add_argument("--rbv-slices", type=int, default=None,
+                   help="RBV slice count (hull.rs:248-285 widget)")
+    p.add_argument("--rbv-sectors", type=int, default=None)
+    p.add_argument("--rbv-method", choices=("max", "mean"), default="max")
+    p.add_argument("--rbv-symmetric", action="store_true")
+    p.add_argument("--trunk-axis-algorithm", choices=("average", "lowhigh"),
+                   default="average",
+                   help="trunk-axis estimation (trunk_axis.rs:9-14)")
     p.add_argument("--repl", action="store_true",
                    help="interactive command loop (the reference's windowed "
                         "Interactive phase as line commands; 'help' lists them)")
@@ -211,18 +233,23 @@ def main(argv=None) -> int:
         print(f"segment info: {args.export_info} ({len(out)} segments)")
 
     if args.export_ply:
-        exp, hgt = session.properties()
-        data = session.cloud.to_numpy()
-        keep = np.asarray(session.cloud.valid)
-        with open(args.export_ply, "w") as fh:
-            exports.save_points_ply(
-                fh,
-                np.asarray(session.cloud.pos)[keep],
-                np.asarray(exp)[keep],
-                np.asarray(hgt)[keep],
-                np.zeros(keep.sum(), np.float32),
-            )
-        print(f"points ply: {args.export_ply}")
+        n = session.export_points_ply(args.export_ply,
+                                      segment_id=args.segment_id)
+        print(f"points ply: {args.export_ply} ({n} points)")
+
+    for flag, include in (("export_crown_ply", "crown"),
+                          ("export_trunk_ply", "trunk"),
+                          ("export_ground_ply", "ground")):
+        path = getattr(args, flag)
+        if not path:
+            continue
+        if args.segment_id is None:
+            print(f"error: --{flag.replace('_', '-')} requires --segment-id",
+                  file=sys.stderr)
+            return 2
+        n = session.export_points_ply(path, segment_id=args.segment_id,
+                                      include=include)
+        print(f"{include} ply: {path} ({n} points)")
 
     if args.export_traits:
         from . import rbv as rbv_mod
@@ -230,7 +257,11 @@ def main(argv=None) -> int:
         if session.table is None:
             session.characteristics()
         table = session.table
-        seg_np = np.asarray(session.cloud.segment)
+        rbv_kw = dict(
+            method=(rbv_mod.METHOD_MEAN if args.rbv_method == "mean"
+                    else rbv_mod.METHOD_MAX),
+            symmetric=args.rbv_symmetric,
+        )
         ids = (
             [args.segment_id]
             if args.segment_id is not None
@@ -242,7 +273,8 @@ def main(argv=None) -> int:
             if not bool(np.asarray(member).any()):
                 continue
             crown, trunk = rbv_mod.split_rbv(
-                session.cloud.pos, session.cloud.classification, member
+                session.cloud.pos, session.cloud.classification, member,
+                **rbv_kw,
             )
             out[int(sid)] = json.loads(rbv_mod.traits(crown, trunk).to_json())
         with open(args.export_traits, "w") as fh:
@@ -254,8 +286,8 @@ def main(argv=None) -> int:
             print("error: --export-hull-ply/--export-landmarks/--export-rbv "
                   "require --segment-id", file=sys.stderr)
             return 2
-        from . import hull3d, rbv as rbv_mod
-        from .cloud import CLASS_CROWN
+        from . import hull3d, rbv as rbv_mod, trunk_axis
+        from .cloud import include_mask
 
         if session.table is None:
             session.characteristics()
@@ -264,18 +296,41 @@ def main(argv=None) -> int:
         if args.export_hull_ply:
             h = hull3d.convex_hull(
                 np.asarray(session.cloud.pos),
-                np.asarray(member & (session.cloud.classification == CLASS_CROWN)),
+                np.asarray(member & include_mask(session.cloud.classification,
+                                                 args.hull_include)),
             )
             if h is None:
-                print("hull: segment has too few crown points", file=sys.stderr)
+                print(f"hull: segment has too few {args.hull_include} points",
+                      file=sys.stderr)
             else:
                 with open(args.export_hull_ply, "w") as fh:
                     exports.save_hull_ply(fh, h.vertices, h.faces)
                 print(f"hull ply: {args.export_hull_ply}")
 
         if args.export_landmarks or args.export_rbv:
+            axis_fn = (trunk_axis.low_high_layer
+                       if args.trunk_axis_algorithm == "lowhigh"
+                       else trunk_axis.average_direction)
+            axis = axis_fn(
+                session.cloud.pos,
+                member & (session.cloud.classification == 1),
+            )
+            tf = trunk_axis.axis_transform(axis)
+            rbv_kw = dict(
+                transform=tf,
+                method=(rbv_mod.METHOD_MEAN if args.rbv_method == "mean"
+                        else rbv_mod.METHOD_MAX),
+                symmetric=args.rbv_symmetric,
+            )
+            if args.rbv_slices is not None:
+                rbv_kw.update(crown_slices=args.rbv_slices,
+                              trunk_slices=args.rbv_slices)
+            if args.rbv_sectors is not None:
+                rbv_kw.update(crown_sectors=args.rbv_sectors,
+                              trunk_sectors=args.rbv_sectors)
             crown, trunk = rbv_mod.split_rbv(
-                session.cloud.pos, session.cloud.classification, member
+                session.cloud.pos, session.cloud.classification, member,
+                **rbv_kw,
             )
             if args.export_landmarks:
                 rows = np.asarray(rbv_mod.split_landmarks(crown, trunk))

@@ -428,6 +428,58 @@ def compute_segments(
     return table, classification
 
 
+@jax.jit
+def update_separators_from_classes(
+    pos: jax.Array,
+    segment: jax.Array,
+    valid: jax.Array,
+    classification: jax.Array,
+    table: SegmentTable,
+    segment_id: jax.Array | int,
+) -> SegmentTable:
+    """Re-derive one segment's separators from its EDITED classification.
+
+    The reference recomputes ground_sep/crown_sep from the per-class y extents
+    after every brush stroke in the focused view (SegmentData::changed,
+    interactive/mod.rs:182-221): ground_sep = lowest Trunk point, crown_sep =
+    lowest Crown point, trunk/crown heights = the class extents.  This is how
+    "change the trunk/crown starting height" by brushing works; re-running the
+    area-profile pass would silently overwrite the user's intent.  Also
+    refreshes the segment's y bbox row like ``changed`` does.
+    """
+    member = valid & (segment == segment_id)
+    y = pos[:, 1]
+    sid = jnp.asarray(segment_id)
+
+    def extent(m):
+        has = jnp.any(m)
+        mn = jnp.min(jnp.where(m, y, INF))
+        mx = jnp.max(jnp.where(m, y, -INF))
+        return has, jnp.where(has, mn, 0.0), jnp.where(has, mx, 0.0)
+
+    has_t, t_min, t_max = extent(member & (classification == CLASS_TRUNK))
+    has_c, c_min, c_max = extent(member & (classification == CLASS_CROWN))
+    has_m, m_min, m_max = extent(member)
+
+    ground_sep = jnp.where(has_t, t_min, table.ground_sep[sid])
+    crown_sep = jnp.where(has_c, c_min, table.crown_sep[sid])
+    trunk_height = jnp.where(has_t, t_max - t_min, 0.0)
+    crown_height = jnp.where(has_c, c_max - c_min, 0.0)
+    count = jnp.sum(member.astype(jnp.int32))
+    lo_y = jnp.where(has_m, m_min, table.lo[sid, 1])
+    hi_y = jnp.where(has_m, m_max, table.hi[sid, 1])
+    return table.replace(
+        ground_sep=table.ground_sep.at[sid].set(ground_sep),
+        crown_sep=table.crown_sep.at[sid].set(crown_sep),
+        trunk_height=table.trunk_height.at[sid].set(trunk_height),
+        crown_height=table.crown_height.at[sid].set(crown_height),
+        count=table.count.at[sid].set(count),
+        present=table.present.at[sid].set(count > 0),
+        lo=table.lo.at[sid, 1].set(lo_y),
+        hi=table.hi.at[sid, 1].set(hi_y),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_segments"))
 def segment_properties(
     pos: jax.Array,

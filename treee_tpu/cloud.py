@@ -36,6 +36,27 @@ CLASS_GROUND = 0
 CLASS_TRUNK = 1
 CLASS_CROWN = 2
 
+# Classification filters for hull/RBV/export selection
+# (IncludeMode, interactive/hull.rs:15-35).
+INCLUDE_MODES = ("all", "crown", "trunk", "ground", "tree", "nocrown")
+
+
+def include_mask(classification: jax.Array, mode: str) -> jax.Array:
+    """bool[N] class filter for ``mode`` (IncludeMode::valid, hull.rs:26-35)."""
+    if mode == "all":
+        return jnp.ones_like(classification, bool)
+    if mode == "crown":
+        return classification == CLASS_CROWN
+    if mode == "trunk":
+        return classification == CLASS_TRUNK
+    if mode == "ground":
+        return classification == CLASS_GROUND
+    if mode == "tree":
+        return (classification == CLASS_CROWN) | (classification == CLASS_TRUNK)
+    if mode == "nocrown":
+        return (classification == CLASS_TRUNK) | (classification == CLASS_GROUND)
+    raise ValueError(f"unknown include mode {mode!r} (one of {INCLUDE_MODES})")
+
 
 class PointCloud(flax.struct.PyTreeNode):
     """Fixed-capacity SoA point store; the single source of truth on device."""

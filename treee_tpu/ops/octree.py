@@ -104,11 +104,39 @@ def build(pos: jax.Array, valid: jax.Array) -> Octree:
     return Octree(keys=keys_sorted, order=order, rank=rank, inv=inv, lo=lo, hi=hi)
 
 
+def _cell_bounds(tree: Octree, coarse: jax.Array, level: int):
+    """AABB (lo, hi) of the level-``level`` cell with prefix ``coarse``.
+
+    Elementwise over any shape of prefixes — shared by the per-node table
+    (node_bounds) and the per-sorted-slot frustum test (lod_mask)."""
+    shift = 3 * (morton.MORTON_BITS - level)
+    base_keys = (coarse << shift).astype(jnp.int32)
+    cell = morton.decode(base_keys).astype(jnp.float32)
+    extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+    cell_size = extent / morton.MORTON_SIZE * (1 << (morton.MORTON_BITS - level))
+    lo = tree.lo + cell / (morton.MORTON_SIZE - 1) * extent
+    return lo, lo + cell_size
+
+
+def aabb_in_frustum(lo: jax.Array, hi: jax.Array, planes: jax.Array) -> jax.Array:
+    """Conservative AABB-vs-frustum test, elementwise over [..., 3] boxes.
+
+    ``planes`` f32[6,4] from Camera.frustum_planes; a box passes when its
+    positive vertex is inside every plane (the standard p-vertex test — the
+    improvement the reference left dead at camera_3d.rs:20-51).
+    """
+    n = planes[:, :3]                                 # [6,3]
+    pv = jnp.where(n > 0, hi[..., None, :], lo[..., None, :])  # [...,6,3]
+    d = jnp.sum(pv * n, axis=-1) + planes[:, 3]
+    return jnp.all(d >= 0.0, axis=-1)
+
+
 def lod_mask(
     tree: Octree,
     level: int,
     points_per_node: int = 1,
     live: jax.Array | None = None,
+    frustum: jax.Array | None = None,
 ) -> jax.Array:
     """Boolean mask (in ORIGINAL point order) of the LOD subset for ``level``.
 
@@ -122,6 +150,11 @@ def lod_mask(
     and strides count only live points, so deleting a node's first Morton
     point promotes a live sibling instead of leaving the node unrepresented —
     required when the octree is cached across edits (pipeline.Session).
+
+    ``frustum`` (f32[6,4] planes from Camera.frustum_planes) culls whole
+    level-``level`` nodes outside the view before selection: each sorted
+    slot's node AABB decodes elementwise from its own key prefix (no node
+    table, no gather), so an off-screen forest compacts to ~nothing.
     """
     shift = 3 * (morton.MORTON_BITS - level)
     coarse = tree.keys >> shift
@@ -133,6 +166,9 @@ def lod_mask(
         if live is None
         else live[tree.order] & (tree.keys != INVALID_KEY)
     )
+    if frustum is not None:
+        lo_c, hi_c = _cell_bounds(tree, coarse, level)
+        live_sorted &= aabb_in_frustum(lo_c, hi_c, frustum)
     # rank among LIVE slots of the node + live count per node, from one
     # cumulative live count: exclusive value at the node start broadcast
     # forward, inclusive value at the node end broadcast backward
@@ -216,11 +252,23 @@ def compact(
 
 
 def node_bounds(table: NodeTable, tree: Octree, level: int) -> tuple[jax.Array, jax.Array]:
-    """AABB (lo, hi) f32[M,3] for each node in the table (for frustum culling)."""
-    shift = 3 * (morton.MORTON_BITS - level)
-    base_keys = (table.prefix << shift).astype(jnp.int32)
-    cell = morton.decode(base_keys).astype(jnp.float32)
-    extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
-    cell_size = extent / morton.MORTON_SIZE * (1 << (morton.MORTON_BITS - level))
-    lo = tree.lo + cell / (morton.MORTON_SIZE - 1) * extent
-    return lo, lo + cell_size
+    """AABB (lo, hi) f32[M,3] for each node in the table (frustum culling —
+    same cell math as lod_mask's per-slot test, via _cell_bounds)."""
+    return _cell_bounds(tree, table.prefix, level)
+
+
+def compact_indices(mask: jax.Array, capacity: int) -> tuple[jax.Array, jax.Array]:
+    """Dense original-order indices of masked rows -> (count, idx i32[cap]).
+
+    The index form makes LOD refresh after edits O(subset): positions never
+    move, so ``pos[idx]`` is computed once per rebuild and per-edit state
+    (segment/valid) re-reads through the same indices with subset-sized
+    gathers instead of full-N compaction passes (pipeline.Session.build_lod).
+    Padding slots hold index 0 — mask them with ``arange < count``.
+    """
+    pos_idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos_idx < capacity), pos_idx, capacity)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    src = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    idx = jnp.zeros(capacity + 1, jnp.int32).at[tgt].set(src, mode="drop")
+    return count, idx[:capacity]

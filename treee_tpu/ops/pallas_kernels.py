@@ -135,7 +135,17 @@ def dilate_pallas(
     radius: int = 3,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused splat dilation; drop-in for the scan in render/splat.resolve_keys."""
+    """Fused splat dilation; drop-in for the scan in render/splat.resolve_keys.
+
+    The offset plane packs (sdx+8)<<4 | (sdy+8) into 4-bit biased fields, so
+    only radius <= 7 is representable; resolve_keys routes larger radii to the
+    XLA scan path, and this guard catches direct callers.
+    """
+    if radius > 7:
+        raise ValueError(
+            f"dilate_pallas radius {radius} > 7 would overflow the packed "
+            "4-bit offset fields; use the XLA dilation path"
+        )
     h, w = kimg.shape
     params = jnp.stack(
         [jnp.float32(p22), jnp.float32(p23), jnp.float32(coef),

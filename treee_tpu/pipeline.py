@@ -48,6 +48,26 @@ def full_pipeline(
     return res.segment, classification, table, res
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lod_frame(pos_c, idx, count, cloud, cam, palette, cfg):
+    """One LOD frame with per-frame state refresh through the cached indices.
+
+    Edits between frames only rewrite ``cloud.segment``/``cloud.valid``; this
+    re-reads them with subset-sized gathers (sub-ms at 64k vs ~165 ms/column
+    for a full-N compaction at 15M, CLAUDE.md primitive costs) — the
+    incremental octree/LOD update of BASELINE.md config 3, vs the reference's
+    whole-segment GPU re-upload per brush stroke (mod.rs:182-221).
+    """
+    seg_c = cloud.segment[idx]
+    mask_c = (
+        cloud.valid[idx]
+        & (seg_c != DELETED_SEGMENT)
+        & (jnp.arange(idx.shape[0]) < count)
+    )
+    prop_c = splat.prop_from_segment(seg_c)
+    return splat.render_frame(pos_c, prop_c, mask_c, cam, palette, cfg)
+
+
 class Session:
     """Host-side session: one device point cloud + analytics + edits."""
 
@@ -57,6 +77,7 @@ class Session:
         self.world_offset = np.zeros(3, np.float64)
         self.source_location = config.interactive.source_location
         self.table: ch.SegmentTable | None = None
+        self._counts_np = None  # host mirror of table.count (curvature path)
         self.camera = Camera.orbital()
         self.palette = palettes.get(config.render.palette)
         self.max_distance = config.segmentation.max_distance
@@ -97,6 +118,7 @@ class Session:
         )
         self.cloud = PointCloud.from_numpy(pos, segment=seg, classification=cls_)
         self.table = None
+        self._counts_np = None
         self._tree = None
         self._lod = None
 
@@ -113,8 +135,18 @@ class Session:
             segment=seg, classification=classification
         )
         self.table = table
+        self._counts_np = None
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
+        if bool(res.occupied_overflow):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "segmentation occupied-cell compaction overflowed "
+                "cc_occupied_cap=%d; cluster counts/centroids truncated — "
+                "raise SegmentationConfig.cc_occupied_cap",
+                self.config.segmentation.cc_occupied_cap,
+            )
         return res
 
     def characteristics(self) -> ch.SegmentTable:
@@ -131,6 +163,7 @@ class Session:
             )
         )
         self.table = table
+        self._counts_np = None
         return table
 
     def properties(self):
@@ -146,9 +179,21 @@ class Session:
     def curvature(self, segment_id: int):
         member = self.cloud.valid & (self.cloud.segment == segment_id)
         # typical trees brute-force exactly; huge segments (e.g. ground)
-        # switch to the grid-hash engine so selection can't hit an O(N^2) wall
+        # switch to the grid-hash engine so selection can't hit an O(N^2) wall.
+        # The member count comes from a host-cached copy of the segment table
+        # so the interactive path doesn't block on a per-call device sync.
         ncfg = self.config.neighbors
-        use_grid = int(jnp.sum(member)) > ncfg.brute_force_max
+        cnt = None
+        if self.table is not None:
+            counts = getattr(self, "_counts_np", None)
+            if counts is None:
+                counts = np.asarray(self.table.count)
+                self._counts_np = counts
+            if 0 <= segment_id < len(counts):
+                cnt = int(counts[segment_id])
+        if cnt is None:
+            cnt = int(jnp.sum(member))
+        use_grid = cnt > ncfg.brute_force_max
         return ch.segment_curvature(
             self.cloud.pos, member, k=self.config.characteristics.neighbors,
             use_grid=use_grid,
@@ -174,15 +219,30 @@ class Session:
     # ---- rendering ---------------------------------------------------------------
 
     def build_lod(self, level: int = 7, points_per_node: int = 1,
-                  capacity: int | None = None) -> None:
-        """Materialize a compacted LOD subset for fast frame rendering.
+                  capacity: int | None = None,
+                  camera: Camera | None = None) -> None:
+        """Materialize an INDEX-compacted LOD subset for fast frame rendering.
 
         The reference draws every point every frame (program.rs:309-311); the
         octree LOD keeps frame cost bounded by the subset size instead of the
-        scan size.  Call again after edits to refresh: edits only flip
-        ``valid``/``segment`` (positions never move), so the sorted Morton
-        order is CACHED and a refresh re-derives just the mask + compaction —
-        no re-sort (the incremental octree/LOD update of BASELINE.md config 3).
+        scan size.  Design for the interactive loop (BASELINE.md config 3):
+
+        - the subset is stored as ORIGINAL-ORDER INDICES padded to a snug
+          power-of-two capacity (measured on v5e: a 52k-point subset padded to
+          2M rows cost 26 ms/frame; snug 64k padding costs 7 ms — projection +
+          scatter work scales with the PADDED row count, tools/profile_frame.py);
+        - positions are gathered once here; per-frame state (segment colors,
+          deletion mask) re-reads through the indices with subset-sized
+          gathers, so brush edits need NO full-N compaction pass before the
+          next frame — edits just write the SoA arrays and render;
+        - the sorted Morton order is cached across edits (positions never
+          move); rebuild only re-derives mask + compaction, no re-sort.
+        - ``camera`` enables frustum culling of whole LOD nodes
+          (octree.lod_mask frustum arg): off-screen regions drop out of the
+          subset and the snug capacity shrinks with them.
+
+        A deleted representative point is masked out per frame; its node's
+        live-aware promotion happens on the next explicit rebuild.
         """
         from .ops import octree as octree_mod
 
@@ -195,23 +255,39 @@ class Session:
             # per refresh below.
             tree = octree_mod.build(self.cloud.pos, self.cloud.valid)
             self._tree = tree
-        lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask)
+        frustum = None
+        if camera is not None:
+            rcfg = self.config.render
+            frustum = camera.frustum_planes(rcfg.width / rcfg.height)
+        lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask,
+                                  frustum=frustum)
         cap = capacity or min(self.cloud.capacity, 4 << 20)
-        prop = splat.prop_from_segment(self.cloud.segment)
-        count, (pos_c, prop_c) = octree_mod.compact(
-            lod, cap, self.cloud.pos, prop
-        )
-        self._lod = (pos_c, prop_c, jnp.arange(cap) < count)
+        count, idx = octree_mod.compact_indices(lod, cap)
+        if capacity is None:
+            # snug power-of-two capacity (one host sync per rebuild, not per
+            # frame); headroom so draw/restore edits don't immediately overflow
+            n = max(int(count), 1)
+            snug = 1 << max(12, (int(n * 1.25) - 1).bit_length())
+            if snug < cap:
+                idx = idx[:snug]
+                cap = snug
+        pos_c = self.cloud.pos[idx]
+        self._lod = (pos_c, idx, jnp.minimum(count, cap))
 
     def render(self, camera: Camera | None = None, prop: jax.Array | None = None,
                show_deleted: bool = False, use_lod: bool = False) -> np.ndarray:
         cam = camera if camera is not None else self.camera
+        if use_lod and show_deleted:
+            # the LOD subset is built excluding deleted points; fall through
+            # to the full-cloud path rather than silently dropping them
+            use_lod = False
         if use_lod:
             if getattr(self, "_lod", None) is None:
                 self.build_lod()
-            pos_c, prop_c, mask_c = self._lod
-            img = splat.render_frame(
-                pos_c, prop_c, mask_c, cam, self.palette, self.config.render
+            pos_c, idx, count = self._lod
+            img = _lod_frame(
+                pos_c, idx, count, self.cloud, cam, self.palette,
+                self.config.render,
             )
             return np.asarray(splat.to_u8(img))
         if prop is None:
@@ -232,12 +308,21 @@ class Session:
         show_hull: bool = False,
         show_rbv: bool = False,
         show_axis: bool = False,
+        hull_include: str = "crown",
+        rbv_slices: int | None = None,
+        rbv_sectors: int | None = None,
+        rbv_method: str = "max",
+        rbv_symmetric: bool = False,
+        axis_algo: str = "average",
     ) -> np.ndarray:
         """Focused single-tree view (the reference's View mode,
         interactive/mod.rs:770-800): the segment's points colored by the chosen
-        property, with optional hull / RBV cage / trunk-axis line overlays."""
+        property, with optional hull / RBV cage / trunk-axis line overlays.
+        ``hull_include`` is the IncludeMode class filter (hull.rs:15-67);
+        the rbv_* knobs and ``axis_algo`` map the reference's RBV and
+        trunk-axis widgets (hull.rs:248-285, trunk_axis.rs:267-293)."""
         from . import hull3d, rbv as rbv_mod, trunk_axis
-        from .cloud import CLASS_CROWN
+        from .cloud import include_mask
         from .render import lines as lines_mod
 
         cam = camera if camera is not None else self.camera
@@ -264,21 +349,35 @@ class Session:
         )
 
         overlays = []
-        axis = trunk_axis.average_direction(
+        axis_fn = (trunk_axis.low_high_layer if axis_algo == "lowhigh"
+                   else trunk_axis.average_direction)
+        axis = axis_fn(
             self.cloud.pos, member & (self.cloud.classification == 1)
         )
         tf = trunk_axis.axis_transform(axis) if show_rbv or show_axis else None
         if show_hull:
             h = hull3d.convex_hull(
                 np.asarray(self.cloud.pos),
-                np.asarray(member & (self.cloud.classification == CLASS_CROWN)),
+                np.asarray(member & include_mask(self.cloud.classification,
+                                                 hull_include)),
             )
             if h is not None:
                 e = hull3d.hull_edges(h.faces)
                 overlays.append(h.vertices[e])
         if show_rbv:
+            rbv_kw = dict(
+                transform=tf,
+                method=(rbv_mod.METHOD_MEAN if rbv_method == "mean"
+                        else rbv_mod.METHOD_MAX),
+                symmetric=rbv_symmetric,
+            )
+            if rbv_slices is not None:
+                rbv_kw.update(crown_slices=rbv_slices, trunk_slices=rbv_slices)
+            if rbv_sectors is not None:
+                rbv_kw.update(crown_sectors=rbv_sectors,
+                              trunk_sectors=rbv_sectors)
             crown, trunk = rbv_mod.split_rbv(
-                self.cloud.pos, self.cloud.classification, member, transform=tf
+                self.cloud.pos, self.cloud.classification, member, **rbv_kw
             )
             overlays.append(rbv_mod.rbv_lines(crown))
             overlays.append(rbv_mod.rbv_lines(trunk))
@@ -310,7 +409,6 @@ class Session:
         self.cloud = edit.remove_points(
             self.cloud, jnp.asarray(center, jnp.float32), r, DELETED_SEGMENT
         )
-        self._lod = None
 
     def draw_sphere(self, center, target: int, radius=None,
                     include_deleted: bool = False):
@@ -319,7 +417,6 @@ class Session:
         self.cloud = edit.remove_points(self.cloud, c, r, target)
         if include_deleted:
             self.cloud = edit.restore_deleted(self.cloud, c, r, target)
-        self._lod = None
 
     def reclassify_sphere(self, center, classification: int, segment: int,
                           radius=None):
@@ -327,11 +424,25 @@ class Session:
         self.cloud = edit.change_classification(
             self.cloud, jnp.asarray(center, jnp.float32), r, classification, segment
         )
-        self._lod = None
+        # the reference re-derives the separators from the edited class
+        # extents after every focused-view stroke (mod.rs:182-221)
+        if self.table is not None:
+            self.update_separators_from_classes(segment)
+
+    def update_separators_from_classes(self, segment_id: int) -> None:
+        """Refresh one segment's separators/heights from its (edited)
+        classification extents (SegmentData::changed, mod.rs:199-221)."""
+        if self.table is None:
+            self.characteristics()
+            return
+        self.table = ch.update_separators_from_classes(
+            self.cloud.pos, self.cloud.segment, self.cloud.valid,
+            self.cloud.classification, self.table, segment_id,
+        )
+        self._counts_np = None
 
     def combine(self, a: int, b: int):
         self.cloud = edit.combine_segments(self.cloud, a, b)
-        self._lod = None
 
     def spawn(self, center, radius=None) -> int:
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -339,19 +450,59 @@ class Session:
         self.cloud = edit.spawn_segment(
             self.cloud, jnp.asarray(center, jnp.float32), r, nid
         )
-        self._lod = None
         return nid
 
-    def pick(self, pixel_x: float, pixel_y: float):
-        """Ray-pick through a pixel -> (segment id, distance, hit)."""
+    def pick(self, pixel_x: float, pixel_y: float,
+             include_deleted: bool = False):
+        """Ray-pick through a pixel -> (segment id, distance, hit).
+
+        ``include_deleted`` makes deleted points targetable, matching the
+        reference's show_deleted brush that draws over them (mod.rs:845-870).
+        """
         direction = self.camera.ray_direction(
             pixel_x, pixel_y, self.config.render.width, self.config.render.height
         )
         seg, dist, found = edit.pick(
             self.cloud, self.camera.position, direction,
-            self.config.render.point_size,
+            self.config.render.point_size, include_deleted=include_deleted,
         )
         return int(seg), float(dist), bool(found)
+
+    def export_points_ply(self, path, segment_id: int | None = None,
+                          include: str = "all") -> int:
+        """Write a .ply with per-point expansion/height/CURVATURE, optionally
+        filtered to one segment and/or a class (the focused view's
+        Crown/Trunk/Ground export buttons, mod.rs:629-660, 1069-1107).
+
+        Returns the number of points written.  Curvature is the real k-NN
+        PCA value: exact per-segment when ``segment_id`` is given, grid-hash
+        over the whole live cloud otherwise.
+        """
+        from .cloud import include_mask
+        from .io import exports
+
+        exp, hgt = self.properties()
+        if segment_id is not None:
+            member = self.cloud.valid & (self.cloud.segment == segment_id)
+            curve = self.curvature(segment_id)
+        else:
+            member = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+            curve = ch.segment_curvature(
+                self.cloud.pos, member,
+                k=self.config.characteristics.neighbors, use_grid=True,
+            )
+        keep = np.asarray(
+            member & include_mask(self.cloud.classification, include)
+        )
+        with open(path, "w") as fh:
+            exports.save_points_ply(
+                fh,
+                np.asarray(self.cloud.pos)[keep],
+                np.asarray(exp)[keep],
+                np.asarray(hgt)[keep],
+                np.asarray(curve)[keep],
+            )
+        return int(keep.sum())
 
     # ---- persistence ----------------------------------------------------------------
 
@@ -381,6 +532,7 @@ class Session:
         )
         self._next_id = None
         self.table = None
+        self._counts_np = None
         self._tree = None
         self._lod = None
 

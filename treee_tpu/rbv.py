@@ -215,17 +215,22 @@ def split_rbv(
     crown_sectors: int = 32,
     trunk_slices: int = 5,
     trunk_sectors: int = 32,
+    method: int = METHOD_MAX,
+    symmetric: bool = False,
 ) -> tuple[RadialBoundingVolume, RadialBoundingVolume]:
-    """Crown 26x32 + trunk 5x32 split (hull.rs:185-208 defaults)."""
+    """Crown 26x32 + trunk 5x32 split (hull.rs:185-208 defaults); ``method``
+    and ``symmetric`` map the reference's RBV widgets (hull.rs:248-285)."""
     from .cloud import CLASS_CROWN, CLASS_TRUNK
 
     crown = build_rbv(
         pos, mask & (classification == CLASS_CROWN),
         slices=crown_slices, sectors=crown_sectors, transform=transform,
+        method=method, symmetric=symmetric,
     )
     trunk = build_rbv(
         pos, mask & (classification == CLASS_TRUNK),
         slices=trunk_slices, sectors=trunk_sectors, transform=transform,
+        method=method, symmetric=symmetric,
     )
     return crown, trunk
 

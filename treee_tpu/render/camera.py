@@ -148,6 +148,28 @@ class Camera(flax.struct.PyTreeNode):
             offset=jnp.maximum(self.offset * (1.0 + value / 10.0), 0.01)
         )
 
+    # ---- frustum ----------------------------------------------------------------
+
+    def frustum_planes(self, aspect: float) -> jax.Array:
+        """World-space frustum planes f32[6,4]: a*x+b*y+c*z+d >= 0 inside.
+
+        The reference carries equivalent frustum helpers that nothing calls
+        (camera.rs:94-109, camera_3d.rs:20-51 ``inside``); here they feed LOD
+        node culling (ops/octree.lod_mask frustum arg).  Planes come from the
+        view-projection rows (Gribb-Hartmann), wgpu z in [0,1].
+        """
+        m = self.projection_matrix(aspect) @ self.view_matrix()
+        planes = jnp.stack([
+            m[3] + m[0],   # left
+            m[3] - m[0],   # right
+            m[3] + m[1],   # bottom
+            m[3] - m[1],   # top
+            m[2],          # near (z01 >= 0)
+            m[3] - m[2],   # far
+        ])
+        norm = jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
+        return planes / jnp.maximum(norm, 1e-12)
+
     # ---- picking ----------------------------------------------------------------
 
     def ray_direction(self, pixel_x, pixel_y, width: int, height: int) -> jax.Array:

@@ -149,7 +149,9 @@ def resolve_keys(
 
     from ..config import resolve_use_pallas
 
-    if r > 0 and resolve_use_pallas(cfg.use_pallas):
+    # the Pallas kernel packs source offsets into 4-bit biased fields, which
+    # only represents |offset| <= 7 — larger radii take the XLA scan path
+    if r > 0 and r <= 7 and resolve_use_pallas(cfg.use_pallas):
         # one fused VMEM kernel instead of r*8 HBM round-trips over [H,W]
         from ..ops.pallas_kernels import dilate_pallas
 

@@ -38,7 +38,15 @@ commands (reference widget/mouse equivalents in parens):
   rotate DX DY | scroll V mouse-look / zoom
   display classification|expansion|height|curve    focused property view
   overlay hull|rbv|axis on|off                     focused overlays
+  hullinclude all|crown|trunk|ground|tree|nocrown  hull class filter
+                          (IncludeMode combo, hull.rs:15-67)
+  rbv slices N | sectors N | method max|mean | symmetric on|off
+                          RBV knobs (hull.rs:248-285 widgets)
+  axisalgo average|lowhigh                         trunk-axis algorithm
+                          (trunk_axis.rs:9-14)
   classify ground|trunk|crown PX PY                focused reclassify brush
+  export ply|crown|trunk|ground PATH               focused point export,
+                          optionally class-filtered (mod.rs:629-660)
   lod on|off              render from the octree LOD subset
   showdeleted on|off      include deleted points in renders (mod.rs:36)
   undelete PX PY          restore deleted points in the brush (draw with
@@ -63,6 +71,10 @@ class Repl:
         self.combine_first: int | None = None
         self.display = "classification"
         self.overlays = {"hull": False, "rbv": False, "axis": False}
+        self.hull_include = "crown"  # IncludeMode (hull.rs:15-67)
+        self.rbv_opts = {"slices": None, "sectors": None,
+                         "method": "max", "symmetric": False}
+        self.axis_algo = "average"  # TrunkAxisAlgorithm (trunk_axis.rs:9-14)
         self.use_lod = False
         self.show_deleted = False  # mod.rs:36,261 show_deleted toggle
         self.fp = False  # Controller::FirstPerson vs Orbital (camera.rs:147-151)
@@ -73,9 +85,15 @@ class Repl:
     def _print(self, msg: str) -> None:
         print(msg, file=self.out)
 
-    def _ray_hit(self, px: float, py: float):
-        """Pick through a pixel; returns (seg, hit_point) or (None, None)."""
-        seg, dist, found = self.s.pick(px, py)
+    def _ray_hit(self, px: float, py: float, include_deleted: bool = False):
+        """Pick through a pixel; returns (seg, hit_point) or (None, None).
+
+        ``include_deleted`` (or the show-deleted toggle) makes deleted points
+        targetable like the reference's show_deleted brush (mod.rs:845-870).
+        """
+        seg, dist, found = self.s.pick(
+            px, py, include_deleted=include_deleted or self.show_deleted
+        )
         if not found:
             return None, None
         cam = self.s.camera
@@ -187,6 +205,35 @@ class Repl:
             self.display = args[0]
         elif cmd == "overlay":
             self.overlays[args[0]] = args[1] == "on"
+        elif cmd == "hullinclude":
+            from .cloud import INCLUDE_MODES
+
+            if args[0] not in INCLUDE_MODES:
+                raise ValueError(
+                    f"unknown include mode {args[0]!r} (one of {INCLUDE_MODES})"
+                )
+            self.hull_include = args[0]
+            self._print(f"hull include: {self.hull_include}")
+        elif cmd == "rbv":
+            key, val = args[0], args[1]
+            if key in ("slices", "sectors"):
+                self.rbv_opts[key] = int(val)
+            elif key == "method":
+                if val not in ("max", "mean"):
+                    raise ValueError("rbv method is max or mean")
+                self.rbv_opts["method"] = val
+            elif key == "symmetric":
+                self.rbv_opts["symmetric"] = val == "on"
+            else:
+                raise ValueError(f"unknown rbv option {key!r}")
+            self._print(f"rbv {key}: {val}")
+        elif cmd == "axisalgo":
+            if args[0] not in ("average", "lowhigh"):
+                raise ValueError("axisalgo is average or lowhigh")
+            self.axis_algo = args[0]
+            self._print(f"trunk axis algorithm: {self.axis_algo}")
+        elif cmd == "export":
+            self._export(args[0], args[1])
         elif cmd == "lod":
             self.use_lod = args[0] == "on"
         elif cmd == "showdeleted":
@@ -195,11 +242,14 @@ class Repl:
             # restore deleted points in the brush into the selected segment
             # (the reference draws over deleted points when show_deleted is
             # on, mod.rs:845-870)
-            seg, hit = self._ray_hit(float(args[0]), float(args[1]))
+            seg, hit = self._ray_hit(float(args[0]), float(args[1]),
+                                     include_deleted=True)
             if hit is None:
                 self._print("miss")
             else:
                 target = self.selected if self.selected is not None else seg
+                if target == 0:  # picked a deleted point with nothing selected
+                    target = self.s._alloc_id()
                 self.s.draw_sphere(hit, target, include_deleted=True)
                 self._print(
                     f"restored around {np.round(hit, 2)} -> segment {target}"
@@ -243,6 +293,12 @@ class Repl:
                 show_hull=self.overlays["hull"],
                 show_rbv=self.overlays["rbv"],
                 show_axis=self.overlays["axis"],
+                hull_include=self.hull_include,
+                rbv_slices=self.rbv_opts["slices"],
+                rbv_sectors=self.rbv_opts["sectors"],
+                rbv_method=self.rbv_opts["method"],
+                rbv_symmetric=self.rbv_opts["symmetric"],
+                axis_algo=self.axis_algo,
             )
             self._save_png(img, args[0] if args else None)
         elif cmd == "classify":
@@ -380,9 +436,26 @@ class Repl:
             self._print(f"segment {sid}: absent")
             return
         crown, trunk = rbv_mod.split_rbv(
-            s.cloud.pos, s.cloud.classification, member
+            s.cloud.pos, s.cloud.classification, member,
+            method=(rbv_mod.METHOD_MEAN if self.rbv_opts["method"] == "mean"
+                    else rbv_mod.METHOD_MAX),
+            symmetric=self.rbv_opts["symmetric"],
         )
         self._print(rbv_mod.traits(crown, trunk).to_json())
+
+    def _export(self, what: str, path: str) -> None:
+        """Focused point export, optionally class-filtered (the reference's
+        Crown/Trunk/Ground/Points buttons, mod.rs:629-660)."""
+        sid = self.selected
+        if sid is None:
+            raise ValueError("select a segment first (view-mode click)")
+        include = {"ply": "all", "crown": "crown", "trunk": "trunk",
+                   "ground": "ground"}.get(what)
+        if include is None:
+            raise ValueError(f"unknown export {what!r} "
+                             "(ply|crown|trunk|ground)")
+        n = self.s.export_points_ply(path, segment_id=sid, include=include)
+        self._print(f"wrote {n} points to {path}")
 
 
 def _apply_key(cam: Camera, key: str, fp: bool) -> Camera:

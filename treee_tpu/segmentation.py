@@ -53,12 +53,16 @@ class SegmentationResult(flax.struct.PyTreeNode):
       n_segments:i32 number of allocated segment ids.
       tracked_pos:   f32[B,T,2] tracked centroid per band per slot (aux).
       tracked_active:bool[B,T] slot liveness per band (aux).
+      occupied_overflow: bool — occupied cells exceeded cc_occupied_cap, so
+        cluster counts/centroids silently truncated; raise
+        SegmentationConfig.cc_occupied_cap (pathological density only).
     """
 
     segment: jax.Array
     n_segments: jax.Array
     tracked_pos: jax.Array
     tracked_active: jax.Array
+    occupied_overflow: jax.Array
 
 
 def _connected_components(
@@ -459,9 +463,11 @@ def segment_points(
     slot_grids, n_alloc, tracked_pos_b, active_b = band_scan(
         cnt, lo, s, d, cfg
     )
+    n_occ = jnp.sum((cnt > 0).astype(jnp.int32))
     return SegmentationResult(
         segment=assign_points(slot_grids, band, cx, cz, valid),
         n_segments=n_alloc,
         tracked_pos=tracked_pos_b,
         tracked_active=active_b,
+        occupied_overflow=n_occ > cfg.cc_occupied_cap,
     )
