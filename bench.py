@@ -78,6 +78,17 @@ def main() -> None:
     n_target = int(os.environ.get("BENCH_POINTS", 15_000_000))
     n_frames = int(os.environ.get("BENCH_FRAMES", 8))
     cfg = DEFAULT_CONFIG
+    if n_target > 24_000_000:
+        # tighter column chunking of the support scans: identical results
+        # and total work, lower peak HBM (30M at chunk=4 missed v5e HBM by
+        # 48 MB of 15.75 GB)
+        import dataclasses
+
+        cfg = cfg.replace(
+            characteristics=dataclasses.replace(
+                cfg.characteristics, score_chunk=2
+            )
+        )
 
     # --- synthetic forest scan sized to the target (host) ---
     points_per_tree = 12_000
@@ -231,31 +242,40 @@ def main() -> None:
         pos=pos, segment=segment, classification=out[2], valid=valid
     )
 
-    @jax.jit
-    def edit_and_frame(cloud, center, cam):
-        c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
-        seg_c = c2.segment[idx]
-        mask_c = c2.valid[idx] & (seg_c != 0) & mask_l
-        prop_c = splat.prop_from_segment(seg_c)
-        img = splat.render_frame(pos_l, prop_c, mask_c, cam, palette,
-                                 cfg.render)
-        return c2, jnp.sum(img)
+    # one jitted scan over 8 strokes with a single sync, like the frame
+    # sweep: per-call axon-tunnel dispatch (~30 ms floor, chained syncs worse)
+    # is not the device cost being measured (see the sweep comment above);
+    # measured on v5e: 8.7 ms/stroke device, ~20 ms/stroke dispatch-inclusive
+    # (tools/probe_edit.py)
+    centers = jnp.stack(
+        [jnp.asarray([0.0, 5.0, 0.0], jnp.float32) + i for i in range(8)]
+    )
 
-    center = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
-    cloud2, _ = sync(edit_and_frame(cloud, center, cam0))  # compile
+    @jax.jit
+    def scan_edits(cloud, centers, cam):
+        def body(c, center):
+            c2 = edit_mod.remove_points(c, center, 2.0, 0)
+            seg_c = c2.segment[idx]
+            mask_c = c2.valid[idx] & (seg_c != 0) & mask_l
+            prop_c = splat.prop_from_segment(seg_c)
+            img = splat.render_frame(pos_l, prop_c, mask_c, cam, palette,
+                                     cfg.render)
+            return c2, jnp.sum(img)
+
+        c2, sums = jax.lax.scan(body, cloud, centers)
+        return jnp.sum(sums)
+
+    sync(scan_edits(cloud, centers, cam0))  # compile
     touch()
     t0 = time.time()
-    reps = 3
-    for i in range(reps):
-        cloud2, chk = edit_and_frame(
-            cloud2, center + jnp.float32(i), cam0
-        )
-    sync(chk)
-    edit_ms = (time.time() - t0) / reps * 1e3
+    sync(scan_edits(cloud, centers, cam0))
+    edit_ms = (time.time() - t0) / 8 * 1e3
     touch()
     RESULT.update(edit_frame_ms=round(edit_ms, 2))
-    print(f"# bench: edit+lod-frame {edit_ms:.0f} ms", file=sys.stderr,
+    print(f"# bench: edit+lod-frame {edit_ms:.1f} ms/stroke", file=sys.stderr,
           flush=True)
+    center = centers[0]
+    cloud2 = cloud
 
     # full-cloud edit + re-render (the round-1 metric, kept for comparison):
     # measured scatter floor at 15M rows is ~122 ms/frame (profile_frame.py),
@@ -270,6 +290,7 @@ def main() -> None:
 
     cloud2, _ = sync(edit_and_full_frame(cloud, center, cam0))
     touch()
+    reps = 3
     t0 = time.time()
     for i in range(reps):
         cloud2, chk = edit_and_full_frame(cloud2, center + jnp.float32(i), cam0)

@@ -1017,6 +1017,32 @@ int treee_laz_decompress(const laszip::u8* file, laszip::u64 file_len,
                            point_length, items, chunk_size, out, n_threads);
 }
 
+// TEST HOOK: run the real Point10Codec on (first, cur) and return the
+// changed_values SYMBOL the encoder actually emitted, extracted by decoding
+// the stream's first symbol with an identically initialized 64-symbol model.
+// Lets Python pin the documented bit assignments (flags 32 / intensity 16 /
+// classification 8 / scan angle 4 / user data 2 / point source 1) and the
+// last_intensity[m]-vs-last.intensity comparison against hand-derived
+// expectations instead of roundtrip symmetry.
+laszip::u32 treee_laz_test_point10_changed_symbol(const laszip::u8* first20,
+                                                 const laszip::u8* cur20) {
+  using namespace laszip;
+  Point10 first, cur;
+  std::memcpy(&first, first20, 20);
+  std::memcpy(&cur, cur20, 20);
+  Point10Codec codec;
+  codec.init(first, /*for_compress=*/true);
+  Encoder enc;
+  enc.init();
+  codec.write(enc, cur);
+  enc.done();
+  Decoder dec;
+  dec.init(enc.out.data(), enc.out.size());
+  SymbolModel m;
+  m.init(64, /*for_compress=*/false);
+  return dec.decode_symbol(m);
+}
+
 int treee_laz_compress(const laszip::u8* records, laszip::u32 n_points,
                        laszip::u32 point_length, laszip::u8 point_format,
                        laszip::u32 chunk_size, laszip::u64 base_offset,

@@ -10,14 +10,17 @@ from treee_tpu import geo
 def test_parse_proj_reference_default():
     # the reference's default location string (mod.rs:53)
     p = geo.parse_proj("+proj=utm\n+ellps=GRS80\n+zone=32")
-    assert p == {"zone": 32, "south": False, "ellps": "GRS80"}
+    assert p == {"proj": "utm", "ellps": "GRS80", "zone": "32"}
 
 
 def test_parse_proj_rejects_unknown():
     with pytest.raises(geo.ProjError):
-        geo.parse_proj("+proj=merc +zone=32")
+        geo.parse_proj("utm zone=32")  # not +key=value tokens
     with pytest.raises(geo.ProjError):
-        geo.parse_proj("+proj=utm +zone=99")
+        geo.transform_to_latlong("+proj=utm +zone=99", 500000.0, 5e6)
+    with pytest.raises(geo.ProjError):
+        geo.transform_to_latlong("+proj=utm +zone=32 +ellps=nope",
+                                 500000.0, 5e6)
 
 
 def test_utm_known_point_munich():
@@ -92,3 +95,76 @@ def test_segment_coords_swizzle():
 def test_format_degrees():
     s = geo.format_degrees(math.radians(48.5))
     assert s == "48°30'00.0\""
+
+
+def test_tmerc_general_matches_utm():
+    """+proj=tmerc with UTM's parameters reproduces +proj=utm exactly."""
+    e, nn = 512345.0, 5334567.0
+    lon_u, lat_u = geo.transform_to_latlong("+proj=utm +zone=32 +ellps=GRS80",
+                                            e, nn)
+    lon_t, lat_t = geo.transform_to_latlong(
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 "
+        "+ellps=GRS80", e, nn)
+    assert abs(lon_u - lon_t) < 1e-12
+    assert abs(lat_u - lat_t) < 1e-12
+
+
+def test_tmerc_lat0_false_origin():
+    """+lat_0 shifts the northing origin by the meridian arc (e.g. Gauss-
+    Krüger style grids with a false latitude origin)."""
+    base = "+proj=tmerc +lon_0=9 +k=1 +x_0=0 +y_0=0 +ellps=bessel"
+    lon0, lat0 = geo.transform_to_latlong(base, 10_000.0, 5_550_000.0)
+    # same point expressed with a +lat_0=50 origin: northing is reduced by
+    # the meridian arc of 50 degrees
+    import math as m
+    a, f = 6377397.155, 1.0 / 299.1528128
+    n = f / (2.0 - f)
+    big_a = geo._rectifying_radius(a, n)
+    m50 = geo._meridian_arc(m.radians(50.0), n, big_a)
+    lon1, lat1 = geo.transform_to_latlong(
+        base.replace("+lon_0=9", "+lon_0=9 +lat_0=50"),
+        10_000.0, 5_550_000.0 - m50)
+    assert abs(lon0 - lon1) < 1e-12
+    assert abs(lat0 - lat1) < 1e-9
+
+
+def test_merc_inverse_against_forward():
+    """Ellipsoidal Mercator inverse checked against the closed-form forward
+    formula (isometric latitude)."""
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    for lat_deg, lon_deg in ((45.0, 7.5), (-33.0, 151.0), (10.0, -60.0)):
+        phi = math.radians(lat_deg)
+        x = a * math.radians(lon_deg)
+        y = a * math.log(
+            math.tan(math.pi / 4 + phi / 2)
+            * ((1 - e * math.sin(phi)) / (1 + e * math.sin(phi))) ** (e / 2)
+        )
+        lon, lat = geo.transform_to_latlong("+proj=merc +ellps=WGS84", x, y)
+        assert abs(math.degrees(lat) - lat_deg) < 1e-7
+        assert abs(math.degrees(lon) - lon_deg) < 1e-9
+
+
+def test_longlat_identity_and_custom_ellipsoid():
+    lon, lat = geo.transform_to_latlong("+proj=longlat +datum=WGS84",
+                                        9.25, 48.75)
+    assert abs(math.degrees(lon) - 9.25) < 1e-12
+    assert abs(math.degrees(lat) - 48.75) < 1e-12
+    # explicit +a/+rf ellipsoid equals the named one
+    l1 = geo.transform_to_latlong("+proj=tmerc +lon_0=9 +ellps=GRS80",
+                                  1000.0, 5_000_000.0)
+    l2 = geo.transform_to_latlong(
+        "+proj=tmerc +lon_0=9 +a=6378137.0 +rf=298.257222101",
+        1000.0, 5_000_000.0)
+    assert abs(l1[0] - l2[0]) < 1e-14
+    assert abs(l1[1] - l2[1]) < 1e-14
+
+
+def test_unknown_projection_raises():
+    import pytest
+
+    with pytest.raises(geo.ProjError):
+        geo.transform_to_latlong("+proj=sinu +ellps=WGS84", 0.0, 0.0)
+    with pytest.raises(geo.ProjError):
+        geo.transform_to_latlong("no plus tokens", 0.0, 0.0)

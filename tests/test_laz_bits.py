@@ -1,0 +1,162 @@
+"""Bit-level LASzip codec unit tests (table-driven, hand-derived expectations).
+
+Roundtrip symmetry can't catch a bug encoder and decoder share; these pin the
+at-risk details named in CLAUDE.md against independently hand-computed
+expectations of the published algorithm:
+
+- StreamingMedian5's alternating high/low insertion bias (incl. the
+  no-toggle-in-first-branch subtlety),
+- the IntegerCompressor's corrector k-width mapping (k=0 for c in {0,1},
+  bit_width(c-1) for c>1, bit_width(|c|) for c<0) and the decoder seeing the
+  identical k chain (x->y->z context chaining depends on it),
+- POINT10 changed_values bit assignments (flags 32 / intensity 16 /
+  classification 8 / scan angle 4 / user data 2 / point source 1) and the
+  intensity comparison being against the per-return-map table seeded to 0,
+- the chunk-table corrector (IC(32,2), previous size prediction, context 1).
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from treee_tpu.io import native_build
+
+lib = native_build.load_library(required=False)
+pytestmark = pytest.mark.skipif(lib is None, reason="native codec not built")
+
+
+def _median5(values):
+    vals = np.asarray(values, np.int32)
+    out = np.empty(len(vals), np.int32)
+    lib.treee_laz_test_median5(
+        vals.ctypes.data_as(ctypes.c_void_p), len(vals),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out.tolist()
+
+
+def test_streaming_median5_hand_cases():
+    # hand-traced from the published algorithm.  ``high`` toggles ONLY when
+    # the insert lands in the half it currently biases toward (high=T + high
+    # insert -> F; high=F + low insert -> T); same-side inserts keep it —
+    # the CLAUDE.md "first-branch toggling" risk item, pinned here:
+    #   [5,7,3,4,6,2]: 5 lands high (toggle F), then 7/3/4/6 all land high
+    #   under high=F (no toggle), sliding the window to [3,4,5,6,7]
+    assert _median5([5, 7, 3, 4, 6, 2]) == [0, 0, 3, 4, 5, 5]
+    # constant stream reaches the constant on the 3rd add (one toggle, then
+    # repeated upper-half displacement of the zero seeds)
+    assert _median5([10] * 5) == [0, 0, 10, 10, 10]
+    # all-below-median inserts under high=T stay in the first branch and
+    # never toggle: the zero seeds are displaced from the top down
+    assert _median5([-5, -3, -4]) == [0, 0, -3]
+    # zeros stay zeros
+    assert _median5([0, 0, 0, 0]) == [0, 0, 0, 0]
+
+
+def _ic_roundtrip(bits, contexts, preds, reals, ctxs):
+    n = len(reals)
+    preds = np.asarray(preds, np.int32)
+    reals = np.asarray(reals, np.int32)
+    ctxs = np.asarray(ctxs, np.uint32)
+    dec = np.empty(n, np.int32)
+    ks = np.empty(n, np.uint32)
+    rc = lib.treee_laz_test_ic_roundtrip(
+        bits, contexts,
+        preds.ctypes.data_as(ctypes.c_void_p),
+        reals.ctypes.data_as(ctypes.c_void_p),
+        ctxs.ctypes.data_as(ctypes.c_void_p), n,
+        dec.ctypes.data_as(ctypes.c_void_p),
+        ks.ctypes.data_as(ctypes.c_void_p),
+    )
+    assert rc == 0, f"decoder diverged from encoder k chain (rc={rc})"
+    return dec.tolist(), ks.tolist()
+
+
+def test_integer_compressor_k_widths():
+    reals = [0, 1, 2, 3, 4, 5, 8, 9, -1, -2, -4, -8, 1024, -1024,
+             100000, -100000]
+    expected_k = [0, 0, 1, 2, 2, 3, 3, 4, 1, 2, 3, 4, 10, 11, 17, 17]
+    dec, ks = _ic_roundtrip(32, 1, [0] * len(reals), reals, [0] * len(reals))
+    assert dec == reals
+    assert ks == expected_k
+
+
+def test_integer_compressor_16bit_wraparound():
+    """bits=16 folds correctors mod 2^16 (intensity/scan-angle/point-source
+    semantics): a u16 delta that wraps still reproduces the u16 value."""
+    preds = [65000, 10, 0, 40000]
+    reals = [5, 65530, 32768, 39999]
+    dec, _ = _ic_roundtrip(16, 1, preds, reals, [0] * 4)
+    assert dec == reals
+
+
+def test_integer_compressor_contexts_independent():
+    """Each context carries its own models; interleaving contexts must not
+    corrupt either stream."""
+    preds = [0, 0, 100, 100, 0, 100]
+    reals = [7, -7, 100, 228, 9, 95]
+    ctxs = [0, 1, 0, 1, 0, 1]
+    dec, _ = _ic_roundtrip(32, 2, preds, reals, ctxs)
+    assert dec == reals
+
+
+def _p10(intensity=0, flags=0b001001, classification=0, scan_angle=0,
+         user_data=0, point_source=0, xyz=(0, 0, 0)):
+    rec = np.zeros(20, np.uint8)
+    rec[0:12] = np.asarray(xyz, "<i4").view(np.uint8)
+    rec[12:14] = np.asarray([intensity], "<u2").view(np.uint8)
+    rec[14] = flags
+    rec[15] = classification
+    rec[16] = np.asarray([scan_angle], "<i1").view(np.uint8)[0]
+    rec[17] = user_data
+    rec[18:20] = np.asarray([point_source], "<u2").view(np.uint8)
+    return rec
+
+
+def _changed(first, cur):
+    return lib.treee_laz_test_point10_changed_symbol(
+        first.ctypes.data_as(ctypes.c_void_p),
+        cur.ctypes.data_as(ctypes.c_void_p),
+    )
+
+
+def test_point10_changed_values_bits():
+    base = _p10()
+    assert _changed(base, _p10()) == 0
+    assert _changed(base, _p10(flags=0b101001)) == 32
+    assert _changed(base, _p10(classification=3)) == 8
+    assert _changed(base, _p10(scan_angle=-4)) == 4
+    assert _changed(base, _p10(user_data=9)) == 2
+    assert _changed(base, _p10(point_source=2)) == 1
+    # combinations OR together
+    assert _changed(base, _p10(classification=3, user_data=9)) == 10
+
+
+def test_point10_intensity_vs_return_map_table():
+    """The intensity bit compares against last_intensity[m] (per return map,
+    seeded to ZERO at chunk start), not the first record's intensity field:
+    a chunk whose first two records share intensity 500 still flags bit 16
+    on the second record."""
+    first = _p10(intensity=500)
+    assert _changed(first, _p10(intensity=500)) == 16
+    # and intensity 0 after a 500-intensity first record is "unchanged"
+    assert _changed(first, _p10(intensity=0)) == 0
+
+
+def test_chunk_table_corrector():
+    sizes = np.asarray([50_000, 49_712, 51_003, 1_234, 50_000], np.uint32)
+    dec = np.empty(len(sizes), np.uint32)
+    stream = np.empty(4096, np.uint8)
+    slen = ctypes.c_uint32(0)
+    rc = lib.treee_laz_test_chunk_table(
+        sizes.ctypes.data_as(ctypes.c_void_p), len(sizes),
+        dec.ctypes.data_as(ctypes.c_void_p),
+        stream.ctypes.data_as(ctypes.c_void_p), len(stream),
+        ctypes.byref(slen),
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(dec, sizes)
+    # similar sizes compress far below 4 bytes each through the
+    # previous-size prediction in context 1
+    assert 0 < slen.value < 4 * len(sizes)

@@ -171,16 +171,17 @@ def _segmented_cummax(key: jax.Array, val: jax.Array) -> jax.Array:
     return vb.reshape((nb * blk,) + vb.shape[2:])[:n]
 
 
-def _run_last_table(
-    key_sorted: jax.Array, val_cum: jax.Array, n_buckets: int, fill
-) -> jax.Array:
-    """table[b] = run max for bucket b, from the cummax'd sorted values.
+def _run_end_index(
+    key_sorted: jax.Array, n_buckets: int
+) -> tuple[jax.Array, jax.Array]:
+    """(idx, hit): run-END sorted slot per bucket, from one searchsorted.
 
-    ``searchsorted(side=right) - 1`` lands on each bucket's run END, where the
+    ``searchsorted(side=right) - 1`` lands on each bucket's run END, where a
     segmented cummax holds the full run max; absent buckets miss the equality
-    check and read ``fill``.  787k queries into 15M keys measure ~156 ms on
-    v5e with method="scan_unrolled" (vs 441 ms default "scan", and cheaper
-    than any scatter-based extraction — tools/microbench.py).
+    check.  787k queries into 15M keys measure ~156 ms on v5e with
+    method="scan_unrolled" (vs 441 ms default "scan", and cheaper than any
+    scatter-based extraction — tools/microbench.py).  Computed ONCE and
+    reused across column chunks of the same key array.
     """
     n = key_sorted.shape[0]
     q = jnp.arange(n_buckets, dtype=key_sorted.dtype)
@@ -189,9 +190,44 @@ def _run_last_table(
     ).astype(jnp.int32) - 1
     idx = jnp.clip(idx, 0, n - 1)
     hit = key_sorted[idx] == q
+    return idx, hit
+
+
+def _run_last_table(
+    key_sorted: jax.Array, val_cum: jax.Array, n_buckets: int, fill
+) -> jax.Array:
+    """table[b] = run max for bucket b, from the cummax'd sorted values."""
+    idx, hit = _run_end_index(key_sorted, n_buckets)
     v = val_cum[idx]
     hit_b = hit[:, None] if v.ndim == 2 else hit
     return jnp.where(hit_b, v, fill)
+
+
+def _chunked_support_table(
+    bucket_s: jax.Array,
+    make_scores,
+    n_cols: int,
+    chunk: int,
+    n_buckets: int,
+) -> jax.Array:
+    """Per-bucket support maxima f32[n_buckets, n_cols], column-chunked.
+
+    ``make_scores(c0, c1)`` materializes score columns [N, c1-c0].  Peak
+    memory of the characteristics phase scales with the widest live score
+    buffer — the [N, K] form is what OOM'd 30M points on one v5e chip
+    (CLAUDE.md round-1 state); chunking divides that by K/chunk at identical
+    total pass work.  The run-end searchsorted is shared across chunks.
+    """
+    if chunk <= 0 or chunk >= n_cols:
+        cum = _segmented_cummax(bucket_s, make_scores(0, n_cols))
+        return _run_last_table(bucket_s, cum, n_buckets, -INF)
+    idx, hit = _run_end_index(bucket_s, n_buckets)
+    tabs = []
+    for c0 in range(0, n_cols, chunk):
+        c1 = min(c0 + chunk, n_cols)
+        cum = _segmented_cummax(bucket_s, make_scores(c0, c1))
+        tabs.append(jnp.where(hit[:, None], cum[idx], -INF))
+    return jnp.concatenate(tabs, axis=1)
 
 
 def slice_areas(
@@ -336,18 +372,32 @@ def compute_segments(
     )
     bucket_s = jnp.where(live_s, seg_s * ms + slice_s, s_cap * ms)
 
-    # --- slice-area supports (+ x/z extents when full_bbox) in ONE segmented
-    # scan keyed by bucket; bucket runs are sub-runs of segment runs, so
-    # segment-level x/z extents reduce from the bucket table afterwards
+    # --- slice-area supports (+ x/z extents when full_bbox) in segmented
+    # scans keyed by bucket, COLUMN-CHUNKED for peak memory (30M-point
+    # headroom); bucket runs are sub-runs of segment runs, so segment-level
+    # x/z extents reduce from the bucket table afterwards
     # (calculations.rs:218, :136-147) ---
     xz_s = jnp.stack([x_s, z_s], axis=-1)
     dirs = _support_directions(k_dirs)
-    scores = jnp.dot(xz_s, dirs, preferred_element_type=jnp.float32)
-    if full_bbox:
-        scores = jnp.concatenate([scores, xz_s, -xz_s], axis=1)
-    scores = jnp.where(live_s[:, None], scores, -INF)
-    cum = _segmented_cummax(bucket_s, scores)
-    tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
+    n_cols = k_dirs + (4 if full_bbox else 0)
+
+    def make_scores(c0, c1):
+        # elementwise broadcast FMA rather than a [N,2]x[2,K] gemm: identical
+        # bandwidth (the pass is memory-bound), and bit-identical results for
+        # any column chunking (gemm associativity varies with the K shape)
+        cols = []
+        if c0 < k_dirs:
+            d = dirs[:, c0:min(c1, k_dirs)]
+            cols.append(xz_s[:, :1] * d[0][None, :] + xz_s[:, 1:] * d[1][None, :])
+        if c1 > k_dirs:
+            ext = jnp.concatenate([xz_s, -xz_s], axis=1)
+            cols.append(ext[:, max(c0 - k_dirs, 0):c1 - k_dirs])
+        sc = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+        return jnp.where(live_s[:, None], sc, -INF)
+
+    tab = _chunked_support_table(
+        bucket_s, make_scores, n_cols, cfg.score_chunk, s_cap * ms
+    )
     if axis_name is not None:
         tab = jax.lax.pmax(tab, axis_name)  # the one big collective, O(S*MS)
     areas = _areas_from_supports(tab[:, :k_dirs], k_dirs).reshape(s_cap, ms)
@@ -527,12 +577,13 @@ def segment_properties(
         (bucket, pos[:, 0], pos[:, 2]), num_keys=1
     )
     dirs = _support_directions(k_dirs)
-    scores = jnp.dot(
-        jnp.stack([x_s, z_s], axis=-1), dirs,
-        preferred_element_type=jnp.float32,
+    xz_s = jnp.stack([x_s, z_s], axis=-1)
+    tab = _chunked_support_table(
+        bucket_s,
+        lambda c0, c1: (xz_s[:, :1] * dirs[0, c0:c1][None, :]
+                        + xz_s[:, 1:] * dirs[1, c0:c1][None, :]),
+        k_dirs, cfg.score_chunk, s_cap * ms,
     )
-    cum = _segmented_cummax(bucket_s, scores)
-    tab = _run_last_table(bucket_s, cum, s_cap * ms, -INF)
     areas_crown = _areas_from_supports(tab, k_dirs).reshape(s_cap, ms)
 
     # crown area: max area at/above the crown separator slice (calculations.rs:301-306)

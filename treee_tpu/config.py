@@ -97,6 +97,11 @@ class CharacteristicsConfig:
     # of the characteristics phase; K=8 circumscribes a disk within +5.5%,
     # comfortably inside the separator thresholds' 1.5x margins
     hull_directions: int = 8
+    # column-chunk the [N,K] segmented support scans: peak memory of the
+    # characteristics phase scales with the widest live score buffer, which
+    # is what OOM'd 30M points on one v5e in round 1.  Total work is
+    # unchanged (same pass count over the same elements); 0 = unchunked.
+    score_chunk: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,21 +4,39 @@ The reference converts each segment's center to lat/long with proj4rs using a
 user-editable proj string, default UTM zone 32 on GRS80
 (treee/src/interactive/mod.rs:53,235-243), and formats degrees as D°M'S"
 (mod.rs:1060-1066).  No proj library ships in this environment, so this module
-implements the inverse transverse Mercator (UTM) projection directly — the
-standard series expansion (Karney/Krüger coefficients to 4th order, accurate to
-well under a millimeter for UTM extents) — and parses the proj-string subset
-the reference exposes: ``+proj=utm +zone=N [+south] +ellps=GRS80|WGS84``.
+implements the inverse projections directly from the published formulas:
+
+- ``+proj=utm``    — inverse transverse Mercator via the 4th-order Krüger
+  series (sub-millimeter over UTM extents), zone/+south handling;
+- ``+proj=tmerc``  — the general form: arbitrary +lat_0/+lon_0/+k(_0)/
+  +x_0/+y_0, lat_0 entering through the meridian arc;
+- ``+proj=merc``   — ellipsoidal Mercator inverse (isometric -> conformal ->
+  geodetic latitude via the same series);
+- ``+proj=longlat``/``latlong``/``lonlat`` — identity (degrees in, radians out);
+- ellipsoids by ``+ellps`` name (GRS80/WGS84/intl/bessel/clrk66/krass/sphere)
+  or explicit ``+a`` with ``+b``/``+f``/``+rf``.
+
+Datum shifts (``+towgs84``, grids) are accepted but ignored — the reference's
+proj4rs pipeline applies them only between two full CRS definitions, and the
+app's single-string use (projected -> longlat on the SAME datum) never
+exercises them.  Unknown ``+proj`` families raise :class:`ProjError`, which
+the callers surface as "proj string did not parse" (mod.rs:470-488 text box
+semantics: bad strings simply show no coordinates).
 """
 
 from __future__ import annotations
 
 import math
-import re
 
-# GRS80 / WGS84 ellipsoids (semi-major axis, flattening)
+# named ellipsoids (semi-major axis, flattening), proj4 table subset
 _ELLIPSOIDS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
+    "clrk66": (6378206.4, 1.0 / 294.9786982),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "sphere": (6371000.0, 0.0),
 }
 
 UTM_SCALE = 0.9996
@@ -31,7 +49,7 @@ class ProjError(ValueError):
 
 
 def parse_proj(proj_string: str) -> dict:
-    """Parse the supported proj-string subset (whitespace/newline separated)."""
+    """Parse a proj string into a parameter dict (+k=v / +flag tokens)."""
     params: dict[str, str | bool] = {}
     for tok in proj_string.split():
         if not tok.startswith("+"):
@@ -42,31 +60,80 @@ def parse_proj(proj_string: str) -> dict:
             params[k] = v
         else:
             params[body] = True
-    if params.get("proj") != "utm":
-        raise ProjError(f"only +proj=utm is supported, got {params.get('proj')!r}")
-    zone = int(params.get("zone", 0))
-    if not 1 <= zone <= 60:
-        raise ProjError(f"utm zone {zone} out of range")
-    ellps = str(params.get("ellps", "GRS80"))
-    if ellps not in _ELLIPSOIDS:
-        raise ProjError(f"unsupported ellipsoid {ellps!r}")
-    return {"zone": zone, "south": bool(params.get("south", False)), "ellps": ellps}
+    if "proj" not in params:
+        raise ProjError("proj string has no +proj")
+    return params
 
 
-def utm_to_latlong(easting: float, northing: float, zone: int,
-                   south: bool = False, ellps: str = "GRS80") -> tuple[float, float]:
-    """Inverse UTM -> (longitude, latitude) in RADIANS (matching proj4's
-    radian output that the reference then formats, mod.rs:619-620,1060)."""
-    a, f = _ELLIPSOIDS[ellps]
-    n = f / (2.0 - f)
-    # rectifying radius
-    big_a = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+def _ellipsoid(params: dict) -> tuple[float, float]:
+    """(a, f) from +ellps or explicit +a with +b/+f/+rf."""
+    if "a" in params:
+        a = float(params["a"])
+        if "rf" in params:
+            f = 1.0 / float(params["rf"])
+        elif "f" in params:
+            f = float(params["f"])
+        elif "b" in params:
+            f = (a - float(params["b"])) / a
+        else:
+            f = 0.0  # sphere
+        return a, f
+    name = str(params.get("ellps", "GRS80"))
+    if name not in _ELLIPSOIDS:
+        raise ProjError(f"unsupported ellipsoid {name!r}")
+    return _ELLIPSOIDS[name]
 
-    x = (easting - UTM_FALSE_EASTING) / (UTM_SCALE * big_a)
-    y_off = UTM_FALSE_NORTHING_SOUTH if south else 0.0
-    y = (northing - y_off) / (UTM_SCALE * big_a)
 
-    # inverse series (Krüger, 4th order in n)
+def _third_flattening(f: float) -> float:
+    return f / (2.0 - f)
+
+
+def _rectifying_radius(a: float, n: float) -> float:
+    return a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+
+
+def _meridian_arc(lat: float, n: float, big_a: float) -> float:
+    """Meridian arc length from the equator (rectifying-latitude series)."""
+    mu = (
+        lat
+        - (3.0 * n / 2.0 - 9.0 * n**3 / 16.0) * math.sin(2.0 * lat)
+        + (15.0 * n**2 / 16.0 - 15.0 * n**4 / 32.0) * math.sin(4.0 * lat)
+        - (35.0 * n**3 / 48.0) * math.sin(6.0 * lat)
+        + (315.0 * n**4 / 512.0) * math.sin(8.0 * lat)
+    )
+    return big_a * mu
+
+
+def _conformal_to_geodetic(chi: float, n: float) -> float:
+    delta = [
+        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3 + 116.0 * n**4 / 45.0,
+        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0 - 227.0 * n**4 / 45.0,
+        56.0 * n**3 / 15.0 - 136.0 * n**4 / 35.0,
+        4279.0 * n**4 / 630.0,
+    ]
+    lat = chi
+    for j, dcoef in enumerate(delta, start=1):
+        lat += dcoef * math.sin(2 * j * chi)
+    return lat
+
+
+def tmerc_to_latlong(
+    easting: float, northing: float, a: float, f: float,
+    k0: float = 1.0, lon0: float = 0.0, lat0: float = 0.0,
+    x0: float = 0.0, y0: float = 0.0,
+) -> tuple[float, float]:
+    """General inverse transverse Mercator (Krüger 4th-order series).
+
+    Angles in RADIANS (matching proj4's radian output the reference formats,
+    mod.rs:619-620,1060).
+    """
+    n = _third_flattening(f)
+    big_a = _rectifying_radius(a, n)
+    m0 = _meridian_arc(lat0, n, big_a) if lat0 else 0.0
+
+    x = (easting - x0) / (k0 * big_a)
+    y = (northing - y0 + m0) / (k0 * big_a)
+
     beta = [
         n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
         n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
@@ -80,26 +147,62 @@ def utm_to_latlong(easting: float, northing: float, zone: int,
         eta -= b * math.cos(2 * j * y) * math.sinh(2 * j * x)
 
     chi = math.asin(math.sin(xi) / math.cosh(eta))
-    # conformal -> geodetic latitude series
-    delta = [
-        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3 + 116.0 * n**4 / 45.0,
-        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0 - 227.0 * n**4 / 45.0,
-        56.0 * n**3 / 15.0 - 136.0 * n**4 / 35.0,
-        4279.0 * n**4 / 630.0,
-    ]
-    lat = chi
-    for j, dcoef in enumerate(delta, start=1):
-        lat += dcoef * math.sin(2 * j * chi)
-
-    lon0 = math.radians(zone * 6.0 - 183.0)
+    lat = _conformal_to_geodetic(chi, n)
     lon = lon0 + math.atan2(math.sinh(eta), math.cos(xi))
     return lon, lat
+
+
+def utm_to_latlong(easting: float, northing: float, zone: int,
+                   south: bool = False, ellps: str = "GRS80") -> tuple[float, float]:
+    """Inverse UTM -> (longitude, latitude) in radians."""
+    a, f = _ELLIPSOIDS[ellps]
+    return tmerc_to_latlong(
+        easting, northing, a, f,
+        k0=UTM_SCALE,
+        lon0=math.radians(zone * 6.0 - 183.0),
+        x0=UTM_FALSE_EASTING,
+        y0=UTM_FALSE_NORTHING_SOUTH if south else 0.0,
+    )
+
+
+def merc_to_latlong(easting: float, northing: float, a: float, f: float,
+                    k0: float = 1.0, lon0: float = 0.0,
+                    x0: float = 0.0, y0: float = 0.0) -> tuple[float, float]:
+    """Inverse ellipsoidal Mercator: isometric -> conformal -> geodetic."""
+    n = _third_flattening(f)
+    lon = lon0 + (easting - x0) / (a * k0)
+    psi = (northing - y0) / (a * k0)
+    chi = 2.0 * math.atan(math.exp(psi)) - math.pi / 2.0
+    return lon, _conformal_to_geodetic(chi, n)
 
 
 def transform_to_latlong(proj_string: str, x: float, y: float) -> tuple[float, float]:
     """World (easting, northing) -> (long, lat) radians via a proj string."""
     p = parse_proj(proj_string)
-    return utm_to_latlong(x, y, p["zone"], p["south"], p["ellps"])
+    proj = str(p["proj"])
+    if proj in ("longlat", "latlong", "lonlat"):
+        return math.radians(x), math.radians(y)
+
+    a, f = _ellipsoid(p)
+    k0 = float(p.get("k", p.get("k_0", 1.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    lon0 = math.radians(float(p.get("lon_0", 0.0)))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    if proj == "utm":
+        zone = int(p.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ProjError(f"utm zone {zone} out of range")
+        return utm_to_latlong(
+            x, y, zone, bool(p.get("south", False)),
+            str(p.get("ellps", "GRS80")),
+        )
+    if proj == "tmerc":
+        return tmerc_to_latlong(x, y, a, f, k0=k0, lon0=lon0, lat0=lat0,
+                                x0=x0, y0=y0)
+    if proj == "merc":
+        return merc_to_latlong(x, y, a, f, k0=k0, lon0=lon0, x0=x0, y0=y0)
+    raise ProjError(f"unsupported projection {proj!r}")
 
 
 def segment_coords(world_offset, lo, hi, proj_string: str) -> tuple[float, float]:

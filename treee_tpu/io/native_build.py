@@ -21,7 +21,8 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libtreee_native.so")
 
-_SOURCES = ["las_decode.cpp", "laz_decompress.cpp", "laz_layered.cpp"]
+_SOURCES = ["las_decode.cpp", "laz_decompress.cpp", "laz_layered.cpp",
+            "laz_testhooks.cpp"]
 
 _cached_lib: ctypes.CDLL | None = None
 _cached_failed = False
@@ -108,6 +109,26 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             lib.treee_laz_compress_items.argtypes
         )
         lib.treee_laz_compress_layered.restype = ctypes.c_int
+        # test hooks (bit-level codec unit tests, native/laz_testhooks.cpp)
+        lib.treee_laz_test_median5.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+        ]
+        lib.treee_laz_test_median5.restype = None
+        lib.treee_laz_test_ic_roundtrip.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.treee_laz_test_ic_roundtrip.restype = ctypes.c_int
+        lib.treee_laz_test_point10_changed_symbol.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.treee_laz_test_point10_changed_symbol.restype = ctypes.c_uint32
+        lib.treee_laz_test_chunk_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+        ]
+        lib.treee_laz_test_chunk_table.restype = ctypes.c_int
         _cached_lib = lib
         return lib
     except Exception:

@@ -5,9 +5,11 @@ crossbeam channels; no distributed backend).  Scaling the long axis there means
 scaling point count — so the TPU-native distribution is data parallelism over
 points with small replicated state:
 
-- points are sharded along N across the ``data`` mesh axis (Morton-range
-  sharding when the cloud is octree-sorted: contiguous shards of the sorted
-  order are spatially compact, minimizing the halo each device contributes);
+- points are sharded along N across the ``data`` mesh axis; ``shard_points``
+  splits whatever order the caller provides, and ``shard_points_morton``
+  pre-orders by Morton key on the host (an ingest-side reorder) so each
+  shard's contiguous range is spatially compact — the layout that keeps any
+  future halo/neighbor traffic local to few devices;
 - segmentation's only cross-shard coupling is the band moment grids: each
   device rasterizes its local points, one ``psum`` over ICI produces the global
   grids, the tracking scan runs replicated (tiny state), and Voronoi assignment
@@ -44,6 +46,45 @@ def shard_points(mesh: Mesh, pos, valid, axis: str = "data"):
         jax.device_put(pos, NamedSharding(mesh, P(axis, None))),
         jax.device_put(valid, sh),
     )
+
+
+def shard_points_morton(mesh: Mesh, pos, valid, axis: str = "data"):
+    """Morton-range sharding: host-side Z-order reorder, then contiguous
+    shards.
+
+    Points are sorted once by their Morton key (ops/morton) before upload —
+    ingest already passes through the host, so the reorder is one argsort —
+    and the contiguous range each device receives is then spatially compact
+    (a run of Z-order cells) instead of an arbitrary slice of file order.
+    The grid-psum pipeline is layout-agnostic (its collective is O(B*G^2)
+    regardless), but compact shards bound each device's touched grid area
+    and keep any future halo/neighbor exchange between Morton-adjacent
+    devices.  Padding (invalid) rows sort to the end.
+
+    Returns (pos_sharded, valid_sharded, order) where ``order`` maps shard
+    row -> original point index (for scattering per-point results back).
+    """
+    from ..ops import morton
+
+    pos_np = np.asarray(pos)
+    valid_np = np.asarray(valid)
+    if valid_np.any():
+        lo = pos_np[valid_np].min(axis=0)
+        hi = pos_np[valid_np].max(axis=0)
+    else:
+        lo, hi = np.zeros(3, np.float32), np.ones(3, np.float32)
+    keys = np.asarray(
+        morton.encode_positions(
+            jnp.asarray(pos_np), jnp.asarray(lo, jnp.float32),
+            jnp.asarray(hi, jnp.float32),
+        )
+    )
+    keys = np.where(valid_np, keys, np.iinfo(np.int32).max)
+    order = np.argsort(keys, kind="stable")
+    pos_s, valid_s = shard_points(
+        mesh, jnp.asarray(pos_np[order]), jnp.asarray(valid_np[order]), axis
+    )
+    return pos_s, valid_s, order
 
 
 def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
