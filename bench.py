@@ -229,6 +229,51 @@ def main() -> None:
         lod_points=lod_n,
     )
 
+    # ADAPTIVE frame: full-cloud rendering is scatter-bound (~122 ms at 15M
+    # rows — the single z-scatter is primitive-optimal, CLAUDE.md); the
+    # display only has ~1M pixels, so the finest octree level (0.2 m cells on
+    # this scan) deduplicates points below screen resolution.  Measured
+    # separately from the honest full-cloud number, with the fraction of
+    # pixels identical to the full render as the quality evidence.
+    count_a, idx_a_big = sync(jax.jit(
+        lambda pos, valid, prop: octree.compact_indices(
+            octree.lod_mask(octree.build(pos, valid), level=10) & valid,
+            pos.shape[0],
+        )
+    )(pos, valid, prop))
+    ad_n = int(count_a)
+    ad_cap = 1 << max(12, (int(ad_n * 1.1) - 1).bit_length())
+    idx_a = idx_a_big[:ad_cap]
+    pos_a, prop_a = pos[idx_a], prop[idx_a]
+    mask_a = jnp.arange(ad_cap) < count_a
+    touch()
+    print(f"# bench: adaptive subset {ad_n} pts (cap {ad_cap})",
+          file=sys.stderr, flush=True)
+    sync(sweep(pos_a, prop_a, mask_a, cam_stack))  # compile
+    touch()
+    t0 = time.time()
+    sync(sweep(pos_a, prop_a, mask_a, cam_stack))
+    ad_ms = (time.time() - t0) / n_frames * 1e3
+    touch()
+
+    frame_full = jax.jit(
+        lambda p, pr, v: splat.to_u8(
+            splat.render_frame(p, pr, v, cam0, palettes.get(cfg.render.palette),
+                               cfg.render))
+    )
+    img_f = np.asarray(frame_full(pos, prop, valid))
+    img_a = np.asarray(frame_full(pos_a, prop_a, mask_a))
+    match = float((img_f == img_a).all(axis=-1).mean())
+    touch()
+    RESULT.update(
+        adaptive_frame_ms=round(ad_ms, 2),
+        adaptive_fps=round(1000.0 / ad_ms, 1),
+        adaptive_points=ad_n,
+        adaptive_pixel_match=round(match, 4),
+    )
+    print(f"# bench: adaptive frame {ad_ms:.1f} ms, {match:.1%} pixels == full",
+          file=sys.stderr, flush=True)
+
     # --- interactive edit latency (BASELINE config 3: incremental octree/LOD
     # update).  The reference re-uploads the whole edited segment to the GPU
     # per brush stroke (interactive/mod.rs:182-221); here the edit is a pure

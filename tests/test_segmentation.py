@@ -119,3 +119,42 @@ def test_tracking_coherent_down_the_trunk():
     ids = seg[seg > 0]
     maj = np.bincount(ids).argmax()
     assert (ids == maj).mean() > 0.97
+
+
+def test_realistic_stress_scene_invariants():
+    """The clustered/overlapping/density-banded stress scene (the offline
+    stand-in for a real ALS tile, SURVEY.md §4.3 parity-by-invariant):
+    segmentation still finds roughly one segment per tree, assigns every
+    live point, and keeps outliers from spawning phantom trees."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.segmentation import segment_points
+
+    cfg = SegmentationConfig(
+        grid_size=160, max_bands=24, max_segments=256, max_trees_per_band=48,
+    )
+    n_trees = 18
+    pts = las.synthetic_forest_realistic(
+        n_trees=n_trees, extent=50.0, mean_points_per_tree=3000,
+        ground_points=20000, seed=4,
+    )
+    res = segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.75, cfg)
+    seg = np.asarray(res.segment)
+    n_seg = int(res.n_segments)
+    # every point got an assignment decision (0 = unassigned is allowed for
+    # ground/noise, but the majority of canopy points are labeled)
+    assert (seg >= 0).all()
+    high = pts[:, 1] > 3.0
+    assert (seg[high] > 0).mean() > 0.8
+    # tree count is in a sane band: clusters may merge overlapping crowns,
+    # so allow down to half and up to 2.5x (density cliffs can split)
+    assert n_trees // 2 <= n_seg <= int(n_trees * 2.5) + 8
+    # determinism: same input -> identical labels
+    seg2 = np.asarray(
+        segment_points(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.75,
+                       cfg).segment
+    )
+    np.testing.assert_array_equal(seg, seg2)

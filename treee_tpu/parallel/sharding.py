@@ -101,7 +101,13 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
         lo = jax.lax.pmin(lo_l, axis)
         hi = jax.lax.pmax(hi_l, axis)
         s = seg.cell_size(lo, hi, d, scfg)
-        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
+        # robust band anchor: local strided histogram + psum is EXACTLY the
+        # global histogram (shard sizes are multiples of the stride)
+        hist = jax.lax.psum(
+            seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
+        )
+        top = seg.band_anchor(hist, lo[1], hi[1], scfg)
+        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
         cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
         # the one big collective: global band count grids over ICI
         cnt = jax.lax.psum(cnt, axis)
@@ -138,7 +144,13 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
         lo = jax.lax.pmin(lo_l, axis)
         hi = jax.lax.pmax(hi_l, axis)
         s = seg.cell_size(lo, hi, d, scfg)
-        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg)
+        # robust band anchor: local strided histogram + psum is EXACTLY the
+        # global histogram (shard sizes are multiples of the stride)
+        hist = jax.lax.psum(
+            seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
+        )
+        top = seg.band_anchor(hist, lo[1], hi[1], scfg)
+        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
         cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
         cnt = jax.lax.psum(cnt, axis)
         slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
