@@ -324,26 +324,42 @@ def main() -> None:
 
     # full-cloud edit + re-render (the round-1 metric, kept for comparison):
     # measured scatter floor at 15M rows is ~122 ms/frame (profile_frame.py),
-    # so this is ~= edit + full frame by construction.
-    @jax.jit
-    def edit_and_full_frame(cloud, center, cam):
-        c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
-        prop = splat.prop_from_segment(c2.segment)
-        mask = c2.valid & (c2.segment != 0)
-        img = splat.render_frame(c2.pos, prop, mask, cam, palette, cfg.render)
-        return c2, jnp.sum(img)
+    # so this is ~= edit + full frame by construction.  Optional: the extra
+    # un-donated cloud copy can exhaust HBM at 30M — skip rather than die.
+    try:
+        @jax.jit
+        def edit_and_full_frame(cloud, center, cam):
+            c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
+            prop = splat.prop_from_segment(c2.segment)
+            mask = c2.valid & (c2.segment != 0)
+            img = splat.render_frame(c2.pos, prop, mask, cam, palette,
+                                     cfg.render)
+            return c2, jnp.sum(img)
 
-    cloud2, _ = sync(edit_and_full_frame(cloud, center, cam0))
-    touch()
-    reps = 3
-    t0 = time.time()
-    for i in range(reps):
-        cloud2, chk = edit_and_full_frame(cloud2, center + jnp.float32(i), cam0)
-    sync(chk)
-    RESULT.update(edit_full_frame_ms=round((time.time() - t0) / reps * 1e3, 2))
-    touch()
+        cloud2, _ = sync(edit_and_full_frame(cloud, center, cam0))
+        touch()
+        reps = 3
+        t0 = time.time()
+        for i in range(reps):
+            cloud2, chk = edit_and_full_frame(cloud2, center + jnp.float32(i),
+                                              cam0)
+        sync(chk)
+        RESULT.update(
+            edit_full_frame_ms=round((time.time() - t0) / reps * 1e3, 2)
+        )
+        touch()
+    except Exception as e:  # pragma: no cover
+        print(f"# bench: full-cloud edit re-render skipped: {e}",
+              file=sys.stderr, flush=True)
     print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # always emit the JSON line with whatever was measured
+        if "value" in RESULT:
+            RESULT["error"] = True
+            print(json.dumps(RESULT), flush=True)
+        raise

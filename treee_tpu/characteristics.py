@@ -193,12 +193,23 @@ def _run_end_index(
     return idx, hit
 
 
+def _gather_rows(val: jax.Array, idx: jax.Array) -> jax.Array:
+    """val[idx] for [N] or [N,C] values, via per-column 1-D gathers.
+
+    A single [N,C]-row gather's output takes the 64x lane-padded TPU layout
+    (measured, see compute_segments); C separate dense-column gathers then a
+    plain stack stay dense."""
+    if val.ndim == 1:
+        return val[idx]
+    return jnp.stack([val[:, c][idx] for c in range(val.shape[1])], axis=1)
+
+
 def _run_last_table(
     key_sorted: jax.Array, val_cum: jax.Array, n_buckets: int, fill
 ) -> jax.Array:
     """table[b] = run max for bucket b, from the cummax'd sorted values."""
     idx, hit = _run_end_index(key_sorted, n_buckets)
-    v = val_cum[idx]
+    v = _gather_rows(val_cum, idx)
     hit_b = hit[:, None] if v.ndim == 2 else hit
     return jnp.where(hit_b, v, fill)
 
@@ -226,7 +237,7 @@ def _chunked_support_table(
     for c0 in range(0, n_cols, chunk):
         c1 = min(c0 + chunk, n_cols)
         cum = _segmented_cummax(bucket_s, make_scores(c0, c1))
-        tabs.append(jnp.where(hit[:, None], cum[idx], -INF))
+        tabs.append(jnp.where(hit[:, None], _gather_rows(cum, idx), -INF))
     return jnp.concatenate(tabs, axis=1)
 
 
@@ -466,13 +477,22 @@ def compute_segments(
     )
 
     # --- classification (calculations.rs:150-163); both separators ride ONE
-    # [N,2] row gather — a row gather costs the same as a single-column gather
-    # on TPU (tools/microbench.py), so this halves the lookup passes ---
-    sep_pair = jnp.stack([ground_sep, crown_sep], axis=-1)[seg]
+    # [N] gather of a PACKED i32 (16+16-bit quantized seps).  A [S,2]-row
+    # gather would cost the same lookup count BUT its [N,2] OUTPUT gets the
+    # 64x lane-padded layout (measured: a 16M-row [S,2] gather output is
+    # 8 GB — the very thing that OOM'd 30M points); packing keeps the output
+    # a dense [N] column.  Quantization (yext/65535 <= ~1 mm) only moves the
+    # class boundary for points within that distance of a separator. ---
+    qsc = 65535.0 / yext
+    qg = jnp.clip(((ground_sep - ylo) * qsc).astype(jnp.int32), 0, 65535)
+    qc = jnp.clip(((crown_sep - ylo) * qsc).astype(jnp.int32), 0, 65535)
+    packed = ((qg << 16) | qc)[seg]
+    gs = ylo + (packed >> 16).astype(jnp.float32) * (yext / 65535.0)
+    cs = ylo + (packed & 0xFFFF).astype(jnp.float32) * (yext / 65535.0)
     classification = jnp.where(
-        y < sep_pair[:, 0],
+        y < gs,
         CLASS_GROUND,
-        jnp.where(y < sep_pair[:, 1], CLASS_TRUNK, CLASS_CROWN),
+        jnp.where(y < cs, CLASS_TRUNK, CLASS_CROWN),
     ).astype(jnp.int32)
     classification = jnp.where(live0, classification, CLASS_GROUND)
     return table, classification
@@ -555,10 +575,21 @@ def segment_properties(
     seg = jnp.where(valid & (segment > 0) & (segment < s_cap), segment, 0)
     live = seg > 0
     min_y = table.lo[:, 1]
-    # fused per-point row gather: (min_y, 1/height) in one [N,2] lookup
+    # (min_y, 1/height) per point via ONE packed-i32 [N] gather: a [S,2] row
+    # gather's [N,2] output takes the 64x lane-padded layout (7.7 GB at 15M,
+    # see compute_segments), so both 16-bit-quantized values share a dense
+    # column instead
     height_ext = jnp.maximum(table.hi[:, 1] - table.lo[:, 1], 1e-6)
-    pair = jnp.stack([min_y, 1.0 / height_ext], axis=-1)[seg]
-    min_y_pt = pair[:, 0]
+    ylo_s = jnp.min(min_y)
+    yext_s = jnp.maximum(jnp.max(table.hi[:, 1]) - ylo_s, 1e-6)
+    qsc = 65535.0 / yext_s
+    qmy = jnp.clip(((min_y - ylo_s) * qsc).astype(jnp.int32), 0, 65535)
+    # height in [~0, yext]: quantize 1/height via height itself
+    qh = jnp.clip((height_ext * qsc).astype(jnp.int32), 1, 65535)
+    packed = ((qmy << 16) | qh)[seg]
+    min_y_pt = ylo_s + (packed >> 16).astype(jnp.float32) * (yext_s / 65535.0)
+    inv_h_pt = 1.0 / ((packed & 0xFFFF).astype(jnp.float32)
+                      * (yext_s / 65535.0))
     slice_idx = jnp.clip(
         jnp.floor((pos[:, 1] - min_y_pt) / sw).astype(jnp.int32), 0, ms - 1
     )
@@ -602,7 +633,11 @@ def segment_properties(
     ratio = slice_diam / jnp.maximum(crown_diam[:, None], 1e-6)
 
     expansion = jnp.where(live, ratio[seg, slice_idx], 0.0)
-    height = jnp.where(live, (pos[:, 1] - min_y_pt) * pair[:, 1], 0.0)
+    # clip: the packed gather quantizes min_y/height (<=1/65535 rel), and the
+    # reference's normalized height is in [0,1] by construction
+    height = jnp.where(
+        live, jnp.clip((pos[:, 1] - min_y_pt) * inv_h_pt, 0.0, 1.0), 0.0
+    )
     return expansion, height
 
 

@@ -136,7 +136,10 @@ def append_points(cloud: PointCloud, pos, count, new_id) -> PointCloud:
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     take = free & (free_rank < count)
     src = jnp.clip(free_rank, 0, m - 1)
-    new_pos = jnp.where(take[:, None], pos[src], cloud.pos)
+    # per-column gathers: a [cap,3]-row gather output takes the 64x
+    # lane-padded TPU layout (characteristics.py _gather_rows)
+    gathered = jnp.stack([pos[:, c][src] for c in range(3)], axis=1)
+    new_pos = jnp.where(take[:, None], gathered, cloud.pos)
     new_seg = jnp.where(take, new_id, cloud.segment)
     new_valid = cloud.valid | take
     return cloud.replace(
