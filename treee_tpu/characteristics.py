@@ -193,23 +193,19 @@ def _run_end_index(
     return idx, hit
 
 
-def _gather_rows(val: jax.Array, idx: jax.Array) -> jax.Array:
-    """val[idx] for [N] or [N,C] values, via per-column 1-D gathers.
-
-    A single [N,C]-row gather's output takes the 64x lane-padded TPU layout
-    (measured, see compute_segments); C separate dense-column gathers then a
-    plain stack stay dense."""
-    if val.ndim == 1:
-        return val[idx]
-    return jnp.stack([val[:, c][idx] for c in range(val.shape[1])], axis=1)
-
-
 def _run_last_table(
     key_sorted: jax.Array, val_cum: jax.Array, n_buckets: int, fill
 ) -> jax.Array:
-    """table[b] = run max for bucket b, from the cummax'd sorted values."""
+    """table[b] = run max for bucket b, from the cummax'd sorted values.
+
+    The row gather's [n_buckets, C] output takes the 16x lane-padded TPU
+    layout, but n_buckets = S*MS is N-independent (~400 MB at the default
+    capacities) — unlike the [N,*]-output gathers that OOM'd 30M points
+    (compute_segments packed-separator note).  Per-column 1-D gathers here
+    measured ~120 ms SLOWER at 15M (C x the lookup count dominates the
+    padded write)."""
     idx, hit = _run_end_index(key_sorted, n_buckets)
-    v = _gather_rows(val_cum, idx)
+    v = val_cum[idx]
     hit_b = hit[:, None] if v.ndim == 2 else hit
     return jnp.where(hit_b, v, fill)
 
@@ -237,7 +233,7 @@ def _chunked_support_table(
     for c0 in range(0, n_cols, chunk):
         c1 = min(c0 + chunk, n_cols)
         cum = _segmented_cummax(bucket_s, make_scores(c0, c1))
-        tabs.append(jnp.where(hit[:, None], _gather_rows(cum, idx), -INF))
+        tabs.append(jnp.where(hit[:, None], cum[idx], -INF))
     return jnp.concatenate(tabs, axis=1)
 
 

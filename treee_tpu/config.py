@@ -97,11 +97,13 @@ class CharacteristicsConfig:
     # of the characteristics phase; K=8 circumscribes a disk within +5.5%,
     # comfortably inside the separator thresholds' 1.5x margins
     hull_directions: int = 8
-    # column-chunk the [N,K] segmented support scans: peak memory of the
-    # characteristics phase scales with the widest live score buffer, which
-    # is what OOM'd 30M points on one v5e in round 1.  Total work is
-    # unchanged (same pass count over the same elements); 0 = unchunked.
-    score_chunk: int = 4
+    # column-chunk the [N,K] segmented support scans to cap peak HBM at very
+    # large N (identical results; same total elements).  0/>=K = unchunked —
+    # the default: at 15M the chunk split costs ~2 extra pass sweeps and a
+    # second bucket extraction for no memory need (the real 30M OOM was the
+    # padded [N,2] gather output, fixed separately); bench.py drops to
+    # chunk=2 above 24M points for headroom.
+    score_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
