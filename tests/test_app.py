@@ -31,6 +31,15 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "--export-hull-ply", out("hull.ply"),
         "--export-landmarks", out("lm.txt"),
         "--export-rbv", out("rbv.json"),
+        "--export-crown-ply", out("crown.ply"),
+        "--export-trunk-ply", out("trunk.ply"),
+        "--export-ground-ply", out("ground.ply"),
+        "--hull-include", "tree",
+        "--rbv-method", "mean",
+        "--rbv-symmetric",
+        "--rbv-slices", "6",
+        "--rbv-sectors", "8",
+        "--trunk-axis-algorithm", "lowhigh",
         "--eye-dome-strength", "0.5",
         "--brush-radius", "1.5",
     ]
@@ -52,12 +61,28 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     # landmark rows are x\ty\tz triples
     rows = [l.split("\t") for l in open(out("lm.txt")).read().splitlines()]
     assert rows and all(len(r) == 3 for r in rows)
-    # rbv distances json
+    # rbv distances json (the --rbv-slices/--rbv-sectors widgets took effect)
     rbv = json.load(open(out("rbv.json")))
     assert len(rbv["distances"]) == rbv["slices"] * rbv["sectors"]
+    assert rbv["slices"] == 6 and rbv["sectors"] == 8
     # hull ply parses
     head = open(out("hull.ply")).read().split("end_header")[0]
     assert "element vertex" in head and "element face" in head
+    # per-class exports (the Crown/Trunk/Ground buttons, mod.rs:629-660):
+    # each wrote a ply whose vertex count matches its header, and the full
+    # segment export carries a non-zero curve column (mod.rs:1069-1107)
+    n_by_class = {}
+    for name in ("crown", "trunk", "ground"):
+        text = open(out(f"{name}.ply")).read()
+        n = int(text.split("element vertex ")[1].split("\n")[0])
+        body = text.split("end_header\n", 1)[1].strip()
+        assert (len(body.splitlines()) if body else 0) == n
+        n_by_class[name] = n
+    assert sum(n_by_class.values()) > 0
+    full = open(out("points.ply")).read()
+    curves = [float(l.split()[5])
+              for l in full.split("end_header\n", 1)[1].strip().splitlines()]
+    assert any(c > 0 for c in curves)
 
 
 def test_cli_arg_errors(tmp_path, monkeypatch):
@@ -214,3 +239,69 @@ def test_repl_showdeleted_and_undelete():
     assert "deleted around" in text
     if "restored around" in text:  # ray may miss depending on scene
         assert deleted_after >= 0
+
+
+def test_repl_focus_widgets_and_exports(tmp_path):
+    """Round-2 REPL surface: IncludeMode, RBV widgets, trunk-axis algorithm,
+    class-filtered exports, focused render with every overlay."""
+    import io
+
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, SegmentationConfig, RenderConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=4000,
+                               ground_points=3000, seed=21)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    ply = str(tmp_path / "seg.ply")
+    crown_ply = str(tmp_path / "crown.ply")
+    script = [
+        "mode view",
+        "click 96 40",
+        "hullinclude tree",
+        "rbv slices 6",
+        "rbv sectors 8",
+        "rbv method mean",
+        "rbv symmetric on",
+        "axisalgo lowhigh",
+        "overlay hull on",
+        "overlay rbv on",
+        "overlay axis on",
+        "display height",
+        f"focusrender {tmp_path}/focus.png",
+        f"export ply {ply}",
+        f"export crown {crown_ply}",
+        "traits",
+        "classify trunk 96 40",
+        "info",
+    ]
+    for line in script:
+        assert r.handle(line) is True
+    text = out.getvalue()
+    if "no segment selected" in text or "miss (deselected)" in text:
+        return  # ray missed on this scene; nothing else to assert
+    assert "error:" not in text, text
+    assert r.hull_include == "tree"
+    assert r.rbv_opts == {"slices": 6, "sectors": 8,
+                          "method": "mean", "symmetric": True}
+    assert r.axis_algo == "lowhigh"
+    import os
+    assert os.path.exists(ply)
+    assert os.path.exists(crown_ply)
+    # the classify brush re-derived the separators from the edited classes
+    # (mod.rs:199-221): the info panel reflects the brushed extents
+    assert "ground_sep" in text
