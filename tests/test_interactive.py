@@ -197,3 +197,34 @@ def test_lod_refresh_after_edit_reuses_cached_octree():
         s.save(p)
         s.add_session(p)
     assert getattr(s, "_tree", None) is None
+
+
+def test_save_single_segment(tmp_path):
+    """'save PATH SEG' exports one segment as a reloadable checkpoint (the
+    focused view's Segment .ipc button, mod.rs:655-668)."""
+    import numpy as np
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        )
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=8)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    seg = np.asarray(s.cloud.segment)
+    sid = int(np.bincount(seg[seg > 0]).argmax())
+    n_member = int((seg == sid).sum())
+
+    path = str(tmp_path / "one.npz")
+    s.save(path, segment_id=sid)
+    s2 = Session.open(path, cfg)
+    seg2 = np.asarray(s2.cloud.segment)[np.asarray(s2.cloud.valid)]
+    assert len(seg2) == n_member
+    assert (seg2 == sid).all()

@@ -506,8 +506,22 @@ class Session:
 
     # ---- persistence ----------------------------------------------------------------
 
-    def save(self, path) -> None:
-        ipc.save(path, self.cloud, self.world_offset, self.source_location)
+    def save(self, path, segment_id: int | None = None) -> None:
+        """Checkpoint the session; ``segment_id`` saves just that segment
+        (the focused view's "Segment" .ipc export button, mod.rs:655-668),
+        reloadable/mergeable like any checkpoint."""
+        if segment_id is None:
+            ipc.save(path, self.cloud, self.world_offset,
+                     self.source_location)
+            return
+        data = self.cloud.to_numpy()  # valid rows only
+        keep = data["segment"] == segment_id
+        sub = PointCloud.from_numpy(
+            data["pos"][keep],
+            segment=data["segment"][keep],
+            classification=data["classification"][keep],
+        )
+        ipc.save(path, sub, self.world_offset, self.source_location)
 
     @classmethod
     def open(cls, path, config: Config = DEFAULT_CONFIG) -> "Session":

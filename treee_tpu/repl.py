@@ -54,7 +54,7 @@ commands (reference widget/mouse equivalents in parens):
   pointsize V | palette turbo|warm|white | eyedome S | range MIN MAX
   render [PATH] | focusrender [PATH]               write a frame PNG
   info [SEG] | traits [SEG] | coords [SEG]         analytics (egui panels)
-  save PATH | open PATH | add SCAN | addsession NPZ
+  save PATH [SEG] | open PATH | add SCAN | addsession NPZ
   status | help | quit
 """
 
@@ -329,8 +329,13 @@ class Repl:
                         f"lon {np.degrees(c[0]):.6f} lat {np.degrees(c[1]):.6f}"
                     )
         elif cmd == "save":
-            s.save(args[0])
-            self._print(f"saved {args[0]}")
+            # 'save PATH [SEG]': SEG saves just that segment (the focused
+            # view's Segment .ipc button, mod.rs:655-668)
+            sid = int(args[1]) if len(args) > 1 else None
+            s.save(args[0], segment_id=sid)
+            self._print(
+                f"saved {args[0]}" + (f" (segment {sid})" if sid else "")
+            )
         elif cmd == "open":
             self.s = Session.open(args[0], s.config)
             self.selected = None
