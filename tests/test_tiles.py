@@ -1,0 +1,94 @@
+"""Halo-tiled pipeline tests: surveys larger than HBM processed tile by tile
+with cross-tile segment reconciliation (parallel/tiles.py; BASELINE.md
+config 5's 100M path driven through one chip)."""
+
+import numpy as np
+import pytest
+
+from treee_tpu.config import Config, SegmentationConfig
+from treee_tpu.io import las
+from treee_tpu.parallel import tiles
+
+CFG = Config(
+    segmentation=SegmentationConfig(
+        grid_size=128, max_bands=16, max_segments=256, max_trees_per_band=32,
+    )
+)
+
+
+def _forest():
+    # wide scan (x spans several tile widths); a tree sits exactly on the
+    # tile boundary when split into 2 tiles
+    rng = np.random.default_rng(15)
+    trees = []
+    xs = [-30.0, -15.0, 0.0, 15.0, 30.0]  # x=0 straddles the 2-tile boundary
+    for i, tx in enumerate(xs):
+        trees.append(las.synthetic_tree(
+            rng, np.array([tx, 0.0, 0.0]), trunk_height=4.0,
+            crown_height=6.0, crown_radius=2.5, n_points=4000,
+        ))
+    ground = np.stack([
+        rng.uniform(-36, 36, 12000),
+        rng.normal(0.0, 0.05, 12000),
+        rng.uniform(-6, 6, 12000),
+    ], axis=1).astype(np.float32)
+    return np.concatenate(trees + [ground]).astype(np.float32), xs
+
+
+def test_plan_tiles_partition_and_halo():
+    x = np.linspace(-50, 50, 1000).astype(np.float32)
+    t = tiles.plan_tiles(x, 4, halo=10.0)
+    assert len(t) == 4
+    # cores partition exactly
+    assert t[0][0] == pytest.approx(-50) and t[-1][1] == pytest.approx(50)
+    for (c0, c1, e0, e1), (d0, d1, f0, f1) in zip(t, t[1:]):
+        assert c1 == pytest.approx(d0)
+        assert e1 == pytest.approx(c1 + 10.0)   # interior halo
+        assert f0 == pytest.approx(d0 - 10.0)
+    assert t[0][2] == pytest.approx(t[0][0])    # no halo at the outer edges
+    assert t[-1][3] == pytest.approx(t[-1][1])
+
+
+def test_tiled_matches_untiled_tree_count():
+    pts, xs = _forest()
+    from treee_tpu.segmentation import segment_points
+    import jax.numpy as jnp
+
+    ref = segment_points(jnp.asarray(pts), np.ones(len(pts), bool), 0.75,
+                         CFG.segmentation)
+    ref_seg = np.asarray(ref.segment)
+    ref_trees = {s for s in np.unique(ref_seg) if s > 0}
+
+    seg, cls, tables, info = tiles.tiled_pipeline(pts, n_tiles=2,
+                                                  max_distance=0.75, cfg=CFG)
+    assert seg.shape == (len(pts),)
+    got_trees = {s for s in np.unique(seg) if s > 0}
+    # same number of trees (+- ground-cluster differences from the tile's
+    # local band anchoring)
+    assert abs(len(got_trees) - len(ref_trees)) <= 2
+    assert info["n_segments"] == len(got_trees)
+
+    # the boundary-straddling tree (x ~= 0) carries ONE global id even
+    # though both tiles segmented it independently
+    mid = (np.abs(pts[:, 0]) < 2.0) & (pts[:, 1] > 1.0)
+    ids = np.unique(seg[mid])
+    ids = ids[ids > 0]
+    assert len(ids) == 1, f"straddling tree split across tiles: {ids}"
+    # and that id covers ~the whole tree, not half of it
+    n_tree_pts = int((seg == ids[0]).sum())
+    assert n_tree_pts > 3000  # the tree has 4000 points
+
+    # every live canopy point got a label and a classification
+    high = pts[:, 1] > 2.0
+    assert (seg[high] > 0).mean() > 0.9
+    assert set(np.unique(cls)) <= {0, 1, 2}
+
+
+def test_tiled_three_tiles_ids_dense():
+    pts, _ = _forest()
+    seg, _, _, info = tiles.tiled_pipeline(pts, n_tiles=3,
+                                           max_distance=0.75, cfg=CFG)
+    ids = np.unique(seg)
+    ids = ids[ids > 0]
+    # dense ids from 1
+    assert ids.min() == 1 and ids.max() == len(ids) == info["n_segments"]
