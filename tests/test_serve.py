@@ -1,0 +1,136 @@
+"""Browser-viewer server tests (serve.py — the reference's web target,
+treee-wasm/src/lib.rs:6-17, redesigned as chip-side remote rendering).
+
+Mirrors the REPL e2e style of test_app.py: tiny session, real HTTP round
+trips against a loopback server, PNG sanity-checked by parsing the chunks.
+"""
+
+import json
+import struct
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Tiny PNG reader for the encoder's own output (filter 0, RGB8)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert (depth, ctype) == (8, 2)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    assert (raw[:, 0] == 0).all()
+    return raw[:, 1:].reshape(h, w, 3)
+
+
+def test_png_encode_roundtrip():
+    from treee_tpu.serve import png_encode
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (11, 7, 3), np.uint8)
+    assert (_decode_png(png_encode(img)) == img).all()
+
+
+@pytest.fixture(scope="module")
+def server():
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, RenderConfig, SegmentationConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.serve import ViewerServer
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=4000,
+                               ground_points=4000, seed=3)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    v = ViewerServer(s, port=0)  # port 0: pick a free loopback port
+    v.serve_background()
+    yield v
+    v.shutdown()
+
+
+def _get(server, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}{path}", timeout=60
+        ) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def _cmd(server, line):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/cmd", data=line.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_serve_page_and_info(server):
+    status, ctype, body = _get(server, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    assert b"/frame.png" in body and b"/cmd" in body
+
+    status, ctype, body = _get(server, "/info")
+    info = json.loads(body)
+    assert info["points"] == 20000
+    assert info["segments"] >= 1
+    assert (info["width"], info["height"]) == (192, 108)
+
+    status, _, _ = _get(server, "/nope")
+    assert status == 404
+
+
+def test_serve_frame_and_commands(server):
+    # full frame renders on the session's backend and arrives as valid PNG
+    status, ctype, body = _get(server, "/frame.png")
+    assert status == 200 and ctype == "image/png"
+    img = _decode_png(body)
+    assert img.shape == (108, 192, 3)
+    assert img.max() > 0  # the forest is not an all-black frame
+
+    # the whole REPL surface is reachable over POST /cmd
+    out = _cmd(server, "status")
+    assert out["ok"] and "points" in out["output"] and not out["quit"]
+    assert _cmd(server, "rotate 30 10")["ok"]
+    assert _cmd(server, "mode delete")["ok"]
+    out = _cmd(server, "click 96 54")
+    assert out["ok"] and "error:" not in out["output"]
+
+    # focused view: select something via the REPL, then fetch the focus frame
+    _cmd(server, "mode view")
+    sel = json.loads(_get(server, "/info")[2])["selected"]
+    if sel is None:  # click may have hit ground; pick the first segment
+        _cmd(server, "click 60 40")
+    status, _, body = _get(server, "/frame.png?focus=1")
+    # focus falls back to the plain frame when nothing is selected
+    assert status == 200
+    assert _decode_png(body).shape == (108, 192, 3)
+
+    # bad commands surface as error text, never a dead server
+    out = _cmd(server, "definitely-not-a-command")
+    assert out["ok"] and "error:" in out["output"]
+    status, _, _ = _get(server, "/frame.png")
+    assert status == 200

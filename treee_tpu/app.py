@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repl", action="store_true",
                    help="interactive command loop (the reference's windowed "
                         "Interactive phase as line commands; 'help' lists them)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="browser viewer: HTTP server rendering on the chip "
+                        "(the reference's web target, treee-wasm/src/lib.rs:6-17, "
+                        "inverted to remote rendering; 0 picks a free port)")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="bind address for --serve (default loopback)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -187,6 +193,19 @@ def main(argv=None) -> int:
         with phase_timer("segment+characteristics", block_on=None):
             res = session.segment(args.distance)
         print(f"segments: {int(res.n_segments)}")
+
+    if args.serve is not None:
+        from .serve import ViewerServer
+
+        server = ViewerServer(session, host=args.serve_host, port=args.serve)
+        print(f"viewer: http://{args.serve_host}:{server.port}/")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+        session = server.repl.s
 
     if args.repl:
         from .repl import Repl
