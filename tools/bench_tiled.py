@@ -58,6 +58,14 @@ def main() -> None:
     )
     wall = time.time() - t0
     labeled = float((seg > 0).mean())
+    # tile 0 pays the (persistently cached) XLA compile; tiles 1+ are the
+    # steady state a longer survey would see for every additional tile
+    tt = info["tile_times"]
+    steady_s = sum(s + r for s, r in tt[1:]) if len(tt) > 1 else None
+    steady = (
+        round((n / n_tiles) * (n_tiles - 1) / steady_s / 1e6, 3)
+        if steady_s else None
+    )
     print(json.dumps({
         "metric": "tiled survey Mpts/s (one chip, halo tiles + reconcile)",
         "value": round(n / wall / 1e6, 3),
@@ -67,6 +75,9 @@ def main() -> None:
         "tile_capacity": info["capacity"],
         "wall_s": round(wall, 2),
         "gen_s": round(gen_s, 1),
+        "tile_slice_s": [round(s, 1) for s, _ in tt],
+        "tile_run_s": [round(r, 1) for _, r in tt],
+        "steady_mpts_s": steady,
         "n_segments": info["n_segments"],
         "labeled_frac": round(labeled, 4),
         "device": str(jax.devices()[0]),

@@ -95,6 +95,8 @@ def tiled_pipeline(
 
     from ..pipeline import full_pipeline
 
+    import time as _time
+
     n = len(pos)
     x = pos[:, 0]
     tiles = plan_tiles(x, n_tiles, halo)
@@ -107,24 +109,31 @@ def tiled_pipeline(
 
     segment_global = np.zeros(n, np.int32)
     tile_results = []  # (idx_ext, seg_ext, core_mask, table)
+    tile_times = []  # per-tile (slice_s, run_s, fetch_s) for bench reporting
     for t, (c0, c1, e0, e1) in enumerate(tiles):
         if progress is not None:
             progress(t, n_tiles)
+        t0 = _time.time()
         sel = np.flatnonzero((x >= e0) & (x <= e1))
         tpos = np.zeros((cap, 3), np.float32)
         tpos[: len(sel)] = pos[sel]
         tvalid = np.arange(cap) < len(sel)
+        t1 = _time.time()
         seg, classification, table, _ = full_pipeline(
             jnp.asarray(tpos), jnp.asarray(tvalid),
             jnp.float32(max_distance), cfg,
         )
         seg_np = np.asarray(seg)[: len(sel)]
         cls_np = np.asarray(classification)[: len(sel)]
+        t2 = _time.time()
         last = t == n_tiles - 1
         core = (pos[sel, 0] >= c0) & (
             (pos[sel, 0] <= c1) if last else (pos[sel, 0] < c1)
         )
         tile_results.append((sel, seg_np, cls_np, core, table))
+        tile_times.append((t1 - t0, t2 - t1))
+        log.info("tile %d/%d: slice %.1fs run+fetch %.1fs",
+                 t + 1, n_tiles, t1 - t0, t2 - t1)
         # free device buffers before the next tile
         del seg, classification
 
@@ -187,5 +196,6 @@ def tiled_pipeline(
         "capacity": cap,
         "n_segments": next_id - 1,
         "halo": halo,
+        "tile_times": tile_times,
     }
     return segment_global, classification_global, tables, info
