@@ -208,7 +208,7 @@ def main() -> None:
     )
     count, idx_big = sync(build_lod(pos, valid))
     lod_n = int(count)
-    lod_cap = 1 << max(12, (int(lod_n * 1.25) - 1).bit_length())
+    lod_cap = octree.snug_capacity(lod_n)
     idx = idx_big[:lod_cap]
     pos_l = pos[idx]
     prop_l = prop[idx]
@@ -242,7 +242,9 @@ def main() -> None:
         )
     )(pos, valid, prop))
     ad_n = int(count_a)
-    ad_cap = 1 << max(12, (int(ad_n * 1.1) - 1).bit_length())
+    # render-only snapshot subset: no edit headroom, minimal padded rows
+    # (frame cost scales with PADDED rows; snug_capacity keeps waste <~6%)
+    ad_cap = octree.snug_capacity(ad_n, headroom=1.0)
     idx_a = idx_a_big[:ad_cap]
     pos_a, prop_a = pos[idx_a], prop[idx_a]
     mask_a = jnp.arange(ad_cap) < count_a

@@ -305,3 +305,47 @@ def test_repl_focus_widgets_and_exports(tmp_path):
     # the classify brush re-derived the separators from the edited classes
     # (mod.rs:199-221): the info panel reflects the brushed extents
     assert "ground_sep" in text
+
+
+def test_repl_lod_levels_and_adaptive():
+    """'lod adaptive' / 'lod level N' build the subset at the requested octree
+    level and switch rendering to it (the bench's adaptive full-scene frame,
+    user-reachable; the reference draws every point every frame,
+    program.rs:309-311)."""
+    import io
+
+    import numpy as np
+
+    from treee_tpu.config import Config, RenderConfig, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=13)
+    s = Session.from_points(pts, cfg)
+    out = io.StringIO()
+    r = Repl(s, out=out)
+
+    assert r.handle("lod level 4") is True
+    assert r.use_lod
+    n_coarse = int(np.asarray(s._lod[2]))
+
+    assert r.handle("lod adaptive") is True
+    assert r.use_lod
+    n_fine = int(np.asarray(s._lod[2]))
+    # finest level keeps (almost) every point of this sparse scene; level 4
+    # collapses many per node
+    assert n_fine > n_coarse
+
+    assert r.handle("lod off") is True
+    assert not r.use_lod
+    assert r.handle("lod sideways") is True  # error, loop keeps going
+    assert "error" in out.getvalue()

@@ -170,12 +170,22 @@ def test_frustum_culled_lod(session):
 
 
 def test_lod_snug_capacity(session):
-    """build_lod pads to a snug power of two (the 2M over-padding cost 26 ms
-    vs 7 ms per frame on v5e, tools/profile_frame.py)."""
+    """build_lod pads to a snug granular capacity (the 2M over-padding cost
+    26 ms vs 7 ms per frame on v5e, tools/profile_frame.py; pow2 padding
+    wasted 2x at multi-million-row adaptive subsets)."""
+    from treee_tpu.ops import octree
+
     s = session
     s.build_lod(level=6)
     pos_c, idx, count = s._lod
     n = int(count)
     cap = pos_c.shape[0]
     assert cap >= n
-    assert cap == 1 << max(12, (int(n * 1.25) - 1).bit_length())
+    assert cap == octree.snug_capacity(n)
+    # helper invariants: covers the target, <=~6% waste above the granule
+    for m in (1, 4096, 52_000, 6_137_306):
+        c = octree.snug_capacity(m, headroom=1.0)
+        assert c >= m
+        assert c % 4096 == 0
+        assert c <= max(4096, int(m * 1.0711) + (1 << max(12, m.bit_length() - 4)))
+    assert octree.snug_capacity(6_137_306, headroom=1.0) == 12 * (1 << 19)

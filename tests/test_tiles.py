@@ -86,9 +86,14 @@ def test_tiled_matches_untiled_tree_count():
 
 def test_tiled_three_tiles_ids_dense():
     pts, _ = _forest()
-    seg, _, _, info = tiles.tiled_pipeline(pts, n_tiles=3,
-                                           max_distance=0.75, cfg=CFG)
+    seg, _, tables, info = tiles.tiled_pipeline(pts, n_tiles=3,
+                                                max_distance=0.75, cfg=CFG)
     ids = np.unique(seg)
     ids = ids[ids > 0]
     # dense ids from 1
     assert ids.min() == 1 and ids.max() == len(ids) == info["n_segments"]
+    # every global id has an owner tile whose table carries its analytics
+    for g in ids:
+        t, local = info["owners"][int(g)]
+        assert 0 <= t < info["n_tiles"] and local > 0
+        assert bool(np.asarray(tables[t].present)[local])

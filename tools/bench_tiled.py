@@ -39,10 +39,17 @@ def main() -> None:
     ppt = 12_000
     n_trees = max(1, int(n_target * 0.75) // ppt)
     t0 = time.time()
-    pts = las.synthetic_forest(
-        n_trees=n_trees, spacing=7.0, points_per_tree=ppt,
-        ground_points=n_target - n_trees * ppt, seed=0,
-    )
+    cache = os.environ.get("TILED_CACHE", "")
+    if cache and os.path.exists(cache):
+        pts = np.load(cache, mmap_mode=None)
+        assert len(pts) >= n_target * 0.99, "stale TILED_CACHE for this size"
+    else:
+        pts = las.synthetic_forest(
+            n_trees=n_trees, spacing=7.0, points_per_tree=ppt,
+            ground_points=n_target - n_trees * ppt, seed=0,
+        )
+        if cache:
+            np.save(cache, pts)
     gen_s = time.time() - t0
     n = len(pts)
     print(f"# tiled: generated {n:,} pts in {gen_s:.0f}s, {n_tiles} tiles",

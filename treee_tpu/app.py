@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=0,
                    help="render an orbit sweep of this many frames")
     p.add_argument("--orbit-distance", type=float, default=100.0)
+    p.add_argument("--lod", default=None, metavar="LEVEL",
+                   help="render sweeps from the octree LOD subset at this "
+                        "level (0-10, or 'adaptive' for finest-level voxel "
+                        "dedup — near-pixel-exact full-scene frames)")
     p.add_argument("--out-dir", default="frames")
     # exports / persistence
     p.add_argument("--save", help="write a session checkpoint (.npz)")
@@ -219,10 +223,14 @@ def main(argv=None) -> int:
         cam = Camera.orbital(distance=args.orbit_distance)
         from PIL import Image
 
+        use_lod = args.lod is not None
+        if use_lod:
+            level = 10 if args.lod == "adaptive" else int(args.lod)
+            session.build_lod(level=level)
         for i in range(args.frames):
             cam = cam.rotate_orbital(2 * np.pi / args.frames / 0.002, 0.0)
             with phase_timer(f"frame[{i}]"):
-                img = session.render(cam)
+                img = session.render(cam, use_lod=use_lod)
             Image.fromarray(img).save(os.path.join(args.out_dir, f"frame_{i:03d}.png"))
         print(f"wrote {args.frames} frames to {args.out_dir}/")
 

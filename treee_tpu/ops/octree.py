@@ -272,3 +272,21 @@ def compact_indices(mask: jax.Array, capacity: int) -> tuple[jax.Array, jax.Arra
     src = jnp.arange(mask.shape[0], dtype=jnp.int32)
     idx = jnp.zeros(capacity + 1, jnp.int32).at[tgt].set(src, mode="drop")
     return count, idx[:capacity]
+
+
+def snug_capacity(n: int, headroom: float = 1.25, floor: int = 4096) -> int:
+    """Snug padded row capacity for an ``n``-row LOD subset (host-side int).
+
+    Projection/scatter frame cost scales with the PADDED row count, not the
+    live count (measured on v5e: a 52k subset padded to 2M rows = 26 ms/frame,
+    snug 64k = 7 ms, tools/profile_frame.py).  Next-power-of-two padding still
+    wastes up to 2x at multi-million-row subsets — the 15M-scene adaptive
+    subset (6.14M live) padded to 8.39M rows cost 74 ms/frame vs ~57 ms at a
+    6.29M-row cap — so the granule is 1/16 of the magnitude (2^max(12, b-4)):
+    at most ~6% padding waste while keeping XLA-friendly aligned sizes and a
+    small reusable-shape set.  ``headroom`` leaves room for draw/restore edits
+    growing the subset before the next rebuild.
+    """
+    t = max(int(n * headroom), 1)
+    g = 1 << max(12, t.bit_length() - 4)
+    return max(floor, -(-t // g) * g)

@@ -114,7 +114,11 @@ def tiled_pipeline(
         if progress is not None:
             progress(t, n_tiles)
         t0 = _time.time()
-        sel = np.flatnonzero((x >= e0) & (x <= e1))
+        # int32 indices + small fetch dtypes: at 100M points the host slices
+        # and the host<->device transfers are a real cost (the axon tunnel
+        # moves ~360 MB up and ~90 MB down per 30M-point tile) — sel as i64
+        # and i32 label fetches doubled both
+        sel = np.flatnonzero((x >= e0) & (x <= e1)).astype(np.int32)
         tpos = np.zeros((cap, 3), np.float32)
         tpos[: len(sel)] = pos[sel]
         tvalid = np.arange(cap) < len(sel)
@@ -123,8 +127,13 @@ def tiled_pipeline(
             jnp.asarray(tpos), jnp.asarray(tvalid),
             jnp.float32(max_distance), cfg,
         )
-        seg_np = np.asarray(seg)[: len(sel)]
-        cls_np = np.asarray(classification)[: len(sel)]
+        # fetch compactly: segment ids < max_segments+2 (= 2050 default) fit
+        # u16, classification in {0,1,2} fits u8
+        seg_dt = (jnp.uint16
+                  if cfg.segmentation.max_segments + 2 <= 0xFFFF else jnp.int32)
+        seg_np = np.asarray(seg.astype(seg_dt))[: len(sel)].astype(np.int32)
+        cls_np = np.asarray(classification.astype(jnp.uint8))[: len(sel)]
+        cls_np = cls_np.astype(np.int32)
         t2 = _time.time()
         last = t == n_tiles - 1
         core = (pos[sel, 0] >= c0) & (
@@ -174,19 +183,28 @@ def tiled_pipeline(
     remap: dict[int, int] = {}
     next_id = 1
     classification_global = np.zeros(n, np.int32)
+    # owner tile per global id: the tile holding the most of the tree's core
+    # points — with halo >= crown diameter that tile contains its full extent,
+    # so per-segment analytics read from tables[owner_tile] at the local id
+    owners: dict[int, tuple[int, int]] = {}
+    owner_counts: dict[int, int] = {}
     for t, (sel, seg_np, cls_np, core, _table) in enumerate(tile_results):
         core_idx = sel[core]
         seg_core = seg_np[core]
         # small local->global lookup table, then one vectorized relabel pass
         lut = np.zeros(cfg.segmentation.max_segments + 2, np.int32)
-        for sid in np.unique(seg_core):
+        for sid, cnt in zip(*np.unique(seg_core, return_counts=True)):
             if sid == 0:
                 continue
             root = uf.find(gid(t, int(sid)))
             if root not in remap:
                 remap[root] = next_id
                 next_id += 1
-            lut[int(sid)] = remap[root]
+            g = remap[root]
+            lut[int(sid)] = g
+            if int(cnt) > owner_counts.get(g, 0):
+                owner_counts[g] = int(cnt)
+                owners[g] = (t, int(sid))
         segment_global[core_idx] = lut[seg_core]
         classification_global[core_idx] = cls_np[core]
 
@@ -197,5 +215,6 @@ def tiled_pipeline(
         "n_segments": next_id - 1,
         "halo": halo,
         "tile_times": tile_times,
+        "owners": owners,
     }
     return segment_global, classification_global, tables, info

@@ -264,10 +264,9 @@ class Session:
         cap = capacity or min(self.cloud.capacity, 4 << 20)
         count, idx = octree_mod.compact_indices(lod, cap)
         if capacity is None:
-            # snug power-of-two capacity (one host sync per rebuild, not per
+            # snug granular capacity (one host sync per rebuild, not per
             # frame); headroom so draw/restore edits don't immediately overflow
-            n = max(int(count), 1)
-            snug = 1 << max(12, (int(n * 1.25) - 1).bit_length())
+            snug = octree_mod.snug_capacity(int(count))
             if snug < cap:
                 idx = idx[:snug]
                 cap = snug

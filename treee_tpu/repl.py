@@ -47,7 +47,10 @@ commands (reference widget/mouse equivalents in parens):
   classify ground|trunk|crown PX PY                focused reclassify brush
   export ply|crown|trunk|ground PATH               focused point export,
                           optionally class-filtered (mod.rs:629-660)
-  lod on|off              render from the octree LOD subset
+  lod on|off|adaptive|level N   render from the octree LOD subset
+                          (adaptive = finest-level voxel dedup: near-pixel-
+                          exact full-scene frames at a fraction of the full
+                          z-scatter cost)
   showdeleted on|off      include deleted points in renders (mod.rs:36)
   undelete PX PY          restore deleted points in the brush (draw with
                           show-deleted, mod.rs:845-870)
@@ -235,7 +238,19 @@ class Repl:
         elif cmd == "export":
             self._export(args[0], args[1])
         elif cmd == "lod":
-            self.use_lod = args[0] == "on"
+            if args[0] in ("on", "off"):
+                self.use_lod = args[0] == "on"
+            elif args[0] == "adaptive":
+                # finest octree level deduplicates points below screen
+                # resolution: bench measures the result against the full
+                # render per-pixel (adaptive_pixel_match)
+                self.s.build_lod(level=10)
+                self.use_lod = True
+            elif args[0] == "level":
+                self.s.build_lod(level=int(args[1]))
+                self.use_lod = True
+            else:
+                raise ValueError("lod takes on|off|adaptive|level N")
         elif cmd == "showdeleted":
             self.show_deleted = args[0] == "on"
         elif cmd == "undelete":
