@@ -82,6 +82,7 @@ def main() -> None:
         "tile_capacity": info["capacity"],
         "wall_s": round(wall, 2),
         "gen_s": round(gen_s, 1),
+        "sort_s": round(info["sort_s"], 1),
         "tile_slice_s": [round(s, 1) for s, _ in tt],
         "tile_run_s": [round(r, 1) for _, r in tt],
         "steady_mpts_s": steady,

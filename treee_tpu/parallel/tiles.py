@@ -98,48 +98,62 @@ def tiled_pipeline(
     import time as _time
 
     n = len(pos)
-    x = pos[:, 0]
-    tiles = plan_tiles(x, n_tiles, halo)
+    # Sort by x ONCE: every tile becomes a contiguous row range (two
+    # searchsorted calls), the halo overlap between neighbors becomes pure
+    # index arithmetic, and the final relabel is a contiguous write + one
+    # inverse scatter.  This replaces a full-N boolean scan + fancy gather
+    # PER TILE (measured 1.7-155 s each at 100M points on this 1-CPU host)
+    # and a 30M-row intersect1d per tile pair.
+    t0 = _time.time()
+    order = np.argsort(pos[:, 0], kind="stable").astype(np.int32)
+    pos_s = np.ascontiguousarray(pos[order])
+    xs = pos_s[:, 0]
+    sort_s = _time.time() - t0
+    tiles = plan_tiles(xs, n_tiles, halo)
+
+    # contiguous sorted-row ranges: ext = [a, b) covers x in [e0, e1],
+    # core = [ka, kb) partitions rows exactly (last tile closed above)
+    ext: list[tuple[int, int]] = []
+    cores: list[tuple[int, int]] = []
+    for i, (c0, c1, e0, e1) in enumerate(tiles):
+        a = int(np.searchsorted(xs, e0, side="left"))
+        b = int(np.searchsorted(xs, e1, side="right"))
+        ka = int(np.searchsorted(xs, c0, side="left")) if i > 0 else 0
+        kb = (int(np.searchsorted(xs, c1, side="left"))
+              if i < n_tiles - 1 else n)
+        ext.append((a, b))
+        cores.append((ka, kb))
 
     # fixed capacity so every tile reuses ONE compiled executable
-    ext_counts = [
-        int(((x >= e0) & (x <= e1)).sum()) for _, _, e0, e1 in tiles
-    ]
-    cap = max(1024, ((max(ext_counts) + 1023) // 1024) * 1024)
+    cap = max(1024, ((max(b - a for a, b in ext) + 1023) // 1024) * 1024)
 
-    segment_global = np.zeros(n, np.int32)
-    tile_results = []  # (idx_ext, seg_ext, core_mask, table)
-    tile_times = []  # per-tile (slice_s, run_s, fetch_s) for bench reporting
-    for t, (c0, c1, e0, e1) in enumerate(tiles):
+    segment_sorted = np.zeros(n, np.int32)
+    class_sorted = np.zeros(n, np.int32)
+    tile_results = []  # (ext_lo, seg_ext, cls_ext, table)
+    tile_times = []  # per-tile (slice_s, run_s) for bench reporting
+    for t, ((a, b), (c0, c1, e0, e1)) in enumerate(zip(ext, tiles)):
         if progress is not None:
             progress(t, n_tiles)
         t0 = _time.time()
-        # int32 indices + small fetch dtypes: at 100M points the host slices
-        # and the host<->device transfers are a real cost (the axon tunnel
-        # moves ~360 MB up and ~90 MB down per 30M-point tile) — sel as i64
-        # and i32 label fetches doubled both
-        sel = np.flatnonzero((x >= e0) & (x <= e1)).astype(np.int32)
+        m = b - a
         tpos = np.zeros((cap, 3), np.float32)
-        tpos[: len(sel)] = pos[sel]
-        tvalid = np.arange(cap) < len(sel)
+        tpos[:m] = pos_s[a:b]
+        tvalid = np.arange(cap) < m
         t1 = _time.time()
         seg, classification, table, _ = full_pipeline(
             jnp.asarray(tpos), jnp.asarray(tvalid),
             jnp.float32(max_distance), cfg,
         )
         # fetch compactly: segment ids < max_segments+2 (= 2050 default) fit
-        # u16, classification in {0,1,2} fits u8
+        # u16, classification in {0,1,2} fits u8 — the axon tunnel moves
+        # ~360 MB up per 30M-point tile; i32 fetches would double the way down
         seg_dt = (jnp.uint16
                   if cfg.segmentation.max_segments + 2 <= 0xFFFF else jnp.int32)
-        seg_np = np.asarray(seg.astype(seg_dt))[: len(sel)].astype(np.int32)
-        cls_np = np.asarray(classification.astype(jnp.uint8))[: len(sel)]
+        seg_np = np.asarray(seg.astype(seg_dt))[:m].astype(np.int32)
+        cls_np = np.asarray(classification.astype(jnp.uint8))[:m]
         cls_np = cls_np.astype(np.int32)
         t2 = _time.time()
-        last = t == n_tiles - 1
-        core = (pos[sel, 0] >= c0) & (
-            (pos[sel, 0] <= c1) if last else (pos[sel, 0] < c1)
-        )
-        tile_results.append((sel, seg_np, cls_np, core, table))
+        tile_results.append((a, seg_np, cls_np, table))
         tile_times.append((t1 - t0, t2 - t1))
         log.info("tile %d/%d: slice %.1fs run+fetch %.1fs",
                  t + 1, n_tiles, t1 - t0, t2 - t1)
@@ -154,14 +168,14 @@ def tiled_pipeline(
         return tile * (cfg.segmentation.max_segments + 2) + local
 
     for t in range(n_tiles - 1):
-        sel_a, seg_a = tile_results[t][0], tile_results[t][1]
-        sel_b, seg_b = tile_results[t + 1][0], tile_results[t + 1][1]
-        # shared points: original indices present in both extended
-        # selections (flatnonzero outputs are sorted-unique)
-        _, ka, kb = np.intersect1d(
-            sel_a, sel_b, assume_unique=True, return_indices=True
-        )
-        ia, ib = seg_a[ka], seg_b[kb]
+        a0, seg_a = tile_results[t][0], tile_results[t][1]
+        a1, seg_b = tile_results[t + 1][0], tile_results[t + 1][1]
+        # shared sorted rows: the overlap of the two extended ranges
+        s = max(a0, a1)
+        e = min(a0 + len(seg_a), a1 + len(seg_b))
+        if e <= s:
+            continue
+        ia, ib = seg_a[s - a0:e - a0], seg_b[s - a1:e - a1]
         m = (ia > 0) & (ib > 0)
         pairs = (ia[m].astype(np.int64) << 32) | ib[m].astype(np.int64)
         uniq, counts = np.unique(pairs, return_counts=True)
@@ -171,8 +185,9 @@ def tiled_pipeline(
         right = (uniq & 0xFFFFFFFF).astype(np.int64)
         # majority mapping per left id (a tree split by noise votes low):
         # stable-sort by (left, count); the last row per left id wins
-        order = np.lexsort((counts, left))
-        left_s, right_s, cnt_s = left[order], right[order], counts[order]
+        vote_order = np.lexsort((counts, left))
+        left_s = left[vote_order]
+        right_s, cnt_s = right[vote_order], counts[vote_order]
         is_last = np.concatenate([left_s[1:] != left_s[:-1], [True]])
         for ia_, ib_, v in zip(left_s[is_last], right_s[is_last],
                                cnt_s[is_last]):
@@ -182,15 +197,14 @@ def tiled_pipeline(
     # --- dense global ids; per-point assignment from the PRIMARY tile ---
     remap: dict[int, int] = {}
     next_id = 1
-    classification_global = np.zeros(n, np.int32)
     # owner tile per global id: the tile holding the most of the tree's core
     # points — with halo >= crown diameter that tile contains its full extent,
     # so per-segment analytics read from tables[owner_tile] at the local id
     owners: dict[int, tuple[int, int]] = {}
     owner_counts: dict[int, int] = {}
-    for t, (sel, seg_np, cls_np, core, _table) in enumerate(tile_results):
-        core_idx = sel[core]
-        seg_core = seg_np[core]
+    for t, (a, seg_np, cls_np, _table) in enumerate(tile_results):
+        ka, kb = cores[t]
+        seg_core = seg_np[ka - a:kb - a]
         # small local->global lookup table, then one vectorized relabel pass
         lut = np.zeros(cfg.segmentation.max_segments + 2, np.int32)
         for sid, cnt in zip(*np.unique(seg_core, return_counts=True)):
@@ -205,16 +219,23 @@ def tiled_pipeline(
             if int(cnt) > owner_counts.get(g, 0):
                 owner_counts[g] = int(cnt)
                 owners[g] = (t, int(sid))
-        segment_global[core_idx] = lut[seg_core]
-        classification_global[core_idx] = cls_np[core]
+        segment_sorted[ka:kb] = lut[seg_core]
+        class_sorted[ka:kb] = cls_np[ka - a:kb - a]
 
-    tables = [r[4] for r in tile_results]
+    # undo the x sort: back to the caller's point order
+    segment_global = np.empty(n, np.int32)
+    segment_global[order] = segment_sorted
+    classification_global = np.empty(n, np.int32)
+    classification_global[order] = class_sorted
+
+    tables = [r[3] for r in tile_results]
     info = {
         "n_tiles": n_tiles,
         "capacity": cap,
         "n_segments": next_id - 1,
         "halo": halo,
         "tile_times": tile_times,
+        "sort_s": sort_s,
         "owners": owners,
     }
     return segment_global, classification_global, tables, info
