@@ -105,8 +105,22 @@ def tiled_pipeline(
     # PER TILE (measured 1.7-155 s each at 100M points on this 1-CPU host)
     # and a 30M-row intersect1d per tile pair.
     t0 = _time.time()
-    order = np.argsort(pos[:, 0], kind="stable").astype(np.int32)
-    pos_s = np.ascontiguousarray(pos[order])
+    # pack (total-order float key << 32 | row) into one u64 and VALUE-sort:
+    # numpy's vectorized u64 sort beats indirect argsort several-fold at
+    # 100M rows, and argsort on the strided pos[:, 0] column (12-byte
+    # stride) is several-fold slower again (measured 276 s strided argsort
+    # vs ~47 s contiguous vs ~15 s packed value sort on this host).  Tie
+    # order is irrelevant: tile membership is by x VALUE and every
+    # downstream index references the one sorted array.
+    bits = pos[:, 0].copy().view(np.uint32)
+    key = np.where(bits >> 31, ~bits, bits | np.uint32(0x80000000))
+    packed = (key.astype(np.uint64) << np.uint64(32)) | np.arange(
+        n, dtype=np.uint64)
+    del bits, key
+    packed.sort()
+    order = (packed & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    del packed
+    pos_s = pos[order]
     xs = pos_s[:, 0]
     sort_s = _time.time() - t0
     tiles = plan_tiles(xs, n_tiles, halo)
@@ -127,38 +141,68 @@ def tiled_pipeline(
     # fixed capacity so every tile reuses ONE compiled executable
     cap = max(1024, ((max(b - a for a, b in ext) + 1023) // 1024) * 1024)
 
-    segment_sorted = np.zeros(n, np.int32)
-    class_sorted = np.zeros(n, np.int32)
-    tile_results = []  # (ext_lo, seg_ext, cls_ext, table)
+    # --- preallocate & PRE-TOUCH every big host buffer BEFORE the first
+    # device op.  Once the device client is live, faulting fresh anonymous
+    # memory on this host collapses to ~10 MB/s (kernel hugepage-zeroing
+    # bound: a fresh 356 MB host copy measured 41 s post-init vs 1.3 s
+    # pre-init), while writes into already-faulted pages run at full memcpy
+    # speed.  Everything the per-tile loop and the reconcile phases write
+    # must therefore exist — and be touched — here.
+    tpos = np.empty((cap, 3), np.float32)
+    tpos.fill(0)
+    rows = np.arange(cap, dtype=np.int32)
+    tvalid = np.empty(cap, np.bool_)
+    tvalid.fill(False)
+    seg_store = np.empty((n_tiles, cap), np.int32)
+    seg_store.fill(0)
+    cls_store = np.empty((n_tiles, cap), np.uint8)
+    cls_store.fill(0)
+    segment_sorted = np.empty(n, np.int32)
+    segment_sorted.fill(0)
+    class_sorted = np.empty(n, np.int32)
+    class_sorted.fill(0)
+    segment_out = np.empty(n, np.int32)
+    segment_out.fill(0)
+    class_out = np.empty(n, np.int32)
+    class_out.fill(0)
+
+    tile_results = []  # (ext_lo, n_ext, table)
     tile_times = []  # per-tile (slice_s, run_s) for bench reporting
+    # fetch compactly: segment ids < max_segments+2 (= 2050 default) fit
+    # u16, classification in {0,1,2} fits u8 — the axon tunnel moves
+    # ~360 MB up per 30M-point tile; i32 fetches would double the way down
+    seg_dt = (jnp.uint16
+              if cfg.segmentation.max_segments + 2 <= 0xFFFF else jnp.int32)
+    fetch_chunk = 1 << 22  # 8 MB u16 chunks stay under glibc's mmap
+    # threshold, so the per-chunk numpy buffers recycle through the malloc
+    # arena instead of re-faulting fresh pages (1.7 s vs 9.3 s per 30M rows)
     for t, ((a, b), (c0, c1, e0, e1)) in enumerate(zip(ext, tiles)):
         if progress is not None:
             progress(t, n_tiles)
         t0 = _time.time()
         m = b - a
-        tpos = np.zeros((cap, 3), np.float32)
         tpos[:m] = pos_s[a:b]
-        tvalid = np.arange(cap) < m
+        if m < cap:
+            tpos[m:] = 0
+        np.less(rows, m, out=tvalid)
         t1 = _time.time()
         seg, classification, table, _ = full_pipeline(
             jnp.asarray(tpos), jnp.asarray(tvalid),
             jnp.float32(max_distance), cfg,
         )
-        # fetch compactly: segment ids < max_segments+2 (= 2050 default) fit
-        # u16, classification in {0,1,2} fits u8 — the axon tunnel moves
-        # ~360 MB up per 30M-point tile; i32 fetches would double the way down
-        seg_dt = (jnp.uint16
-                  if cfg.segmentation.max_segments + 2 <= 0xFFFF else jnp.int32)
-        seg_np = np.asarray(seg.astype(seg_dt))[:m].astype(np.int32)
-        cls_np = np.asarray(classification.astype(jnp.uint8))[:m]
-        cls_np = cls_np.astype(np.int32)
+        seg16 = seg.astype(seg_dt)
+        cls8 = classification.astype(jnp.uint8)
+        for lo in range(0, m, fetch_chunk):
+            hi = min(lo + fetch_chunk, m)
+            seg_store[t, lo:hi] = np.asarray(seg16[lo:hi])
+            cls_store[t, lo:hi] = np.asarray(cls8[lo:hi])
         t2 = _time.time()
-        tile_results.append((a, seg_np, cls_np, table))
+        tile_results.append((a, m, table))
         tile_times.append((t1 - t0, t2 - t1))
         log.info("tile %d/%d: slice %.1fs run+fetch %.1fs",
                  t + 1, n_tiles, t1 - t0, t2 - t1)
         # free device buffers before the next tile
-        del seg, classification
+        del seg, classification, seg16, cls8
 
     # --- cross-tile reconciliation: halo points are in BOTH neighbors; each
     # (left id, right id) co-occurrence votes for a merge ---
@@ -168,14 +212,15 @@ def tiled_pipeline(
         return tile * (cfg.segmentation.max_segments + 2) + local
 
     for t in range(n_tiles - 1):
-        a0, seg_a = tile_results[t][0], tile_results[t][1]
-        a1, seg_b = tile_results[t + 1][0], tile_results[t + 1][1]
+        a0, m0 = tile_results[t][0], tile_results[t][1]
+        a1, m1 = tile_results[t + 1][0], tile_results[t + 1][1]
         # shared sorted rows: the overlap of the two extended ranges
         s = max(a0, a1)
-        e = min(a0 + len(seg_a), a1 + len(seg_b))
+        e = min(a0 + m0, a1 + m1)
         if e <= s:
             continue
-        ia, ib = seg_a[s - a0:e - a0], seg_b[s - a1:e - a1]
+        ia = seg_store[t, s - a0:e - a0]
+        ib = seg_store[t + 1, s - a1:e - a1]
         m = (ia > 0) & (ib > 0)
         pairs = (ia[m].astype(np.int64) << 32) | ib[m].astype(np.int64)
         uniq, counts = np.unique(pairs, return_counts=True)
@@ -202,12 +247,15 @@ def tiled_pipeline(
     # so per-segment analytics read from tables[owner_tile] at the local id
     owners: dict[int, tuple[int, int]] = {}
     owner_counts: dict[int, int] = {}
-    for t, (a, seg_np, cls_np, _table) in enumerate(tile_results):
+    n_locals = cfg.segmentation.max_segments + 2
+    for t, (a, _m, _table) in enumerate(tile_results):
         ka, kb = cores[t]
-        seg_core = seg_np[ka - a:kb - a]
+        seg_core = seg_store[t, ka - a:kb - a]
         # small local->global lookup table, then one vectorized relabel pass
-        lut = np.zeros(cfg.segmentation.max_segments + 2, np.int32)
-        for sid, cnt in zip(*np.unique(seg_core, return_counts=True)):
+        # (bincount, not unique: unique sorts a fresh full-core copy)
+        counts = np.bincount(seg_core, minlength=n_locals)
+        lut = np.zeros(n_locals, np.int32)
+        for sid in np.flatnonzero(counts):
             if sid == 0:
                 continue
             root = uf.find(gid(t, int(sid)))
@@ -216,19 +264,18 @@ def tiled_pipeline(
                 next_id += 1
             g = remap[root]
             lut[int(sid)] = g
-            if int(cnt) > owner_counts.get(g, 0):
-                owner_counts[g] = int(cnt)
+            cnt = int(counts[sid])
+            if cnt > owner_counts.get(g, 0):
+                owner_counts[g] = cnt
                 owners[g] = (t, int(sid))
-        segment_sorted[ka:kb] = lut[seg_core]
-        class_sorted[ka:kb] = cls_np[ka - a:kb - a]
+        np.take(lut, seg_core, out=segment_sorted[ka:kb])
+        np.copyto(class_sorted[ka:kb], cls_store[t, ka - a:kb - a])
 
-    # undo the x sort: back to the caller's point order
-    segment_global = np.empty(n, np.int32)
-    segment_global[order] = segment_sorted
-    classification_global = np.empty(n, np.int32)
-    classification_global[order] = class_sorted
+    # undo the x sort: back to the caller's point order (pre-touched outputs)
+    segment_out[order] = segment_sorted
+    class_out[order] = class_sorted
 
-    tables = [r[3] for r in tile_results]
+    tables = [r[2] for r in tile_results]
     info = {
         "n_tiles": n_tiles,
         "capacity": cap,
@@ -238,4 +285,4 @@ def tiled_pipeline(
         "sort_s": sort_s,
         "owners": owners,
     }
-    return segment_global, classification_global, tables, info
+    return segment_out, class_out, tables, info
