@@ -132,15 +132,26 @@ def main() -> None:
 
     key_s = bench("  chars: sort(key+2 payloads)", chars_sort,
                   pos, segment, valid)
-    scores = jnp.zeros((pos.shape[0], cfg.characteristics.hull_directions),
-                       jnp.float32)
+    k_dirs = cfg.characteristics.hull_directions
+    scores = jnp.zeros((pos.shape[0], k_dirs), jnp.float32)
     bench("  chars: [N,K] segmented scan",
           jax.jit(ch._segmented_cummax), key_s, scores)
+    # the real support pass is [N, K+4] (areas + x/z extents, full_bbox)
+    scores12 = jnp.zeros((pos.shape[0], k_dirs + 4), jnp.float32)
+    bench("  chars: [N,K+4] segmented scan",
+          jax.jit(ch._segmented_cummax), key_s, scores12)
+    bench("  chars: [N] min-y fill scan",
+          jax.jit(ch._segmented_cummax), key_s, pos[:, 1])
     bench("  chars: bucket searchsorted",
           jax.jit(lambda k, v: ch._run_last_table(
               k, v, (scfg.max_segments + 1) * cfg.characteristics.max_slices,
               -3.0e38)),
           key_s, scores)
+    # classification broadcast: one [N] gather of a packed per-segment i32
+    sep_tab = jnp.zeros(scfg.max_segments + 1, jnp.int32)
+    bench("  chars: classification gather",
+          jax.jit(lambda t, s: t[jnp.clip(s, 0, scfg.max_segments)]),
+          sep_tab, segment)
 
     bench("FULL full_pipeline", pipe, pos, valid, d)
 
