@@ -1,5 +1,6 @@
 """Pallas kernel equivalence tests (interpreter mode on CPU)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -99,3 +100,133 @@ def test_dilate_pallas_matches_jnp():
     color_pal, z_pal, _ = splat.resolve_keys(k_pal, cam, jnp.zeros((256, 3)),
                                              cfg_j)
     np.testing.assert_array_equal(np.asarray(z_pal), np.asarray(z_ref))
+
+
+def test_segmented_cummax_pallas_matches_xla():
+    """Single-pass Pallas scan is bit-identical to the XLA doubling scan."""
+    from treee_tpu import characteristics as ch
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (1000, 1, 256),    # 1-D values, multi-block + padded tail
+        (5000, 12, 512),   # support-scan shape, runs spanning blocks
+        (300, 3, 512),     # single partial block (pure pad path)
+        (2048, 5, 1024),   # exact multiple of block
+    ]
+    for n, c, block in cases:
+        key = np.sort(rng.integers(0, 37, n)).astype(np.int32)
+        val = (rng.normal(size=(n, c)) * 100).astype(np.float32)
+        v = val[:, 0] if c == 1 else val
+        ref = np.asarray(ch._segmented_cummax(jnp.asarray(key), jnp.asarray(v)))
+        got = np.asarray(pk.segmented_cummax_pallas(
+            jnp.asarray(key), jnp.asarray(v), block=block, interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_segmented_cummax_pallas_run_edges():
+    """Degenerate keys: one global run, all-distinct, run == block boundary."""
+    from treee_tpu import characteristics as ch
+
+    rng = np.random.default_rng(4)
+    n, block = 1024, 256
+    val = (rng.normal(size=n) * 10).astype(np.float32)
+    for key in (
+        np.zeros(n, np.int32),                       # one run spanning all blocks
+        np.arange(n, dtype=np.int32),                # every element its own run
+        np.repeat(np.arange(4, dtype=np.int32), block),  # runs == blocks exactly
+    ):
+        ref = np.asarray(ch._segmented_cummax(jnp.asarray(key), jnp.asarray(val)))
+        got = np.asarray(pk.segmented_cummax_pallas(
+            jnp.asarray(key), jnp.asarray(val), block=block, interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_compute_segments_pallas_scan_flag_matches():
+    """Full compute_segments with use_pallas_scan=True (interpret on CPU) is
+    bit-identical to the XLA doubling-scan path."""
+    import dataclasses
+
+    from treee_tpu import characteristics as ch
+    from treee_tpu.config import CharacteristicsConfig
+    from treee_tpu.io import las
+
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=800,
+                               ground_points=600, seed=7)
+    pos = jnp.asarray(pts)
+    n = pos.shape[0]
+    rng = np.random.default_rng(8)
+    segment = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+    valid = jnp.asarray(rng.random(n) > 0.05)
+
+    cfg0 = CharacteristicsConfig(max_slices=64, use_pallas_scan=False)
+    cfg1 = dataclasses.replace(cfg0, use_pallas_scan=True,
+                               pallas_scan_block=512)
+    tab0, cls0 = ch.compute_segments(pos, segment, valid, 8, cfg0)
+    tab1, cls1 = ch.compute_segments(pos, segment, valid, 8, cfg1)
+    np.testing.assert_array_equal(np.asarray(cls0), np.asarray(cls1))
+    for f0, f1 in zip(jax.tree_util.tree_leaves(tab0),
+                      jax.tree_util.tree_leaves(tab1)):
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_jump_flood_packed_matches_unpacked():
+    """Lattice-aligned seeds (multiples of s/64) quantize exactly, so the
+    packed-plane JFA is bit-identical to the 4-plane one; random seeds agree
+    on >=99% of cells (quantization moves positions by <~1 cm)."""
+    g = 64
+    s = jnp.float32(0.75)
+    lo = jnp.zeros(3, jnp.float32)
+    qs = 0.75 / 64.0  # == 3/256, exactly representable
+
+    def centers():
+        return jnp.stack(
+            [
+                (jax.lax.broadcasted_iota(jnp.float32, (g, g), 0) + 0.5) * s,
+                (jax.lax.broadcasted_iota(jnp.float32, (g, g), 1) + 0.5) * s,
+            ],
+            axis=-1,
+        )
+
+    rng = np.random.default_rng(5)
+    for aligned in (True, False):
+        slot_grid = np.full((g, g), -1, np.int32)
+        pos_grid = np.zeros((g, g, 2), np.float32)
+        cells = rng.choice(g * g, 25, replace=False)
+        for si, c in enumerate(cells):
+            gx, gz = divmod(int(c), g)
+            px, pz = (gx + rng.uniform()) * 0.75, (gz + rng.uniform()) * 0.75
+            if aligned:
+                px, pz = round(px / qs) * qs, round(pz / qs) * qs
+            slot_grid[gx, gz] = si
+            pos_grid[gx, gz] = (px, pz)
+        ref = np.asarray(sg._jump_flood(jnp.asarray(slot_grid)[None],
+                                        jnp.asarray(pos_grid)[None],
+                                        centers()))[0]
+        out = np.asarray(sg._jump_flood_packed(
+            jnp.asarray(slot_grid)[None], jnp.asarray(pos_grid)[None],
+            centers(), lo, s))[0]
+        if aligned:
+            np.testing.assert_array_equal(out, ref)
+        else:
+            assert (out == ref).mean() > 0.99
+
+
+def test_segment_points_packed_jfa_flag():
+    """segment_points with use_packed_jfa reproduces the default ids on a
+    small synthetic forest (seeds well separated: no quantization ties)."""
+    import dataclasses
+
+    from treee_tpu.config import SegmentationConfig
+    from treee_tpu.io import las
+
+    pts = las.synthetic_forest(n_trees=6, points_per_tree=400,
+                               ground_points=400, seed=3)
+    pos = jnp.asarray(pts)
+    valid = jnp.ones(pos.shape[0], bool)
+    cfg0 = SegmentationConfig(grid_size=128, max_bands=32,
+                              cc_occupied_cap=1 << 14)
+    cfg1 = dataclasses.replace(cfg0, use_packed_jfa=True)
+    r0 = sg.segment_points(pos, valid, 0.75, cfg0)
+    r1 = sg.segment_points(pos, valid, 0.75, cfg1)
+    assert (np.asarray(r0.segment) == np.asarray(r1.segment)).mean() > 0.999
+    assert int(r0.n_segments) == int(r1.n_segments)

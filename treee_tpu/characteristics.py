@@ -171,6 +171,31 @@ def _segmented_cummax(key: jax.Array, val: jax.Array) -> jax.Array:
     return vb.reshape((nb * blk,) + vb.shape[2:])[:n]
 
 
+def _seg_cummax(
+    key: jax.Array, val: jax.Array, key_cap: int, cfg
+) -> jax.Array:
+    """Dispatch the per-run cumulative max: Pallas single-pass or XLA doubling.
+
+    ``key_cap`` is a static exclusive upper bound on the sorted run keys.  The
+    Pallas kernel compares keys in f32, so it only engages when every key is
+    exactly representable (< 2^24); otherwise — and on non-TPU backends by
+    default — the XLA two-level doubling scan runs.  Both are bit-identical
+    (tests/test_pallas.py).
+    """
+    from .config import resolve_use_pallas
+
+    if key_cap < (1 << 24) and resolve_use_pallas(cfg.use_pallas_scan):
+        from .ops.pallas_kernels import segmented_cummax_pallas
+
+        # off-TPU an explicit True flag runs the kernel in interpret mode so
+        # the integrated path stays testable on the CPU suite
+        return segmented_cummax_pallas(
+            key, val, block=cfg.pallas_scan_block,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return _segmented_cummax(key, val)
+
+
 def _run_end_index(
     key_sorted: jax.Array, n_buckets: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -214,7 +239,7 @@ def _chunked_support_table(
     bucket_s: jax.Array,
     make_scores,
     n_cols: int,
-    chunk: int,
+    cfg,
     n_buckets: int,
 ) -> jax.Array:
     """Per-bucket support maxima f32[n_buckets, n_cols], column-chunked.
@@ -225,14 +250,15 @@ def _chunked_support_table(
     (CLAUDE.md round-1 state); chunking divides that by K/chunk at identical
     total pass work.  The run-end searchsorted is shared across chunks.
     """
+    chunk = cfg.score_chunk
     if chunk <= 0 or chunk >= n_cols:
-        cum = _segmented_cummax(bucket_s, make_scores(0, n_cols))
+        cum = _seg_cummax(bucket_s, make_scores(0, n_cols), n_buckets + 1, cfg)
         return _run_last_table(bucket_s, cum, n_buckets, -INF)
     idx, hit = _run_end_index(bucket_s, n_buckets)
     tabs = []
     for c0 in range(0, n_cols, chunk):
         c1 = min(c0 + chunk, n_cols)
-        cum = _segmented_cummax(bucket_s, make_scores(c0, c1))
+        cum = _seg_cummax(bucket_s, make_scores(c0, c1), n_buckets + 1, cfg)
         tabs.append(jnp.where(hit[:, None], cum[idx], -INF))
     return jnp.concatenate(tabs, axis=1)
 
@@ -369,7 +395,9 @@ def compute_segments(
         # broadcast min y down each run by a fill-from-run-start segmented
         # scan (cheaper than an N-lookup gather)
         is_start = jnp.concatenate([jnp.ones(1, bool), seg_s[1:] != seg_s[:-1]])
-        min_y_pt = _segmented_cummax(seg_s, jnp.where(is_start, y_s, -INF))
+        min_y_pt = _seg_cummax(
+            seg_s, jnp.where(is_start, y_s, -INF), s_cap + 1, cfg
+        )
     else:
         # sharded: the global min may live on another shard; read the merged
         # table (s_cap is tiny and replicated)
@@ -403,7 +431,7 @@ def compute_segments(
         return jnp.where(live_s[:, None], sc, -INF)
 
     tab = _chunked_support_table(
-        bucket_s, make_scores, n_cols, cfg.score_chunk, s_cap * ms
+        bucket_s, make_scores, n_cols, cfg, s_cap * ms
     )
     if axis_name is not None:
         tab = jax.lax.pmax(tab, axis_name)  # the one big collective, O(S*MS)
@@ -609,7 +637,7 @@ def segment_properties(
         bucket_s,
         lambda c0, c1: (xz_s[:, :1] * dirs[0, c0:c1][None, :]
                         + xz_s[:, 1:] * dirs[1, c0:c1][None, :]),
-        k_dirs, cfg.score_chunk, s_cap * ms,
+        k_dirs, cfg, s_cap * ms,
     )
     areas_crown = _areas_from_supports(tab, k_dirs).reshape(s_cap, ms)
 

@@ -79,6 +79,11 @@ class SegmentationConfig:
     # on v5e (31.3 vs 31.9 ms for 16 bands) — XLA fuses the roll/select
     # chains — so it stays a tested alternate, default OFF
     use_pallas: bool | None = False
+    # packed-plane JFA: seed positions ride one 2x15-bit fixed-point i32
+    # plane (s/64 lattice) instead of two f32 planes — ~2x less rolled HBM
+    # traffic per direction at ~1 cm position quantization.  Default-off
+    # alternate until measured on hardware; requires grid_size <= 512.
+    use_packed_jfa: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +109,14 @@ class CharacteristicsConfig:
     # padded [N,2] gather output, fixed separately); bench.py drops to
     # chunk=2 above 24M points for headroom.
     score_chunk: int = 0
+    # Pallas single-pass segmented cummax for the support/min-y scans: one
+    # load + one store per element with a VMEM carry across a sequential
+    # grid, vs the XLA two-level doubling scan's 8+ full-array HBM round
+    # trips.  Tri-state like RenderConfig.use_pallas: None = auto (TPU
+    # backend only).  Requires bucket ids < 2^24 (f32-exact in-kernel key
+    # compares) — larger capacities fall back to the XLA scan.
+    use_pallas_scan: bool | None = False
+    pallas_scan_block: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -227,3 +227,99 @@ def eye_dome_pallas(
         interpret=interpret,
     )(z01, chw, params)
     return jnp.moveaxis(out, 0, -1)
+
+
+def _seg_cummax_kernel(kv_ref, out_ref, carry_ref):
+    """One block of the single-pass segmented cumulative max.
+
+    ``kv_ref`` (C+1, B): row 0 is the sorted run key (small non-negative
+    ints, exact in f32), rows 1..C are value channels.  The in-block scan is
+    log2(B) shifted-doubling passes — the same recurrence XLA runs in
+    characteristics._segmented_cummax, but on VMEM-resident data, so the 8+
+    full-array HBM round trips collapse to one load + one store.  The carry
+    (previous block's trailing run key + running max) lives in a VMEM
+    (C+1, 1) scratch that persists across the sequential TPU grid; keys
+    being globally sorted makes "continues the previous run" exactly
+    ``key == carry_key`` (no other lane can equal an earlier block's key).
+    """
+    i = pl.program_id(0)
+    c1 = kv_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        # key row -1.0 matches no real key (keys are >= 0)
+        carry_ref[:, :] = jnp.concatenate(
+            [jnp.full((1, 1), -1.0, jnp.float32),
+             jnp.full((c1 - 1, 1), -INF, jnp.float32)], axis=0
+        )
+
+    kv = kv_ref[:]
+    key = kv[0:1, :]          # (1, B)
+    val = kv[1:, :]           # (C, B)
+    b = kv.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    s = 1
+    while s < b:
+        ok = (lane >= s) & (key == _roll(key, s, 1))
+        cand = _roll(val, s, 1)
+        val = jnp.maximum(val, jnp.where(ok, cand, -INF))
+        s *= 2
+
+    ckey = carry_ref[0:1, :]  # (1, 1)
+    cval = carry_ref[1:, :]   # (C, 1)
+    val = jnp.where(key == ckey, jnp.maximum(val, cval), val)
+    out_ref[:, :] = val
+    carry_ref[:, :] = jnp.concatenate([key[:, -1:], val[:, -1:]], axis=0)
+
+
+# keys must stay exactly representable in f32 for the in-kernel equality
+# compares; padding uses PAD_KEY which is > any representable run key
+_SEG_KEY_MAX = 1 << 24
+_PAD_KEY = 3.0e7
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def segmented_cummax_pallas(
+    key: jax.Array,   # i32[N], sorted ascending, values in [0, 2^24)
+    val: jax.Array,   # f32[N] or f32[N, C]
+    block: int = 8192,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward inclusive per-run cumulative max; drop-in for
+    characteristics._segmented_cummax when keys are < 2^24.
+
+    Layout: channels ride the sublane axis ((C+1, N) with N on the 128-lane
+    axis), so a C=12 support scan wastes no lanes; the [N, C] <-> [C, N]
+    transposes at the boundary are two bandwidth-bound passes, amortized
+    against the 8+ full-array passes the XLA doubling scan saves.
+    """
+    squeeze = val.ndim == 1
+    v = val[:, None] if squeeze else val
+    n, c = v.shape
+    kv = jnp.concatenate(
+        [key.astype(jnp.float32)[None, :], v.T], axis=0
+    )  # (C+1, N)
+    nb = -(-n // block)
+    npad = nb * block
+    if npad != n:
+        pad = jnp.full((c + 1, npad - n), -INF, jnp.float32)
+        pad = pad.at[0, :].set(_PAD_KEY)
+        kv = jnp.concatenate([kv, pad], axis=1)
+    out = pl.pallas_call(
+        _seg_cummax_kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((c, npad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((c + 1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c + 1, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: carry dependency
+        ),
+        interpret=interpret,
+    )(kv)
+    res = out[:, :n].T
+    return res[:, 0] if squeeze else res

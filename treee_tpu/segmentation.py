@@ -289,6 +289,71 @@ def _jump_flood(
     return best[0]
 
 
+def _jump_flood_packed(
+    seed_slot: jax.Array,   # i32[B,G,G], -1 where no seed
+    seed_pos: jax.Array,    # f32[B,G,G,2] absolute centroid position of the seed
+    cell_center: jax.Array, # f32[G,G,2]
+    lo: jax.Array,          # f32[3] scene lower bound (grid origin)
+    s: jax.Array,           # f32 cell size
+) -> jax.Array:
+    """Jump flood carrying (slot, packed-quantized-pos) — half the plane bytes.
+
+    Identical schedule to :func:`_jump_flood`, but the seed position rides as
+    ONE i32 plane (two 15-bit fixed-point grid coordinates at s/64 resolution,
+    ~1.2 cm at the d=0.75 default) instead of two f32 planes, cutting the
+    rolled+carried HBM traffic per direction from 4 planes to ~3 (slot,
+    packed, running dist).  Positions quantize to the s/64 lattice, so a
+    candidate's distance moves by at most ~s/45 — winners flip only on
+    near-exact ties.  Default-off alternate (SegmentationConfig.use_packed_jfa)
+    until measured on hardware, like the Pallas kernels.
+    """
+    g = seed_slot.shape[-1]
+    qs = s / 64.0
+    inv_qs = 1.0 / qs
+    qmax = g * 64 - 1  # 15 bits hold g*64 for any g <= 512
+
+    def quant(p, axis_lo):
+        return jnp.clip(
+            jnp.round((p - axis_lo) * inv_qs).astype(jnp.int32), 0, qmax
+        )
+
+    packed0 = jnp.where(
+        seed_slot >= 0,
+        (quant(seed_pos[..., 0], lo[0]) << 15)
+        | quant(seed_pos[..., 1], lo[2]),
+        -1,
+    )
+    ccx = cell_center[None, ..., 0]
+    ccz = cell_center[None, ..., 1]
+
+    def unpack_dist(slot, packed):
+        px = lo[0] + (packed >> 15).astype(jnp.float32) * qs
+        pz = lo[2] + (packed & 0x7FFF).astype(jnp.float32) * qs
+        return jnp.where(
+            slot >= 0, (px - ccx) ** 2 + (pz - ccz) ** 2, INF
+        )
+
+    best = (seed_slot, packed0, unpack_dist(seed_slot, packed0))
+
+    step = g // 2
+    while step >= 1:
+        slot, packed, dist = best
+        for dx in (-step, 0, step):
+            for dz in (-step, 0, step):
+                if dx == 0 and dz == 0:
+                    continue
+                cs = jnp.roll(slot, (dx, dz), axis=(1, 2))
+                cq = jnp.roll(packed, (dx, dz), axis=(1, 2))
+                cd = unpack_dist(cs, cq)
+                better = cd < dist
+                slot = jnp.where(better, cs, slot)
+                packed = jnp.where(better, cq, packed)
+                dist = jnp.where(better, cd, dist)
+        best = (slot, packed, dist)
+        step //= 2
+    return best[0]
+
+
 def scene_bounds(pos: jax.Array, valid: jax.Array):
     """(lo, hi) f32[3] over valid points; unit box if none."""
     big = jnp.float32(3.0e38)
@@ -474,6 +539,8 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
         slot_grids = jax.vmap(jump_flood_pallas, in_axes=(0, 0, None))(
             seed_slot, seed_pos, cell_center
         )
+    elif cfg.use_packed_jfa and g <= 512:  # 15-bit packed coords need g*64 <= 2^15
+        slot_grids = _jump_flood_packed(seed_slot, seed_pos, cell_center, lo, s)
     else:
         slot_grids = _jump_flood(seed_slot, seed_pos, cell_center)
     return slot_grids, n_alloc, tracked_pos_b, active_b
