@@ -78,6 +78,17 @@ def main() -> None:
     n_target = int(os.environ.get("BENCH_POINTS", 15_000_000))
     n_frames = int(os.environ.get("BENCH_FRAMES", 8))
     cfg = DEFAULT_CONFIG
+    # A/B knobs for the measured alternates (1 = on, 0/unset = config default)
+    import dataclasses as _dc
+
+    if os.environ.get("BENCH_PALLAS_SCAN"):
+        cfg = cfg.replace(characteristics=_dc.replace(
+            cfg.characteristics,
+            use_pallas_scan=os.environ["BENCH_PALLAS_SCAN"] == "1"))
+    if os.environ.get("BENCH_PACKED_JFA"):
+        cfg = cfg.replace(segmentation=_dc.replace(
+            cfg.segmentation,
+            use_packed_jfa=os.environ["BENCH_PACKED_JFA"] == "1"))
     if n_target > 24_000_000:
         # tighter column chunking of the support scans: identical results
         # and total work, lower peak HBM (30M at chunk=4 missed v5e HBM by
@@ -208,7 +219,7 @@ def main() -> None:
     )
     count, idx_big = sync(build_lod(pos, valid))
     lod_n = int(count)
-    lod_cap = octree.snug_capacity(lod_n)
+    lod_cap = min(octree.snug_capacity(lod_n), n)
     idx = idx_big[:lod_cap]
     pos_l = pos[idx]
     prop_l = prop[idx]
@@ -244,7 +255,7 @@ def main() -> None:
     ad_n = int(count_a)
     # render-only snapshot subset: no edit headroom, minimal padded rows
     # (frame cost scales with PADDED rows; snug_capacity keeps waste <~6%)
-    ad_cap = octree.snug_capacity(ad_n, headroom=1.0)
+    ad_cap = min(octree.snug_capacity(ad_n, headroom=1.0), n)
     idx_a = idx_a_big[:ad_cap]
     pos_a, prop_a = pos[idx_a], prop[idx_a]
     mask_a = jnp.arange(ad_cap) < count_a
@@ -275,6 +286,49 @@ def main() -> None:
     )
     print(f"# bench: adaptive frame {ad_ms:.1f} ms, {match:.1%} pixels == full",
           file=sys.stderr, flush=True)
+
+    # SCREEN-ERROR adaptive cut (octree.adaptive_mask): per-region octree
+    # level chosen so cells project <= tau px at the node's distance from the
+    # camera — near field keeps full detail, far field collapses to coarse
+    # representatives.  Strictly fewer points than the distance-independent
+    # level-10 dedup at the same on-screen error budget; rebuilt per camera
+    # move in Session.build_lod(adaptive_tau_px=...).
+    f_proj = cam0.projection_matrix(cfg.render.width / cfg.render.height)[1, 1]
+    px_scale = float(f_proj) * (cfg.render.height / 2.0)
+    count_s, idx_s_big = sync(jax.jit(
+        lambda pos, valid: octree.compact_indices(
+            octree.adaptive_mask(
+                octree.build(pos, valid), cam0.position, px_scale,
+                tau_px=1.0,
+            ) & valid,
+            pos.shape[0],
+        )
+    )(pos, valid))
+    sc_n = int(count_s)
+    sc_cap = min(octree.snug_capacity(sc_n, headroom=1.0), n)
+    idx_s = idx_s_big[:sc_cap]
+    pos_s, prop_s = pos[idx_s], prop[idx_s]
+    mask_s = jnp.arange(sc_cap) < count_s
+    touch()
+    print(f"# bench: screen-adaptive subset {sc_n} pts (cap {sc_cap})",
+          file=sys.stderr, flush=True)
+    sync(sweep(pos_s, prop_s, mask_s, cam_stack))  # compile
+    touch()
+    t0 = time.time()
+    sync(sweep(pos_s, prop_s, mask_s, cam_stack))
+    sc_ms = (time.time() - t0) / n_frames * 1e3
+    touch()
+    img_s = np.asarray(frame_full(pos_s, prop_s, mask_s))
+    match_s = float((img_f == img_s).all(axis=-1).mean())
+    touch()
+    RESULT.update(
+        screen_adaptive_frame_ms=round(sc_ms, 2),
+        screen_adaptive_fps=round(1000.0 / sc_ms, 1),
+        screen_adaptive_points=sc_n,
+        screen_adaptive_pixel_match=round(match_s, 4),
+    )
+    print(f"# bench: screen-adaptive frame {sc_ms:.1f} ms, "
+          f"{match_s:.1%} pixels == full", file=sys.stderr, flush=True)
 
     # --- interactive edit latency (BASELINE config 3: incremental octree/LOD
     # update).  The reference re-uploads the whole edited segment to the GPU

@@ -189,3 +189,68 @@ def test_lod_mask_live_promotes_siblings():
     nodes_with_live = set(np.unique(node_of[np.asarray(live)]))
     nodes_kept = set(np.unique(node_of[keep_live]))
     assert nodes_kept == nodes_with_live  # every live node re-represented
+
+
+def test_adaptive_mask_near_full_far_sparse():
+    """Screen-error cut: points near the camera all survive; far nodes keep
+    one representative per coarse cell; everything kept is live."""
+    rng = np.random.default_rng(11)
+    near = rng.uniform(0.0, 2.0, (400, 3)).astype(np.float32)
+    far = (rng.uniform(0.0, 8.0, (400, 3)) + np.array([200.0, 0, 0])).astype(
+        np.float32)
+    pos = jnp.asarray(np.concatenate([near, far]))
+    valid = jnp.ones(800, bool)
+    tree = octree.build(pos, valid)
+    cam_pos = jnp.asarray(np.array([1.0, 1.0, 1.0], np.float32))
+    # px_scale ~ 720p at 45deg fov: f_proj*(h/2) ~ 869 px
+    keep = np.asarray(octree.adaptive_mask(
+        tree, cam_pos, 869.0, tau_px=8.0, level_min=2, level_max=10))
+    assert keep[:400].all()          # near field: full detail
+    n_far = int(keep[400:].sum())
+    assert 0 < n_far < 200           # far field: heavily decimated
+    # far representatives still cover the far cluster spatially
+    kept_far = far[keep[400:]]
+    assert np.ptp(kept_far[:, 0]) > 4.0
+
+    # moving the camera into the far cluster flips the densities
+    keep2 = np.asarray(octree.adaptive_mask(
+        tree, jnp.asarray(np.array([204.0, 4.0, 4.0], np.float32)), 869.0,
+        tau_px=8.0, level_min=2, level_max=10))
+    assert keep2[400:].all()
+    assert int(keep2[:400].sum()) < 200
+
+
+def test_adaptive_mask_respects_live_and_frustum():
+    from treee_tpu.render.camera import Camera
+
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.uniform(0, 50, (1000, 3)).astype(np.float32))
+    valid = jnp.ones(1000, bool)
+    tree = octree.build(pos, valid)
+    live = jnp.asarray(rng.random(1000) > 0.5)
+    cam = Camera.orbital(distance=500.0)
+    keep = np.asarray(octree.adaptive_mask(
+        tree, cam.position, 869.0, tau_px=2.0, live=live))
+    assert not np.any(keep & ~np.asarray(live))
+    # a frustum pointing away culls everything
+    away = Camera.orbital(distance=500.0).rotate_orbital(3.14159, 0.0)
+    planes = away.frustum_planes(16 / 9)
+    keep_away = np.asarray(octree.adaptive_mask(
+        tree, away.position, 869.0, tau_px=2.0, live=live, frustum=planes))
+    assert keep_away.sum() <= keep.sum()
+
+
+def test_cummax_blocked_matches_numpy():
+    rng = np.random.default_rng(13)
+    for n in (1, 7, 255, 256, 257, 1000, 4096, 5000):
+        xi = rng.integers(-100, 100, n).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(octree._cummax(jnp.asarray(xi))),
+            np.maximum.accumulate(xi))
+        xf = rng.normal(size=n).astype(np.float32) * 50
+        np.testing.assert_array_equal(
+            np.asarray(octree._cummax(jnp.asarray(xf))),
+            np.maximum.accumulate(xf))
+        np.testing.assert_array_equal(
+            np.asarray(octree._revcummin(jnp.asarray(xf))),
+            np.minimum.accumulate(xf[::-1])[::-1])

@@ -152,6 +152,9 @@ def main() -> None:
     bench("jump flood [64,384,384]", sg._jump_flood,
           seed_slot, seed_pos, cell_center)
 
+    bench("jump flood packed 2-plane", sg._jump_flood_packed,
+          seed_slot, seed_pos, cell_center, lo, s)
+
 
 if __name__ == "__main__":
     main()

@@ -27,26 +27,55 @@ from . import morton
 INVALID_KEY = jnp.int32(0x7FFFFFFF)
 
 
+def _dtype_min(dtype):
+    return (
+        jnp.finfo(dtype).min
+        if jnp.issubdtype(dtype, jnp.floating)
+        else jnp.iinfo(dtype).min
+    )
+
+
+_CUMMAX_BLOCK = 256
+
+
 def _cummax(x: jax.Array) -> jax.Array:
-    """Log-depth cumulative max via explicit shifted-max doubling (Sklansky).
+    """Cumulative max, two-level: blocked doubling + tiny cross-block scan.
 
     Neither library form survives TPU at 15M elements:
     ``jnp.maximum.accumulate`` lowers to an O(N^2)-flavored reduce_window
     (40 s), and ``lax.associative_scan``'s recursive odd/even slicing blows up
     XLA *compile* time somewhere between 1M and 4M elements (measured: 15M
     never finishes; the pipeline's historic 10-30 min compiles were this).
-    The doubling form — 24 shifted elementwise maxima of flat slices —
-    compiles in ~2 s and runs in ~50 ms at 15M on one v5e chip.
+    Flat shifted-max doubling works (24 passes, ~50 ms at 15M); the blocked
+    form cuts that to log2(256)=8 in-block passes plus an
+    ``associative_scan`` over the N/256 block maxima (safe at that size —
+    same structure as characteristics._segmented_cummax).
     """
     n = x.shape[0]
-    y = x
+    blk = _CUMMAX_BLOCK
+    if n <= blk:
+        y = x
+        s = 1
+        while s < n:
+            pad = jnp.broadcast_to(y[:1], (s,))  # filler; masked out below
+            shifted = jnp.concatenate([pad, y[:-s]])
+            y = jnp.where(jnp.arange(n) >= s, jnp.maximum(y, shifted), y)
+            s *= 2
+        return y
+
+    nb = -(-n // blk)
+    fill = _dtype_min(x.dtype)
+    xb = jnp.pad(x, (0, nb * blk - n), constant_values=fill).reshape(nb, blk)
+    idx = jnp.arange(blk)[None, :]
     s = 1
-    while s < n:
-        pad = jnp.broadcast_to(y[:1], (s,))  # filler; masked out below
-        shifted = jnp.concatenate([pad, y[:-s]])
-        y = jnp.where(jnp.arange(n) >= s, jnp.maximum(y, shifted), y)
+    while s < blk:
+        shifted = jnp.concatenate([xb[:, :s], xb[:, :-s]], axis=1)
+        xb = jnp.where(idx >= s, jnp.maximum(xb, shifted), xb)
         s *= 2
-    return y
+    carry = jax.lax.associative_scan(jnp.maximum, xb[:, -1])
+    prev = jnp.concatenate([jnp.full((1,), fill, x.dtype), carry[:-1]])
+    xb = jnp.maximum(xb, prev[:, None])
+    return xb.reshape(nb * blk)[:n]
 
 
 def _revcummin(x: jax.Array) -> jax.Array:
@@ -118,6 +147,22 @@ def _cell_bounds(tree: Octree, coarse: jax.Array, level: int):
     return lo, lo + cell_size
 
 
+def _node_ranks(
+    new_node: jax.Array, live_sorted: jax.Array, cum: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(rank among live slots of the node, live count of the node) per slot.
+
+    ``cum`` is the inclusive cumulative live count (shared across levels when
+    ranking the same liveness at several octree levels): the node-start
+    exclusive value broadcasts forward, the node-end inclusive value
+    broadcasts backward.
+    """
+    start_excl = _cummax(jnp.where(new_node, cum - live_sorted, 0))
+    is_end = jnp.concatenate([new_node[1:], jnp.ones(1, bool)])
+    end_incl = _revcummin(jnp.where(is_end, cum, jnp.int32(0x7FFFFFFF)))
+    return cum - 1 - start_excl, end_incl - start_excl
+
+
 def aabb_in_frustum(lo: jax.Array, hi: jax.Array, planes: jax.Array) -> jax.Array:
     """Conservative AABB-vs-frustum test, elementwise over [..., 3] boxes.
 
@@ -173,14 +218,83 @@ def lod_mask(
     # cumulative live count: exclusive value at the node start broadcast
     # forward, inclusive value at the node end broadcast backward
     cum = jnp.cumsum(live_sorted.astype(jnp.int32))
-    start_excl = _cummax(jnp.where(new_node, cum - live_sorted, 0))
-    is_end = jnp.concatenate([new_node[1:], jnp.ones(1, bool)])
-    end_incl = _revcummin(jnp.where(is_end, cum, jnp.int32(0x7FFFFFFF)))
-    rank = cum - 1 - start_excl
-    count = end_incl - start_excl
+    rank, count = _node_ranks(new_node, live_sorted, cum)
     stride = jnp.maximum((count + points_per_node - 1) // points_per_node, 1)
     keep_sorted = live_sorted & (rank % stride == 0)
     # scatter back to original order
+    keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
+    return keep
+
+
+def adaptive_mask(
+    tree: Octree,
+    cam_pos: jax.Array,        # f32[3] camera position (world)
+    px_scale: jax.Array | float,  # f_proj * height/2: world->pixel size at d=1
+    tau_px: float = 1.5,
+    level_min: int = 4,
+    level_max: int = 10,
+    live: jax.Array | None = None,
+    frustum: jax.Array | None = None,
+) -> jax.Array:
+    """Screen-error-driven LOD cut: per-region octree level by camera distance.
+
+    Classic point-cloud-viewer selection (the reference has no LOD at all —
+    program.rs:309-311 draws every point every frame): a node is rendered at
+    the COARSEST level whose cell projects to at most ``tau_px`` pixels at the
+    node's distance, so nearby regions keep full detail while the far field
+    collapses to one representative per coarse cell.  For each candidate level
+    the ring test is ``proj_l <= tau < 2*proj_l`` (the parent cell projects
+    ~2x the child at the same distance); the finest ring (``level_max``) keeps
+    ALL live points, since even its cells project larger than ``tau_px``.
+    Rings partition by monotonicity, so every live point is represented
+    exactly once.  Everything is elementwise over the sorted keys (cell
+    centers decode from each slot's own prefix — no node table, no gathers);
+    only the final original-order scatter touches indexed memory, exactly
+    like :func:`lod_mask`.
+
+    Returns a boolean keep-mask in ORIGINAL point order.
+    """
+    n = tree.capacity
+    live_sorted = (
+        tree.keys != INVALID_KEY
+        if live is None
+        else live[tree.order] & (tree.keys != INVALID_KEY)
+    )
+    px_scale = jnp.asarray(px_scale, jnp.float32)
+    keep_sorted = jnp.zeros(n, bool)
+
+    for lvl in range(level_min, level_max + 1):
+        shift = 3 * (morton.MORTON_BITS - lvl)
+        coarse = tree.keys >> shift
+        lo_c, hi_c = _cell_bounds(tree, coarse, lvl)
+        center = 0.5 * (lo_c + hi_c)
+        dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
+        extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+        cell = extent / jnp.float32(1 << lvl)
+        proj = cell * px_scale / jnp.maximum(dist, 1e-3)
+        if lvl == level_min:
+            ring = proj <= tau_px           # far field: coarsest cut
+        else:
+            ring = (proj <= tau_px) & (2.0 * proj > tau_px)
+        if lvl == level_max:
+            # anything finer than the finest ring keeps every live point
+            ring = ring | (proj > tau_px)
+            sel = live_sorted & ring
+            near_all = proj > tau_px
+        else:
+            sel = live_sorted & ring
+            near_all = jnp.zeros(n, bool)
+        if frustum is not None:
+            sel &= aabb_in_frustum(lo_c, hi_c, frustum)
+        # first live slot of each level-``lvl`` node, via ONE doubling scan:
+        # sorted coarse keys are non-decreasing, so the running max of live
+        # coarse values equals the previous live slot's node — a slot opens a
+        # new live run exactly when that running max is still smaller
+        run = _cummax(jnp.where(live_sorted, coarse, -1))
+        prev = jnp.concatenate([jnp.full((1,), -1, run.dtype), run[:-1]])
+        first_live = live_sorted & (prev < coarse)
+        keep_sorted |= sel & (near_all | first_live)
+
     keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
     return keep
 

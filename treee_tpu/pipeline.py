@@ -220,7 +220,8 @@ class Session:
 
     def build_lod(self, level: int = 7, points_per_node: int = 1,
                   capacity: int | None = None,
-                  camera: Camera | None = None) -> None:
+                  camera: Camera | None = None,
+                  adaptive_tau_px: float | None = None) -> None:
         """Materialize an INDEX-compacted LOD subset for fast frame rendering.
 
         The reference draws every point every frame (program.rs:309-311); the
@@ -259,8 +260,18 @@ class Session:
         if camera is not None:
             rcfg = self.config.render
             frustum = camera.frustum_planes(rcfg.width / rcfg.height)
-        lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask,
-                                  frustum=frustum)
+        if adaptive_tau_px is not None:
+            if camera is None:
+                raise ValueError("adaptive_tau_px requires a camera")
+            rcfg = self.config.render
+            f_proj = camera.projection_matrix(rcfg.width / rcfg.height)[1, 1]
+            lod = octree_mod.adaptive_mask(
+                tree, camera.position, f_proj * (rcfg.height / 2.0),
+                tau_px=adaptive_tau_px, live=mask, frustum=frustum,
+            )
+        else:
+            lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask,
+                                      frustum=frustum)
         cap = capacity or min(self.cloud.capacity, 4 << 20)
         count, idx = octree_mod.compact_indices(lod, cap)
         if capacity is None:

@@ -47,7 +47,7 @@ commands (reference widget/mouse equivalents in parens):
   classify ground|trunk|crown PX PY                focused reclassify brush
   export ply|crown|trunk|ground PATH               focused point export,
                           optionally class-filtered (mod.rs:629-660)
-  lod on|off|adaptive|level N   render from the octree LOD subset
+  lod on|off|adaptive [taupx]|level N   render from the octree LOD subset
                           (adaptive = finest-level voxel dedup: near-pixel-
                           exact full-scene frames at a fraction of the full
                           z-scatter cost)
@@ -241,10 +241,13 @@ class Repl:
             if args[0] in ("on", "off"):
                 self.use_lod = args[0] == "on"
             elif args[0] == "adaptive":
-                # finest octree level deduplicates points below screen
-                # resolution: bench measures the result against the full
-                # render per-pixel (adaptive_pixel_match)
-                self.s.build_lod(level=10)
+                # screen-error cut: per-region octree level by camera
+                # distance (octree.adaptive_mask) — near field full detail,
+                # far field coarse representatives; optional tau pixels arg.
+                # bench measures it against the full render per-pixel
+                # (screen_adaptive_pixel_match)
+                tau = float(args[1]) if len(args) > 1 else 1.0
+                self.s.build_lod(camera=self.s.camera, adaptive_tau_px=tau)
                 self.use_lod = True
             elif args[0] == "level":
                 self.s.build_lod(level=int(args[1]))
