@@ -263,6 +263,16 @@ def adaptive_mask(
     px_scale = jnp.asarray(px_scale, jnp.float32)
     keep_sorted = jnp.zeros(n, bool)
 
+    # previous live slot's FULL key, via ONE doubling scan shared by every
+    # level: sorted keys are non-decreasing, so the running max of live keys
+    # before a slot IS the previous live key, and "first live slot of the
+    # level-l node" is just a shift+compare (max commutes with the monotone
+    # >> shift) — this replaces a per-level _cummax with a per-level ALU op
+    run_key = _cummax(jnp.where(live_sorted, tree.keys, -1))
+    prev_key = jnp.concatenate(
+        [jnp.full((1,), -1, run_key.dtype), run_key[:-1]]
+    )
+
     for lvl in range(level_min, level_max + 1):
         shift = 3 * (morton.MORTON_BITS - lvl)
         coarse = tree.keys >> shift
@@ -286,13 +296,8 @@ def adaptive_mask(
             near_all = jnp.zeros(n, bool)
         if frustum is not None:
             sel &= aabb_in_frustum(lo_c, hi_c, frustum)
-        # first live slot of each level-``lvl`` node, via ONE doubling scan:
-        # sorted coarse keys are non-decreasing, so the running max of live
-        # coarse values equals the previous live slot's node — a slot opens a
-        # new live run exactly when that running max is still smaller
-        run = _cummax(jnp.where(live_sorted, coarse, -1))
-        prev = jnp.concatenate([jnp.full((1,), -1, run.dtype), run[:-1]])
-        first_live = live_sorted & (prev < coarse)
+        # arithmetic shift keeps the no-previous-live sentinel: -1 >> s == -1
+        first_live = live_sorted & ((prev_key >> shift) < coarse)
         keep_sorted |= sel & (near_all | first_live)
 
     keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
