@@ -240,6 +240,25 @@ def test_adaptive_mask_respects_live_and_frustum():
     assert keep_away.sum() <= keep.sum()
 
 
+def test_adaptive_mask_tau_monotone():
+    """A finer error budget (smaller tau) never keeps fewer points: each
+    region's chosen level is the coarsest with proj <= tau, which is monotone
+    in tau."""
+    rng = np.random.default_rng(14)
+    pos = jnp.asarray(
+        (rng.uniform(0, 60, (3000, 3)) ** 1.3).astype(np.float32))
+    valid = jnp.ones(3000, bool)
+    tree = octree.build(pos, valid)
+    cam_pos = jnp.asarray(np.array([-20.0, 10.0, -20.0], np.float32))
+    counts = [
+        int(np.asarray(octree.adaptive_mask(
+            tree, cam_pos, 869.0, tau_px=t, level_min=2, level_max=10)).sum())
+        for t in (0.5, 2.0, 8.0, 32.0)
+    ]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[0] == 3000  # tau below 1px at this scale: full detail
+
+
 def test_cummax_blocked_matches_numpy():
     rng = np.random.default_rng(13)
     for n in (1, 7, 255, 256, 257, 1000, 4096, 5000):
