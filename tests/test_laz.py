@@ -384,3 +384,48 @@ def test_v2_truncated_chunk_rejected(tmp_path):
         len(data) * 4).to_bytes(8, "little")
     with pytest.raises((CorruptFile, ValueError)):
         las.load(bytes(bad))
+
+
+def test_corruption_fuzz_no_uncaught_errors(tmp_path):
+    """Single-bit flips and 4-byte field fills anywhere in a .laz either
+    decode (garbage points are fine — arithmetic coding has no integrity
+    check, matching the reference's laz-crate behavior) or raise the clean
+    error taxonomy; never struct.error/IndexError/segfault.  Seeded and
+    deterministic; found the VLR num_items truncation hole (laz_native
+    .parse_vlr)."""
+    import warnings
+
+    from treee_tpu.utils.errors import CorruptFile, UnsupportedFormat
+
+    pos = np.random.default_rng(4).uniform(0, 5, (10_000, 3)).astype(np.float32)
+    path = str(tmp_path / "fz.laz")
+    las.write_laz(path, pos, chunk_size=4_000)
+    data = open(path, "rb").read()
+    n = len(data)
+    rng = np.random.default_rng(7)
+
+    cases = []
+    # header + VLR bytes (flip every 3rd), chunk table tail, random payload
+    for off in range(0, min(500, n), 3):
+        cases.append(("flip", off, 1 << int(rng.integers(0, 8))))
+    for off in range(max(0, n - 60), n, 2):
+        cases.append(("flip", off, 1 << int(rng.integers(0, 8))))
+    for _ in range(20):
+        cases.append(("flip", int(rng.integers(0, n)),
+                      1 << int(rng.integers(0, 8))))
+    for off in range(0, 400, 16):
+        cases.append(("zero4", off, None))
+        cases.append(("ff4", off, None))
+
+    for kind, off, arg in cases:
+        buf = bytearray(data)
+        if kind == "flip":
+            buf[off] ^= arg
+        else:
+            buf[off:off + 4] = (b"\0" if kind == "zero4" else b"\xff") * 4
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            try:
+                las.load(bytes(buf))
+            except (CorruptFile, UnsupportedFormat, ValueError, MemoryError):
+                pass  # clean rejection

@@ -29,6 +29,11 @@ def parse_vlr(payload: bytes) -> dict:
     (compressor, coder, vmaj, vmin, rev, options, chunk_size,
      n_special, offset_special, num_items) = struct.unpack_from(
         "<HHBBHIIqqH", payload, 0)
+    if len(payload) < 34 + 6 * num_items:
+        raise CorruptFile(
+            f"LASzip VLR item list truncated: {num_items} items need "
+            f"{34 + 6 * num_items} bytes, payload has {len(payload)}"
+        )
     items = []
     off = 34
     for _ in range(num_items):
