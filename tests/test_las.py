@@ -60,3 +60,42 @@ def test_synthetic_forest_shape():
     assert pts.shape == (4500, 3)
     assert pts[:, 1].min() > -1.0  # ground near y=0
     assert pts[:, 1].max() > 5.0   # crowns above
+
+
+def test_las_corruption_fuzz_no_uncaught_errors(tmp_path):
+    """Header bit flips, field fills, and truncations of a .las file either
+    load or raise the clean error taxonomy — e.g. a zeroed point-record
+    length must not leak ZeroDivisionError (LasHeader.parse guards it)."""
+    import warnings
+
+    from treee_tpu.utils.errors import CorruptFile, UnsupportedFormat
+
+    pos = np.random.default_rng(4).uniform(0, 5, (5_000, 3)).astype(np.float32)
+    path = str(tmp_path / "fz.las")
+    las.write_las(path, pos)
+    data = open(path, "rb").read()
+    n = len(data)
+    rng = np.random.default_rng(9)
+
+    cases = [("flip", off, 1 << int(rng.integers(0, 8)))
+             for off in range(0, 400, 2)]
+    cases += [("zero4", off, None) for off in range(0, 375, 4)]
+    cases += [("ff4", off, None) for off in range(0, 375, 4)]
+    cases += [("trunc", int(rng.integers(1, n)), None) for _ in range(20)]
+
+    for kind, off, arg in cases:
+        buf = bytearray(data)
+        if kind == "flip":
+            buf[off] ^= arg
+        elif kind == "zero4":
+            buf[off:off + 4] = b"\0" * 4
+        elif kind == "ff4":
+            buf[off:off + 4] = b"\xff" * 4
+        else:
+            del buf[off:]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            try:
+                las.load(bytes(buf))
+            except (CorruptFile, UnsupportedFormat, ValueError, MemoryError):
+                pass  # clean rejection

@@ -68,6 +68,8 @@ class LasHeader:
         num_points_14 = rest[20]
         if sig != LAS_SIGNATURE:
             raise ValueError("corrupt file: bad LAS signature")
+        if pt_length == 0:
+            raise ValueError("corrupt file: zero point record length")
         num_points = legacy_count if legacy_count != 0 else num_points_14
         sx, sy, sz, ox, oy, oz, maxx, minx, maxy, miny, maxz, minz = doubles
         # bit 7 of the point format flags LAZ compression (LASzip convention)
