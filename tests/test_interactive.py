@@ -228,3 +228,34 @@ def test_save_single_segment(tmp_path):
     seg2 = np.asarray(s2.cloud.segment)[np.asarray(s2.cloud.valid)]
     assert len(seg2) == n_member
     assert (seg2 == sid).all()
+
+
+def test_checkpoint_corruption_fuzz_clean_errors():
+    """Bit flips and truncations of a .npz checkpoint raise CorruptFile (or
+    ValueError), never raw zipfile/zlib/numpy internals."""
+    import io
+
+    from treee_tpu.io import ipc
+    from treee_tpu.utils.errors import CorruptFile
+
+    pc = PointCloud.from_numpy(
+        np.random.default_rng(0).uniform(0, 5, (1000, 3)).astype(np.float32))
+    buf = io.BytesIO()
+    ipc.save(buf, pc, np.zeros(3), "src")
+    data = buf.getvalue()
+    n = len(data)
+    rng = np.random.default_rng(11)
+
+    for off in [int(rng.integers(0, n)) for _ in range(120)]:
+        b = bytearray(data)
+        b[off] ^= 1 << int(rng.integers(0, 8))
+        try:
+            ipc.load(io.BytesIO(bytes(b)))
+        except (CorruptFile, ValueError):
+            pass
+    for _ in range(30):
+        cut = int(rng.integers(1, n))
+        try:
+            ipc.load(io.BytesIO(data[:cut]))
+        except (CorruptFile, ValueError):
+            pass

@@ -39,17 +39,39 @@ def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
 
 
 def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
-    """Load a checkpoint -> (arrays dict, world_offset f64[3], source_location)."""
-    with np.load(path_or_buf) as z:
-        meta = json.loads(bytes(z["meta"]).decode())
-        if meta.get("format_version", 0) > FORMAT_VERSION:
-            raise ValueError("checkpoint from a newer format version")
-        arrays = {
-            "pos": z["pos"].astype(np.float32),
-            "segment": z["segment"].astype(np.int32),
-            "classification": z["classification"].astype(np.int32),
-        }
-        return arrays, z["world_offset"], meta["source_location"]
+    """Load a checkpoint -> (arrays dict, world_offset f64[3], source_location).
+
+    Corrupt archives (bad zip framing, missing arrays, mangled metadata)
+    raise the clean :class:`CorruptFile` taxonomy instead of leaking
+    ``zipfile``/``KeyError`` internals; a missing file stays
+    ``FileNotFoundError``.
+    """
+    import tokenize
+    import zipfile
+    import zlib
+
+    from ..utils.errors import CorruptFile
+
+    try:
+        with np.load(path_or_buf) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if meta.get("format_version", 0) > FORMAT_VERSION:
+                raise ValueError("checkpoint from a newer format version")
+            arrays = {
+                "pos": z["pos"].astype(np.float32),
+                "segment": z["segment"].astype(np.int32),
+                "classification": z["classification"].astype(np.int32),
+            }
+            return arrays, z["world_offset"], meta["source_location"]
+    except FileNotFoundError:
+        raise
+    except (zipfile.BadZipFile, KeyError, UnicodeDecodeError, OSError,
+            json.JSONDecodeError, EOFError, zlib.error, NotImplementedError,
+            tokenize.TokenError, SyntaxError) as e:
+        # zlib.error: mangled deflate stream; NotImplementedError: corrupted
+        # zip compression-method field; TokenError/SyntaxError: numpy's .npy
+        # header safe_eval on mangled bytes
+        raise CorruptFile(f"bad session checkpoint: {e}") from e
 
 
 def merge(
