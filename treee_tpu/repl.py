@@ -48,9 +48,9 @@ commands (reference widget/mouse equivalents in parens):
   export ply|crown|trunk|ground PATH               focused point export,
                           optionally class-filtered (mod.rs:629-660)
   lod on|off|adaptive [taupx]|level N   render from the octree LOD subset
-                          (adaptive = finest-level voxel dedup: near-pixel-
-                          exact full-scene frames at a fraction of the full
-                          z-scatter cost)
+                          (adaptive = screen-error cut at <= taupx pixels:
+                          near field full detail, far field coarse — full-
+                          scene frames at a fraction of the z-scatter cost)
   showdeleted on|off      include deleted points in renders (mod.rs:36)
   undelete PX PY          restore deleted points in the brush (draw with
                           show-deleted, mod.rs:845-870)
