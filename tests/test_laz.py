@@ -386,7 +386,8 @@ def test_v2_truncated_chunk_rejected(tmp_path):
         las.load(bytes(bad))
 
 
-def test_corruption_fuzz_no_uncaught_errors(tmp_path):
+@pytest.mark.parametrize("fmt", [0, 6])  # sequential v2 and layered v3
+def test_corruption_fuzz_no_uncaught_errors(tmp_path, fmt):
     """Single-bit flips and 4-byte field fills anywhere in a .laz either
     decode (garbage points are fine — arithmetic coding has no integrity
     check, matching the reference's laz-crate behavior) or raise the clean
@@ -399,7 +400,7 @@ def test_corruption_fuzz_no_uncaught_errors(tmp_path):
 
     pos = np.random.default_rng(4).uniform(0, 5, (10_000, 3)).astype(np.float32)
     path = str(tmp_path / "fz.laz")
-    las.write_laz(path, pos, chunk_size=4_000)
+    las.write_laz(path, pos, chunk_size=4_000, point_format=fmt)
     data = open(path, "rb").read()
     n = len(data)
     rng = np.random.default_rng(7)
