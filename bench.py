@@ -89,6 +89,10 @@ def main() -> None:
         cfg = cfg.replace(segmentation=_dc.replace(
             cfg.segmentation,
             use_packed_jfa=os.environ["BENCH_PACKED_JFA"] == "1"))
+    if os.environ.get("BENCH_BF_VORONOI"):
+        cfg = cfg.replace(segmentation=_dc.replace(
+            cfg.segmentation,
+            use_bruteforce_voronoi=os.environ["BENCH_BF_VORONOI"] == "1"))
     if n_target > 24_000_000:
         # tighter column chunking of the support scans: identical results
         # and total work, lower peak HBM (30M at chunk=4 missed v5e HBM by

@@ -158,3 +158,70 @@ def test_realistic_stress_scene_invariants():
                        cfg).segment
     )
     np.testing.assert_array_equal(seg, seg2)
+
+
+def test_bruteforce_voronoi_matches_and_is_optimal():
+    """The exact occupied-cell Voronoi (use_bruteforce_voronoi) must (a) give
+    the same end-to-end segmentation as the JFA on a generic scene, and (b) be
+    distance-optimal at every occupied cell (the JFA may propagate a
+    non-optimal seed; brute force never does)."""
+    import dataclasses
+
+    import jax
+
+    from treee_tpu import segmentation as sg
+
+    pts = las.synthetic_forest(n_trees=6, points_per_tree=1500,
+                               ground_points=2000, seed=11)
+    pos = jnp.asarray(pts)
+    valid = jnp.ones(len(pts), bool)
+    cfg_bf = dataclasses.replace(CFG, use_bruteforce_voronoi=True)
+    res_jfa = segment_points(pos, valid, 0.75, CFG)
+    res_bf = segment_points(pos, valid, 0.75, cfg_bf)
+    np.testing.assert_array_equal(np.asarray(res_jfa.segment),
+                                  np.asarray(res_bf.segment))
+    assert int(res_jfa.n_segments) == int(res_bf.n_segments)
+
+    # optimality: recompute both slot grids and compare winner distances at
+    # occupied cells
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("use_bf",))
+    def grids(pos, valid, use_bf):
+        d = jnp.float32(0.75)
+        lo, hi = sg.scene_bounds(pos, valid)
+        s = sg.cell_size(lo, hi, d, CFG)
+        top = sg.band_anchor(
+            sg.anchor_histogram(pos, valid, lo[1], hi[1]), lo[1], hi[1], CFG)
+        band, cx, cz = sg.point_cells(pos, valid, lo, hi, s, CFG, top=top)
+        cnt = sg.moment_grids(pos, valid, band, cx, cz, CFG)
+        cfg = cfg_bf if use_bf else CFG
+        slot_grids, _, tracked, active = sg.band_scan(cnt, lo, s, d, cfg)
+        g = CFG.grid_size
+        cell_center = jnp.stack([
+            lo[0] + (jax.lax.broadcasted_iota(jnp.float32, (g, g), 0) + 0.5) * s,
+            lo[2] + (jax.lax.broadcasted_iota(jnp.float32, (g, g), 1) + 0.5) * s,
+        ], axis=-1)
+        return cnt, slot_grids, tracked, active, cell_center
+
+    # NOTE: use_bf is a Python bool through cfg (static), call twice
+    cnt, sg_jfa, tracked, active, cc = grids(pos, valid, False)
+    _, sg_bf, _, _, _ = grids(pos, valid, True)
+    cnt = np.asarray(cnt)
+    sg_jfa, sg_bf = np.asarray(sg_jfa), np.asarray(sg_bf)
+    tracked, active, cc = np.asarray(tracked), np.asarray(active), np.asarray(cc)
+
+    occ = np.argwhere(cnt > 0)
+    assert len(occ) > 0
+
+    def winner_dist(slotgrid, b, ix, iz):
+        slot = slotgrid[b, ix, iz]
+        if slot < 0 or not active[b, slot]:
+            return np.inf
+        d = tracked[b, slot] - cc[ix, iz]
+        return float(d @ d)
+
+    for b, ix, iz in occ[:: max(1, len(occ) // 512)]:
+        d_bf = winner_dist(sg_bf, b, ix, iz)
+        d_jfa = winner_dist(sg_jfa, b, ix, iz)
+        assert d_bf <= d_jfa + 1e-5, (b, ix, iz, d_bf, d_jfa)

@@ -84,6 +84,15 @@ class SegmentationConfig:
     # traffic per direction at ~1 cm position quantization.  Default-off
     # alternate until measured on hardware; requires grid_size <= 512.
     use_packed_jfa: bool = False
+    # EXACT brute-force banded Voronoi at occupied cells only (one-hot MXU
+    # row-select of each band's tracked table, chunked running min): the
+    # flood fill sweeps ~9 steps x 8 rolled directions over the full
+    # [B,G,G] plane stack, but winners are only read at the ~300k occupied
+    # cells.  Work is N-independent (scales with cc_occupied_cap x
+    # max_segments).  Default-off alternate until measured on hardware;
+    # takes precedence over the JFA variants when set.
+    use_bruteforce_voronoi: bool = False
+    voronoi_chunk: int = 256            # tracked slots per running-min chunk
 
 
 @dataclasses.dataclass(frozen=True)

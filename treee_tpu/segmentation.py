@@ -354,6 +354,65 @@ def _jump_flood_packed(
     return best[0]
 
 
+def _bruteforce_voronoi(
+    occ_idx: jax.Array,        # i32[occ_cap] global flat occupied-cell indices
+    occ_valid: jax.Array,      # bool[occ_cap]
+    tracked_pos_b: jax.Array,  # f32[B,T,2] tracked centroid per band per slot
+    active_b: jax.Array,       # bool[B,T]
+    cell_center: jax.Array,    # f32[G,G,2]
+    n_bands: int,
+    g: int,
+    chunk: int,
+) -> jax.Array:
+    """EXACT banded Voronoi computed only at occupied cells, i32[B,G,G].
+
+    The JFA computes a winner for every one of the B*G*G cells, but
+    ``assign_points`` only ever reads cells that contain points (a few 100k of
+    9.4M at forest densities).  Here each occupied cell scores every tracked
+    slot of its own band directly: a [occ, B] one-hot of the cell's band
+    matmul'd against the [B, T] tracked tables broadcasts each band's
+    centroids to its cells on the MXU (HIGHEST precision makes the one-hot
+    product an exact row select), chunked over T with a running min so no
+    [occ, T] buffer materializes.  Unlike the flood fill this is the TRUE
+    nearest centroid (JFA can propagate a non-optimal seed); ties break to
+    the lowest slot id.  Cells beyond ``cc_occupied_cap`` get no winner
+    (their points stay unassigned — the ``occupied_overflow`` flag already
+    marks that regime).  Default-off alternate
+    (SegmentationConfig.use_bruteforce_voronoi) until measured on hardware.
+    """
+    gg = g * g
+    t_cap = tracked_pos_b.shape[1]
+    occ_band = occ_idx // gg
+    cc = cell_center.reshape(gg, 2)[occ_idx % gg]            # [occ,2]
+    onehot = (
+        occ_band[:, None] == jnp.arange(n_bands, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)                                    # [occ,B]
+    hp = jax.lax.Precision.HIGHEST
+    n_occ_cap = occ_idx.shape[0]
+    best_d = jnp.full(n_occ_cap, INF, jnp.float32)
+    best = jnp.full(n_occ_cap, -1, jnp.int32)
+    for c0 in range(0, t_cap, chunk):
+        c1 = min(c0 + chunk, t_cap)
+        cxt = jnp.dot(onehot, tracked_pos_b[:, c0:c1, 0], precision=hp)
+        czt = jnp.dot(onehot, tracked_pos_b[:, c0:c1, 1], precision=hp)
+        at = jnp.dot(
+            onehot, active_b[:, c0:c1].astype(jnp.float32), precision=hp
+        ) > 0.5
+        dist = (cc[:, :1] - cxt) ** 2 + (cc[:, 1:] - czt) ** 2
+        dist = jnp.where(at, dist, INF)
+        j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        dm = jnp.min(dist, axis=1)
+        upd = dm < best_d
+        best = jnp.where(upd & (dm < INF), c0 + j, best)
+        best_d = jnp.where(upd, dm, best_d)
+    tgt = jnp.where(occ_valid, occ_idx, n_bands * gg)
+    return (
+        jnp.full(n_bands * gg + 1, -1, jnp.int32)
+        .at[tgt].set(best, mode="drop")[: n_bands * gg]
+        .reshape(n_bands, g, g)
+    )
+
+
 def scene_bounds(pos: jax.Array, valid: jax.Array):
     """(lo, hi) f32[3] over valid points; unit box if none."""
     big = jnp.float32(3.0e38)
@@ -501,11 +560,21 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
         band_step, init, (cents_b, cmask_b)
     )
 
+    b = cnt.shape[0]
+    gg = g * g
+
+    if cfg.use_bruteforce_voronoi:
+        # exact nearest tracked centroid at occupied cells only — no seed
+        # grids, no flood fill (see _bruteforce_voronoi)
+        slot_grids = _bruteforce_voronoi(
+            occ_idx, occ_valid, tracked_pos_b, active_b, cell_center,
+            b, g, cfg.voronoi_chunk,
+        )
+        return slot_grids, n_alloc, tracked_pos_b, active_b
+
     # batched seed grids: B*T tiny scatters (slot by max for deterministic
     # collision resolve, then positions only for the winning slots — never a
     # per-cell gather from the tracked table)
-    b = cnt.shape[0]
-    gg = g * g
     tcx = jnp.clip(
         jnp.floor((tracked_pos_b[..., 0] - lo[0]) / s).astype(jnp.int32),
         0, g - 1,
