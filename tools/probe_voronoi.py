@@ -34,9 +34,11 @@ def main() -> None:
     from treee_tpu.config import SegmentationConfig
 
     cfg = SegmentationConfig()
-    g = cfg.grid_size
-    b = cfg.max_bands
-    t_cap = cfg.max_segments
+    # CPU smoke-test knobs (defaults = bench-scale shapes)
+    g = int(os.environ.get("PROBE_G", cfg.grid_size))
+    b = int(os.environ.get("PROBE_B", cfg.max_bands))
+    t_cap = int(os.environ.get("PROBE_T", cfg.max_segments))
+    occ_cap_env = int(os.environ.get("PROBE_OCC", cfg.cc_occupied_cap))
 
     rng = np.random.default_rng(0)
     # realistic: ~2k tracked centroids spread over bands 4..40 + dense ground
@@ -44,22 +46,22 @@ def main() -> None:
     tracked_np = np.zeros((b, t_cap, 2), np.float32)
     active_np = np.zeros((b, t_cap), bool)
     s = 0.75
-    for bi in range(4, 40):
-        n_cl = 55
+    for bi in range(2, max(3, b - 2)):
+        n_cl = min(55, t_cap // max(1, (b - 4)) or 1)
         cx = rng.integers(8, g - 8, n_cl)
         cz = rng.integers(8, g - 8, n_cl)
         for j in range(n_cl):
             cnt_np[bi, cx[j] - 2:cx[j] + 3, cz[j] - 2:cz[j] + 3] = (
                 rng.integers(1, 50, (5, 5)))
-            slot = (bi - 4) * n_cl + j
+            slot = (bi - 2) * n_cl + j
             if slot < t_cap:
                 tracked_np[bi, slot] = (cx[j] + 0.5) * s, (cz[j] + 0.5) * s
                 active_np[bi, slot] = True
     dense = rng.random((g, g)) < 0.5
-    cnt_np[40] = np.where(dense, rng.integers(1, 20, (g, g)), 0)
-    tracked_np[40, :64, 0] = rng.uniform(0, g * s, 64)
-    tracked_np[40, :64, 1] = rng.uniform(0, g * s, 64)
-    active_np[40, :64] = True
+    cnt_np[b - 1] = np.where(dense, rng.integers(1, 20, (g, g)), 0)
+    tracked_np[b - 1, :64, 0] = rng.uniform(0, g * s, 64)
+    tracked_np[b - 1, :64, 1] = rng.uniform(0, g * s, 64)
+    active_np[b - 1, :64] = True
     print(f"# occupied cells: {int((cnt_np > 0).sum()):,}, "
           f"active slots: {int(active_np.sum()):,}", flush=True)
 
@@ -75,7 +77,7 @@ def main() -> None:
 
     occupied = cnt > 0
     flat_occ = occupied.reshape(-1)
-    occ_cap = cfg.cc_occupied_cap
+    occ_cap = occ_cap_env
     rank = jnp.cumsum(flat_occ.astype(jnp.int32)) - 1
     gidx = jnp.arange(b * g * g, dtype=jnp.int32)
     tgt = jnp.where(flat_occ & (rank < occ_cap), rank, occ_cap)
