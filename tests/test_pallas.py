@@ -223,10 +223,108 @@ def test_segment_points_packed_jfa_flag():
                                ground_points=400, seed=3)
     pos = jnp.asarray(pts)
     valid = jnp.ones(pos.shape[0], bool)
+    # bruteforce Voronoi (the default) would shadow both JFA paths
     cfg0 = SegmentationConfig(grid_size=128, max_bands=32,
-                              cc_occupied_cap=1 << 14)
+                              cc_occupied_cap=1 << 14,
+                              use_bruteforce_voronoi=False,
+                              use_packed_jfa=False)
     cfg1 = dataclasses.replace(cfg0, use_packed_jfa=True)
     r0 = sg.segment_points(pos, valid, 0.75, cfg0)
     r1 = sg.segment_points(pos, valid, 0.75, cfg1)
     assert (np.asarray(r0.segment) == np.asarray(r1.segment)).mean() > 0.999
+    assert int(r0.n_segments) == int(r1.n_segments)
+
+
+def _blob_grid(b=3, g=64, n_blobs=6, seed=7):
+    """Occupancy grids with connected blobs (random walks from seed cells)."""
+    rng = np.random.default_rng(seed)
+    occ = np.zeros((b, g, g), bool)
+    for bi in range(b):
+        for _ in range(n_blobs):
+            y, x = rng.integers(4, g - 4, 2)
+            for _ in range(60):
+                occ[bi, y, x] = True
+                dy, dx = rng.integers(-1, 2, 2)
+                y, x = int(np.clip(y + dy, 0, g - 1)), int(np.clip(x + dx, 0, g - 1))
+    return occ
+
+
+def test_cc_sweep_pallas_matches_reduce_window():
+    """One kernel call with k sweeps == k XLA reduce_window sweeps."""
+    occ = jnp.asarray(_blob_grid())
+    b, g, _ = occ.shape
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (b, g, g), 1) * g
+           + jax.lax.broadcasted_iota(jnp.int32, (b, g, g), 2))
+    lbl = jnp.where(occ, idx, sg.IBIG)
+    sweeps = 5
+    ref = lbl
+    for _ in range(sweeps):
+        pooled = jax.lax.reduce_window(
+            ref, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
+        )
+        ref = jnp.where(occ, jnp.minimum(ref, pooled), sg.IBIG)
+    out = pk.cc_sweep_pallas(lbl, sweeps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_connected_components_pallas_path_matches():
+    """_connected_components with pallas sweeps converges to the same labels
+    as the XLA path (both fully converged on small blobs)."""
+    occ = jnp.asarray(_blob_grid(b=2, g=48, n_blobs=4, seed=11))
+    ref, _, _ = sg._connected_components(occ, iters=256, occ_cap=1 << 12)
+    out, _, _ = sg._connected_components(occ, iters=256, occ_cap=1 << 12,
+                                         pallas_sweeps=8, pallas_bodies=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_match_scan_pallas_matches_xla_scan():
+    """Whole-band match kernel == the band_step lax.scan, band by band."""
+    rng = np.random.default_rng(13)
+    b, c_cap, t_cap, rounds = 6, 32, 64, 4
+    cents = rng.uniform(0, 50, (b, c_cap, 2)).astype(np.float32)
+    cmask = rng.random((b, c_cap)) < 0.4
+    # some clusters recur across bands (should match), some are new
+    cents[1:] = np.where(rng.random((b - 1, c_cap, 1)) < 0.5,
+                         cents[:1] + rng.normal(0, 0.3, (b - 1, c_cap, 2)),
+                         cents[1:]).astype(np.float32)
+    radius = jnp.float32(1.5)
+
+    def band_step(carry, xs):
+        tracked_pos, active, n_alloc = carry
+        c, m = xs
+        tracked_pos, active, n_alloc = sg._match_band(
+            tracked_pos, active, n_alloc, c, m, radius, rounds)
+        return (tracked_pos, active, n_alloc), (tracked_pos, active)
+
+    init = (jnp.zeros((t_cap, 2), jnp.float32), jnp.zeros(t_cap, bool),
+            jnp.int32(0))
+    (_, _, nal_ref), (tp_ref, act_ref) = jax.lax.scan(
+        band_step, init, (jnp.asarray(cents), jnp.asarray(cmask)))
+
+    tp, act, nal = pk.match_scan_pallas(
+        jnp.asarray(cents), jnp.asarray(cmask), radius, rounds, t_cap,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(act), np.asarray(act_ref))
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp_ref))
+    assert int(nal) == int(nal_ref)
+
+
+def test_segment_points_pallas_match_flag():
+    """segment_points with use_pallas_match reproduces the default ids."""
+    import dataclasses
+
+    from treee_tpu.config import SegmentationConfig
+    from treee_tpu.io import las
+
+    pts = las.synthetic_forest(n_trees=6, points_per_tree=400,
+                               ground_points=400, seed=3)
+    pos = jnp.asarray(pts)
+    valid = jnp.ones(pos.shape[0], bool)
+    cfg0 = SegmentationConfig(grid_size=128, max_bands=32,
+                              cc_occupied_cap=1 << 14)
+    cfg1 = dataclasses.replace(cfg0, use_pallas_match=True)
+    r0 = sg.segment_points(pos, valid, 0.75, cfg0)
+    r1 = sg.segment_points(pos, valid, 0.75, cfg1)
+    np.testing.assert_array_equal(np.asarray(r0.segment),
+                                  np.asarray(r1.segment))
     assert int(r0.n_segments) == int(r1.n_segments)

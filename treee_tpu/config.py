@@ -81,18 +81,41 @@ class SegmentationConfig:
     use_pallas: bool | None = False
     # packed-plane JFA: seed positions ride one 2x15-bit fixed-point i32
     # plane (s/64 lattice) instead of two f32 planes — ~2x less rolled HBM
-    # traffic per direction at ~1 cm position quantization.  Default-off
-    # alternate until measured on hardware; requires grid_size <= 512.
-    use_packed_jfa: bool = False
+    # traffic per direction at ~1 cm position quantization.  Fallback when
+    # the brute-force Voronoi is disabled; requires grid_size <= 512.
+    # MEASURED on v5e (tools/probe_voronoi.py, 2026-08-18): 7.9 ms/call vs
+    # 12.6 plain at [64,384,384].
+    use_packed_jfa: bool = True
     # EXACT brute-force banded Voronoi at occupied cells only (one-hot MXU
     # row-select of each band's tracked table, chunked running min): the
     # flood fill sweeps ~9 steps x 8 rolled directions over the full
     # [B,G,G] plane stack, but winners are only read at the ~300k occupied
     # cells.  Work is N-independent (scales with cc_occupied_cap x
-    # max_segments).  Default-off alternate until measured on hardware;
-    # takes precedence over the JFA variants when set.
-    use_bruteforce_voronoi: bool = False
+    # max_segments).  Takes precedence over the JFA variants when set.
+    # MEASURED on v5e (tools/probe_voronoi.py, 2026-08-18): 5.0-5.2 ms/call
+    # at 124,761 occupied cells / 2,104 active slots, vs 7.9 packed /
+    # 12.6 plain JFA — and it also deletes the seed-grid scatters the JFA
+    # needs.  chunk in {128,256,512} is within noise.
+    use_bruteforce_voronoi: bool = True
     voronoi_chunk: int = 256            # tracked slots per running-min chunk
+    # VMEM-resident CC sweeps (ops/pallas_kernels.cc_sweep_pallas): each CC
+    # body runs cc_pallas_sweeps min-pool sweeps per band inside one kernel
+    # instead of 3 reduce_window HBM round trips, then the usual compact
+    # pointer jump.  Tri-state like use_pallas: None = auto (TPU only).
+    # MEASURED at 15M on v5e (tools/probe_cc.py, 2026-08-18): 48 sweeps x
+    # <=3 bodies = 94.3 ms FULLY converged (label agreement 1.000000 vs a
+    # run-to-fixpoint oracle) where the XLA 3-sweep default is 127.8 ms at
+    # 0.999864; sweeps are nearly free in VMEM, the compacted pointer jumps
+    # are both the cost and the convergence engine.
+    use_pallas_cc: bool | None = None
+    cc_pallas_sweeps: int = 48
+    cc_pallas_bodies: int = 3
+    # whole-band matching scan in one sequential-grid kernel
+    # (ops/pallas_kernels.match_scan_pallas): the XLA lax.scan's 64 bands x
+    # match_rounds of small [T,C] ops are per-op-overhead bound (~103 ms at
+    # 15M; tools/probe_bandscan.py).  Tri-state; default-off alternate until
+    # measured on hardware (tools/probe_match.py).
+    use_pallas_match: bool | None = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,8 +147,13 @@ class CharacteristicsConfig:
     # trips.  Tri-state like RenderConfig.use_pallas: None = auto (TPU
     # backend only).  Requires bucket ids < 2^24 (f32-exact in-kernel key
     # compares) — larger capacities fall back to the XLA scan.
-    use_pallas_scan: bool | None = False
-    pallas_scan_block: int = 8192
+    # MEASURED at 15M on v5e (tools/probe_pallas_scan.py, 2026-08-18):
+    # [N,12] support scan 65.5 ms vs 196.5 XLA, [N,4] 58.3 vs 91.3, [N] min-y
+    # 32.3 vs 39.3 at block=32768; block=8192 was step-latency-bound (1831
+    # grid steps) and 65536 gains nothing over 32768 ([N,4] 59.0 vs 58.3) —
+    # beyond ~32k the in-block log2(B) doubling passes dominate, not steps.
+    use_pallas_scan: bool | None = None
+    pallas_scan_block: int = 32768
 
 
 @dataclasses.dataclass(frozen=True)

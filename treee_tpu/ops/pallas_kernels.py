@@ -229,6 +229,241 @@ def eye_dome_pallas(
     return jnp.moveaxis(out, 0, -1)
 
 
+_IBIG = 0x7FFFFFFF  # python literal: kernels may not capture jnp constants
+
+
+def _cc_sweep_kernel(lbl_ref, out_ref, *, sweeps):
+    """``sweeps`` 3x3 min-pool label-propagation sweeps over one band, in VMEM.
+
+    Drop-in for the reduce_window sweeps inside segmentation's CC body
+    (segmentation._connected_components): each XLA sweep round-trips the full
+    [B,G,G] label stack through HBM, while here the band's plane stays VMEM-
+    resident for all ``sweeps`` iterations — per-sweep cost collapses from an
+    HBM pass to pure VPU work.  Occupancy is recovered from the labels
+    themselves (unoccupied cells hold IBIG and must stay IBIG); rolls wrap, so
+    wrapped rows/cols are masked to IBIG via iota compares.
+    """
+    g = lbl_ref.shape[1]
+    x0 = lbl_ref[0]
+    occ = x0 < _IBIG
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    first_r = row == 0
+    last_r = row == g - 1
+    first_c = col == 0
+    last_c = col == g - 1
+
+    def sweep(_, x):
+        dn = jnp.where(first_r, _IBIG, _roll(x, 1, 0))    # neighbor above
+        up = jnp.where(last_r, _IBIG, _roll(x, -1, 0))    # neighbor below
+        m = jnp.minimum(jnp.minimum(up, dn), x)
+        rt = jnp.where(first_c, _IBIG, _roll(m, 1, 1))    # neighbor left
+        lf = jnp.where(last_c, _IBIG, _roll(m, -1, 1))    # neighbor right
+        p = jnp.minimum(jnp.minimum(lf, rt), m)
+        return jnp.where(occ, p, _IBIG)
+
+    out_ref[0] = jax.lax.fori_loop(0, sweeps, sweep, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def cc_sweep_pallas(
+    lbl: jax.Array,  # i32[B,G,G]; IBIG where unoccupied
+    sweeps: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """``sweeps`` batched min-pool CC sweeps; one grid step per band."""
+    b, g, _ = lbl.shape
+    return pl.pallas_call(
+        functools.partial(_cc_sweep_kernel, sweeps=sweeps),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, g, g), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, g, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, g), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lbl)
+
+
+def _match_kernel(
+    cx_ref, cz_ref, cm_ref, r_ref,
+    tpx_ref, tpz_ref, act_ref, nal_ref,
+    st_ref, na_ref, *, rounds,
+):
+    """One band of the tracked-centroid matching scan, whole state in VMEM.
+
+    Mirrors segmentation._match_band exactly: ``rounds`` mutual-nearest
+    pairing passes, then free-slot allocation for unmatched clusters.  The
+    tracked state persists across the sequential band grid in a (T,3) VMEM
+    scratch (px, pz, active) + an SMEM n_alloc counter, replacing the XLA
+    lax.scan whose 64 bands x rounds of small [T,C] ops are per-op-overhead
+    bound (~103 ms at T=2048, C=256 on v5e; tools/probe_bandscan.py).
+
+    Argmins are equality-selects (first index of the row/column min), which
+    is exactly jnp.argmin's tie rule.  Gathers/scatters of the XLA version
+    (cents[row_best], taken.at[col].set, free_order[new_rank]) become one-hot
+    (T,C) compare-selects — Mosaic has no vectorized gather.
+    """
+    i = pl.program_id(0)
+    t_cap = st_ref.shape[0]
+    c_cap = cx_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _init():
+        st_ref[:, :] = jnp.zeros((t_cap, 3), jnp.float32)
+        na_ref[0, 0] = 0
+
+    px = st_ref[:, 0:1]                     # (T,1)
+    pz = st_ref[:, 1:2]
+    act = st_ref[:, 2:3] > 0.5              # (T,1) bool
+    cx = cx_ref[0]                          # (1,C)
+    cz = cz_ref[0]
+    cmask = cm_ref[0] > 0
+    radius = r_ref[0, 0]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (t_cap, c_cap), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (t_cap, c_cap), 1)
+    ibig = 0x7FFFFFFF
+
+    def round_body(_, carry):
+        px, pz, taken = carry
+        dx = px - cx
+        dz = pz - cz
+        d = jnp.sqrt(dx * dx + dz * dz)
+        d = jnp.where(act & ~taken, d, INF)
+        row_val = jnp.min(d, axis=1, keepdims=True)          # (T,1)
+        row_best = jnp.min(
+            jnp.where(d == row_val, col_i, ibig), axis=1, keepdims=True
+        )
+        col_val = jnp.min(d, axis=0, keepdims=True)          # (1,C)
+        col_best = jnp.min(
+            jnp.where(d == col_val, row_i, ibig), axis=0, keepdims=True
+        )
+        pair = (
+            (col_i == row_best) & (row_i == col_best)
+            & (row_val <= radius) & act & ~taken
+        )
+        mrow = jnp.max(pair.astype(jnp.int32), axis=1, keepdims=True) > 0
+        new_px = jnp.sum(jnp.where(pair, cx, 0.0), axis=1, keepdims=True)
+        new_pz = jnp.sum(jnp.where(pair, cz, 0.0), axis=1, keepdims=True)
+        px = jnp.where(mrow, new_px, px)
+        pz = jnp.where(mrow, new_pz, pz)
+        taken = taken | (
+            jnp.max(pair.astype(jnp.int32), axis=0, keepdims=True) > 0
+        )
+        return px, pz, taken
+
+    px, pz, taken = jax.lax.fori_loop(
+        0, rounds, round_body, (px, pz, ~cmask)
+    )
+
+    # --- allocation: k-th new cluster -> k-th free slot by index ---
+    is_new = (cmask & ~taken).astype(jnp.int32)              # (1,C)
+    cs = is_new
+    lane = col_i[0:1, :]
+    s = 1
+    while s < c_cap:
+        cs = cs + jnp.where(lane >= s, _roll(cs, s, 1), 0)
+        s *= 2
+    new_rank = cs - 1                                        # (1,C)
+
+    ifree = 1 - act.astype(jnp.int32)                        # (T,1)
+    n_free = jnp.sum(ifree)
+    fs = ifree
+    sub = row_i[:, 0:1]
+    s = 1
+    while s < t_cap:
+        fs = fs + jnp.where(sub >= s, _roll(fs, s, 0), 0)
+        s *= 2
+    freerank = fs - 1                                        # (T,1)
+
+    okc = (is_new > 0) & (new_rank < n_free)                 # (1,C)
+    assign = okc & (~act) & (freerank == new_rank)           # (T,C)
+    arow = jnp.max(assign.astype(jnp.int32), axis=1, keepdims=True) > 0
+    px = jnp.where(arow, jnp.sum(jnp.where(assign, cx, 0.0), axis=1,
+                                 keepdims=True), px)
+    pz = jnp.where(arow, jnp.sum(jnp.where(assign, cz, 0.0), axis=1,
+                                 keepdims=True), pz)
+    act = act | arow
+    na_ref[0, 0] = na_ref[0, 0] + jnp.sum(okc.astype(jnp.int32))
+
+    st_ref[:, 0:1] = px
+    st_ref[:, 1:2] = pz
+    st_ref[:, 2:3] = act.astype(jnp.float32)
+    tpx_ref[0] = px
+    tpz_ref[0] = pz
+    act_ref[0] = act.astype(jnp.int32)
+    nal_ref[0, 0, 0] = na_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "t_cap", "interpret"))
+def match_scan_pallas(
+    cents: jax.Array,        # f32[B, C, 2]
+    cmask: jax.Array,        # bool[B, C]
+    match_radius: jax.Array, # f32 scalar (traced)
+    rounds: int,
+    t_cap: int,
+    interpret: bool = False,
+):
+    """Tracked-centroid matching over all bands in one sequential-grid kernel.
+
+    Drop-in for the band_step lax.scan in segmentation.band_scan; returns
+    (tracked_pos f32[B,T,2], active bool[B,T], n_alloc i32) with per-band
+    snapshots exactly matching the scan's stacked ys.
+    """
+    b, c_cap, _ = cents.shape
+    r = jnp.asarray(match_radius, jnp.float32).reshape(1, 1)
+    # leading singleton on the (B, C) inputs: Mosaic needs the second-minor
+    # block dim to divide 8 or equal the array dim, so blocks are (1, 1, C)
+    tpx, tpz, act, nal = pl.pallas_call(
+        functools.partial(_match_kernel, rounds=rounds),
+        grid=(b,),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_cap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_cap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_cap, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1, c_cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_cap, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_cap, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_cap, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_cap, 3), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: tracking carry
+        ),
+        interpret=interpret,
+    )(
+        cents[..., 0][:, None, :], cents[..., 1][:, None, :],
+        cmask.astype(jnp.int32)[:, None, :], r,
+    )
+    tracked_pos = jnp.concatenate([tpx, tpz], axis=-1)
+    return tracked_pos, act[..., 0] > 0, nal[-1, 0, 0]
+
+
 def _seg_cummax_kernel(kv_ref, out_ref, carry_ref):
     """One block of the single-pass segmented cumulative max.
 
@@ -318,6 +553,9 @@ def segmented_cummax_pallas(
         scratch_shapes=[pltpu.VMEM((c + 1, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: carry dependency
+            # (C+1, 64k)-and-up blocks at C=12 exceed the 16MB default scoped
+            # budget (in/out double buffering); plenty of physical VMEM left
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(kv)

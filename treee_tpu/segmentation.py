@@ -66,7 +66,8 @@ class SegmentationResult(flax.struct.PyTreeNode):
 
 
 def _connected_components(
-    occupied: jax.Array, iters: int, occ_cap: int = 1 << 19
+    occupied: jax.Array, iters: int, occ_cap: int = 1 << 19,
+    pallas_sweeps: int = 0, pallas_bodies: int = 3,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Label CC of [B,G,G] boolean grids with 8-connectivity, all bands at once.
 
@@ -105,15 +106,27 @@ def _connected_components(
     band_off = occ_idx // gg * gg
     jump_tgt = jnp.where(occ_valid, occ_idx, b * gg)
 
+    if pallas_sweeps > 0:
+        from .ops.pallas_kernels import cc_sweep_pallas
+
+        # off-TPU an explicit flag runs the kernel in interpret mode so the
+        # integrated path stays testable on the CPU suite
+        interpret = jax.default_backend() != "tpu"
+
     def body(state):
         lbl, _, it = state
-        # three cheap min-pool sweeps (pure reduce_window image ops) ...
-        new = lbl
-        for _ in range(3):
-            pooled = jax.lax.reduce_window(
-                new, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
-            )
-            new = jnp.where(occupied, jnp.minimum(new, pooled), IBIG)
+        if pallas_sweeps > 0:
+            # VMEM-resident sweeps: one kernel call replaces pallas_sweeps
+            # full-stack HBM round trips (ops/pallas_kernels.cc_sweep_pallas)
+            new = cc_sweep_pallas(lbl, pallas_sweeps, interpret=interpret)
+        else:
+            # three cheap min-pool sweeps (pure reduce_window image ops) ...
+            new = lbl
+            for _ in range(3):
+                pooled = jax.lax.reduce_window(
+                    new, 0x7FFFFFFF, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
+                )
+                new = jnp.where(occupied, jnp.minimum(new, pooled), IBIG)
         # ... then one compact pointer jump: occupied cells' labels always
         # name occupied cells, so padding rows (reading cell 0) are the only
         # garbage and the drop-mode scatter discards them
@@ -125,9 +138,15 @@ def _connected_components(
         changed = jnp.any(new != lbl)
         return new, changed, it + 1
 
+    # the pallas path budgets whole bodies (sweeps are nearly free in VMEM;
+    # the jumps are the convergence engine and the cost): 48 sweeps x 3
+    # bodies measured FULLY converged at 15M where the XLA default is
+    # 0.99986 (tools/probe_cc.py, v5e 2026-08-18)
+    max_bodies = pallas_bodies if pallas_sweeps > 0 else -(-iters // 4)
+
     def cond(state):
         _, changed, it = state
-        return changed & (it * 4 < iters)
+        return changed & (it < max_bodies)
 
     lbl, _, _ = jax.lax.while_loop(
         cond, body, (lbl0, jnp.bool_(True), jnp.int32(0))
@@ -533,8 +552,14 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
 
     # cluster every band at once (batched CC + extraction); only centroid
     # matching and the per-band Voronoi stay sequential in the scan
+    from .config import resolve_use_pallas
+
     labels, occ_idx, occ_valid = _connected_components(
-        cnt > 0, cfg.cc_iters, cfg.cc_occupied_cap
+        cnt > 0, cfg.cc_iters, cfg.cc_occupied_cap,
+        pallas_sweeps=(
+            cfg.cc_pallas_sweeps if resolve_use_pallas(cfg.use_pallas_cc) else 0
+        ),
+        pallas_bodies=cfg.cc_pallas_bodies,
     )
     cents_b, cmask_b = _extract_clusters(
         labels, cnt, cell_center, c_cap, cfg.min_points, occ_idx, occ_valid
@@ -542,23 +567,31 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
 
     # the sequential part of the scan carries only the tiny [T,2] matching
     # state; the expensive per-band Voronoi moves out and runs batched below
-    def band_step(carry, xs):
-        tracked_pos, active, n_alloc = carry
-        cents, cmask = xs
-        tracked_pos, active, n_alloc = _match_band(
-            tracked_pos, active, n_alloc, cents, cmask,
-            cfg.match_radius_factor * d, cfg.match_rounds,
-        )
-        return (tracked_pos, active, n_alloc), (tracked_pos, active)
+    if resolve_use_pallas(cfg.use_pallas_match):
+        from .ops.pallas_kernels import match_scan_pallas
 
-    init = (
-        jnp.zeros((t_cap, 2), jnp.float32),
-        jnp.zeros((t_cap,), bool),
-        jnp.int32(0),
-    )
-    (_, _, n_alloc), (tracked_pos_b, active_b) = jax.lax.scan(
-        band_step, init, (cents_b, cmask_b)
-    )
+        tracked_pos_b, active_b, n_alloc = match_scan_pallas(
+            cents_b, cmask_b, cfg.match_radius_factor * d, cfg.match_rounds,
+            t_cap, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        def band_step(carry, xs):
+            tracked_pos, active, n_alloc = carry
+            cents, cmask = xs
+            tracked_pos, active, n_alloc = _match_band(
+                tracked_pos, active, n_alloc, cents, cmask,
+                cfg.match_radius_factor * d, cfg.match_rounds,
+            )
+            return (tracked_pos, active, n_alloc), (tracked_pos, active)
+
+        init = (
+            jnp.zeros((t_cap, 2), jnp.float32),
+            jnp.zeros((t_cap,), bool),
+            jnp.int32(0),
+        )
+        (_, _, n_alloc), (tracked_pos_b, active_b) = jax.lax.scan(
+            band_step, init, (cents_b, cmask_b)
+        )
 
     b = cnt.shape[0]
     gg = g * g
@@ -599,8 +632,6 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
     )[: b * gg]
     seed_slot = seed_slot.reshape(b, g, g)
     seed_pos = seed_pos.reshape(b, g, g, 2)
-
-    from .config import resolve_use_pallas
 
     if resolve_use_pallas(cfg.use_pallas):
         from .ops.pallas_kernels import jump_flood_pallas
