@@ -111,11 +111,11 @@ class SegmentationConfig:
     cc_pallas_sweeps: int = 48
     cc_pallas_bodies: int = 3
     # whole-band matching scan in one sequential-grid kernel
-    # (ops/pallas_kernels.match_scan_pallas): the XLA lax.scan's 64 bands x
-    # match_rounds of small [T,C] ops are per-op-overhead bound (~103 ms at
-    # 15M; tools/probe_bandscan.py).  Tri-state; default-off alternate until
-    # measured on hardware (tools/probe_match.py).
-    use_pallas_match: bool | None = False
+    # (ops/pallas_kernels.match_scan_pallas).  Tri-state; None = auto (TPU
+    # only).  MEASURED on v5e (tools/probe_match.py, 2026-08-18): 10.46 vs
+    # 13.56 ms for the XLA lax.scan at B=64 C=256 T=2048 rounds=4, outputs
+    # bit-identical (active/pos agree 1.0, same n_alloc).
+    use_pallas_match: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

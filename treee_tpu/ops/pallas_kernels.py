@@ -330,7 +330,7 @@ def _match_kernel(
     col_i = jax.lax.broadcasted_iota(jnp.int32, (t_cap, c_cap), 1)
     ibig = 0x7FFFFFFF
 
-    def round_body(_, carry):
+    def round_body(carry):
         px, pz, taken = carry
         dx = px - cx
         dz = pz - cz
@@ -358,9 +358,12 @@ def _match_kernel(
         )
         return px, pz, taken
 
-    px, pz, taken = jax.lax.fori_loop(
-        0, rounds, round_body, (px, pz, ~cmask)
-    )
+    # static unroll: Mosaic fails to legalize scf.for with this mixed-shape
+    # tuple carry, and rounds is tiny (default 4)
+    carry = (px, pz, ~cmask)
+    for _ in range(rounds):
+        carry = round_body(carry)
+    px, pz, taken = carry
 
     # --- allocation: k-th new cluster -> k-th free slot by index ---
     is_new = (cmask & ~taken).astype(jnp.int32)              # (1,C)
@@ -398,7 +401,7 @@ def _match_kernel(
     tpx_ref[0] = px
     tpz_ref[0] = pz
     act_ref[0] = act.astype(jnp.int32)
-    nal_ref[0, 0, 0] = na_ref[0, 0]
+    nal_ref[0] = jnp.broadcast_to(na_ref[0, 0], (1, 1))  # no scalar VMEM store
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "t_cap", "interpret"))
