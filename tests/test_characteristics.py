@@ -173,3 +173,27 @@ def test_segment_curvature_grid_close_to_bruteforce():
     )
     # grid k-NN is approximate (27-cell candidates); curvature stays close
     assert np.abs(c_bf - c_gr).mean() < 0.05
+
+
+def test_run_end_index_strided_matches_flat():
+    """The two-level (coarse + windowed-bisection) run-end search must be
+    bit-identical to the flat scan_unrolled searchsorted, including absent
+    buckets, leading/trailing runs, and the all-dead tail."""
+    rng = np.random.default_rng(3)
+    stride = 16
+    n_groups = 32
+    n_buckets = n_groups * stride
+    sizes = rng.integers(0, 200, n_groups)
+    sizes[5] = 0  # absent group
+    key = np.concatenate([
+        np.sort(rng.integers(0, stride, sz)) + g * stride
+        for g, sz in enumerate(sizes)
+    ] + [np.full(137, n_buckets)]).astype(np.int32)  # dead tail past range
+    ks = jnp.asarray(key)
+    idx_f, hit_f = ch._run_end_index(ks, n_buckets)
+    idx_s, hit_s = ch._run_end_index(ks, n_buckets, stride=stride)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_s))
+    np.testing.assert_array_equal(np.asarray(hit_f), np.asarray(hit_s))
+    # empty input
+    idx_e, hit_e = ch._run_end_index(jnp.zeros(0, jnp.int32) + 99, 8, stride=4)
+    assert not bool(jnp.any(hit_e))

@@ -8,6 +8,7 @@ Env: PROF_POINTS (default 15_000_000), PROF_REPS (default 2).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -134,14 +135,19 @@ def main() -> None:
                   pos, segment, valid)
     k_dirs = cfg.characteristics.hull_directions
     scores = jnp.zeros((pos.shape[0], k_dirs), jnp.float32)
-    bench("  chars: [N,K] segmented scan",
-          jax.jit(ch._segmented_cummax), key_s, scores)
+    # time the REAL dispatch path (_seg_cummax: Pallas on TPU, XLA doubling
+    # elsewhere) — timing the raw XLA helper here overstated the deployed
+    # cost by ~2-3x once use_pallas_scan flipped to auto
+    ccfg = cfg.characteristics
+    s_cap = scfg.max_segments + 1
+    n_buckets = s_cap * ccfg.max_slices
+    seg_scan = jax.jit(functools.partial(
+        ch._seg_cummax, key_cap=n_buckets + 1, cfg=ccfg))
+    bench("  chars: [N,K] segmented scan", seg_scan, key_s, scores)
     # the real support pass is [N, K+4] (areas + x/z extents, full_bbox)
     scores12 = jnp.zeros((pos.shape[0], k_dirs + 4), jnp.float32)
-    bench("  chars: [N,K+4] segmented scan",
-          jax.jit(ch._segmented_cummax), key_s, scores12)
-    bench("  chars: [N] min-y fill scan",
-          jax.jit(ch._segmented_cummax), key_s, pos[:, 1])
+    bench("  chars: [N,K+4] segmented scan", seg_scan, key_s, scores12)
+    bench("  chars: [N] min-y fill scan", seg_scan, key_s, pos[:, 1])
     bench("  chars: bucket searchsorted",
           jax.jit(lambda k, v: ch._run_last_table(
               k, v, (scfg.max_segments + 1) * cfg.characteristics.max_slices,
