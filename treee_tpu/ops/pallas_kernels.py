@@ -485,11 +485,11 @@ def _seg_cummax_kernel(kv_ref, out_ref, carry_ref):
 
     @pl.when(i == 0)
     def _init():
-        # key row -1.0 matches no real key (keys are >= 0)
-        carry_ref[:, :] = jnp.concatenate(
-            [jnp.full((1, 1), -1.0, jnp.float32),
-             jnp.full((c1 - 1, 1), -INF, jnp.float32)], axis=0
-        )
+        # key row -1.0 matches no real key (keys are >= 0); piecewise
+        # stores — a (1,1)+(C,1) concatenate fails Mosaic layout
+        # propagation at C=2 ("offset mismatch on non-concat dimension")
+        carry_ref[0:1, :] = jnp.full((1, 1), -1.0, jnp.float32)
+        carry_ref[1:, :] = jnp.full((c1 - 1, 1), -INF, jnp.float32)
 
     kv = kv_ref[:]
     key = kv[0:1, :]          # (1, B)
@@ -507,7 +507,8 @@ def _seg_cummax_kernel(kv_ref, out_ref, carry_ref):
     cval = carry_ref[1:, :]   # (C, 1)
     val = jnp.where(key == ckey, jnp.maximum(val, cval), val)
     out_ref[:, :] = val
-    carry_ref[:, :] = jnp.concatenate([key[:, -1:], val[:, -1:]], axis=0)
+    carry_ref[0:1, :] = key[:, -1:]
+    carry_ref[1:, :] = val[:, -1:]
 
 
 # keys must stay exactly representable in f32 for the in-kernel equality
