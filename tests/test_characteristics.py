@@ -197,3 +197,23 @@ def test_run_end_index_strided_matches_flat():
     # empty input
     idx_e, hit_e = ch._run_end_index(jnp.zeros(0, jnp.int32) + 99, 8, stride=4)
     assert not bool(jnp.any(hit_e))
+
+
+def test_score_chunk_widths_bit_identical():
+    """Column chunking (incl. the chunk=2 width the bench uses above 24M
+    points, which once hit a Mosaic concat layout bug in the Pallas scan)
+    must not change any table output bit."""
+    import dataclasses
+    import jax
+
+    pts, seg = _lone_tree()
+    args = (jnp.asarray(pts), jnp.asarray(seg), jnp.ones(len(pts), bool), 4)
+    ref_t, ref_c = ch.compute_segments(*args, CFG, full_bbox=True)
+    for chunk in (2, 4, 5):
+        cfg = dataclasses.replace(CFG, score_chunk=chunk)
+        t, c = ch.compute_segments(*args, cfg, full_bbox=True)
+        np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(c))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_t), jax.tree_util.tree_leaves(t)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
