@@ -349,3 +349,135 @@ def test_repl_lod_levels_and_adaptive():
     assert not r.use_lod
     assert r.handle("lod sideways") is True  # error, loop keeps going
     assert "error" in out.getvalue()
+
+
+def test_curvature_routing_survives_combine():
+    """combine() grows a segment without rebuilding the table; the curvature
+    brute-vs-grid routing must use a FRESH member count afterwards, not the
+    stale per-segment table counts (an O(N^2) brute-force over a merged
+    multi-million-point ground segment is the failure this guards)."""
+    import jax.numpy as jnp
+
+    from treee_tpu import characteristics as ch_mod
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, NeighborConfig, SegmentationConfig,
+    )
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        neighbors=NeighborConfig(brute_force_max=5000),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=9000, seed=5)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    s.characteristics()
+    counts = np.asarray(s.table.count)
+    ground_id = int(np.argmax(counts))
+    present = np.flatnonzero((counts > 0)
+                             & (np.arange(len(counts)) != ground_id))
+    # pick the smallest other segment: below the routing threshold alone,
+    # above it once the biggest segment is merged in
+    tree_id = int(present[np.argmin(counts[present])])
+    assert counts[tree_id] < 5000 < counts[tree_id] + counts[ground_id]
+
+    seen = {}
+    real = ch_mod.segment_curvature
+
+    def spy(pos, member, k=31, use_grid=False, **kw):
+        seen["use_grid"] = use_grid
+        return jnp.zeros(pos.shape[0], jnp.float32)
+
+    ch_mod_orig = None
+    try:
+        import treee_tpu.pipeline as pl_mod
+        ch_mod_orig = pl_mod.ch.segment_curvature
+        pl_mod.ch.segment_curvature = spy
+        s.curvature(tree_id)
+        assert seen["use_grid"] is False  # small segment, fresh table
+        s.combine(ground_id, tree_id)      # merge ground INTO the tree id
+        s.curvature(tree_id)
+        assert seen["use_grid"] is True   # fresh count must see the merge
+    finally:
+        if ch_mod_orig is not None:
+            import treee_tpu.pipeline as pl_mod
+            pl_mod.ch.segment_curvature = ch_mod_orig
+
+
+def test_build_lod_capacity_tracks_subset_size():
+    """build_lod(capacity=None) must size the padded subset from the TRUE
+    mask count (snug cap >= count) — never silently truncate it."""
+    import jax.numpy as jnp
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.ops import octree as octree_mod
+
+    cfg = Config(segmentation=SegmentationConfig(
+        grid_size=128, max_bands=16, max_segments=256, max_trees_per_band=32))
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=3000, seed=6)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    # finest level with a huge per-node quota: every live point survives
+    s.build_lod(level=10, points_per_node=1 << 20)
+    pos_c, idx, count = s._lod
+    live = int(jnp.sum(s.cloud.valid & (s.cloud.segment != 0)))
+    assert int(count) == live            # nothing truncated
+    assert idx.shape[0] >= live          # snug capacity holds the subset
+    assert idx.shape[0] == min(
+        s.cloud.capacity, octree_mod.snug_capacity(live))
+
+
+def test_repl_adaptive_lod_rebuilds_after_camera_motion(tmp_path):
+    """The screen-error adaptive subset is view-dependent (frustum cull +
+    distance-scaled cut): after any camera motion the next render must
+    rebuild it, else regions off-screen at build time stay missing forever."""
+    import io
+
+    from treee_tpu.config import Config, SegmentationConfig, RenderConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        render=RenderConfig(width=96, height=54),
+    )
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=2000,
+                               ground_points=2000, seed=7)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+
+    calls = []
+    orig = s.build_lod
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    s.build_lod = spy
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    png = str(tmp_path / "f.png")
+    assert r.handle("lod adaptive 2.0")
+    assert len(calls) == 1
+    assert r.handle(f"render {png}")
+    assert len(calls) == 1          # camera unchanged: reuse the subset
+    assert r.handle("rotate 90 0")
+    assert r.handle(f"render {png}")
+    assert len(calls) == 2          # rebuilt for the moved camera
+    assert calls[-1]["adaptive_tau_px"] == 2.0
+    assert r.handle(f"render {png}")
+    assert len(calls) == 2          # clean again until the next motion
+    assert "error:" not in out.getvalue(), out.getvalue()

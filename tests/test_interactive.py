@@ -246,16 +246,28 @@ def test_checkpoint_corruption_fuzz_clean_errors():
     n = len(data)
     rng = np.random.default_rng(11)
 
+    from treee_tpu.utils.errors import UnsupportedFormat
+
+    # byte 0 (zip magic) flip: np.load falls through to its pickle path and
+    # raises a plain ValueError — must surface as CorruptFile, not leak
+    b0 = bytearray(data)
+    b0[0] ^= 0xFF
+    try:
+        ipc.load(io.BytesIO(bytes(b0)))
+        raise AssertionError("corrupted zip magic loaded successfully")
+    except CorruptFile:
+        pass
+
     for off in [int(rng.integers(0, n)) for _ in range(120)]:
         b = bytearray(data)
         b[off] ^= 1 << int(rng.integers(0, 8))
         try:
             ipc.load(io.BytesIO(bytes(b)))
-        except (CorruptFile, ValueError):
-            pass
+        except (CorruptFile, UnsupportedFormat):
+            pass  # ONLY taxonomy errors may escape (or a clean load)
     for _ in range(30):
         cut = int(rng.integers(1, n))
         try:
             ipc.load(io.BytesIO(data[:cut]))
-        except (CorruptFile, ValueError):
+        except (CorruptFile, UnsupportedFormat):
             pass

@@ -99,3 +99,18 @@ def test_las_corruption_fuzz_no_uncaught_errors(tmp_path):
                 las.load(bytes(buf))
             except (CorruptFile, UnsupportedFormat, ValueError, MemoryError):
                 pass  # clean rejection
+
+
+def test_write_las_does_not_mutate_caller_records(tmp_path):
+    """write_las/write_laz patch the xyz bytes of supplied raw records into
+    the output; they must do so on a COPY — a contiguous caller buffer used
+    to be overwritten in place, corrupting roundtrip comparisons."""
+    rng = np.random.default_rng(23)
+    n = 500
+    pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    records = rng.integers(0, 256, (n, 20), dtype=np.uint8)
+    before = records.copy()
+    las.write_las(str(tmp_path / "a.las"), pos, records=records)
+    np.testing.assert_array_equal(records, before)
+    las.write_laz(str(tmp_path / "a.laz"), pos, records=records)
+    np.testing.assert_array_equal(records, before)

@@ -430,3 +430,23 @@ def test_corruption_fuzz_no_uncaught_errors(tmp_path, fmt):
                 las.load(bytes(buf))
             except (CorruptFile, UnsupportedFormat, ValueError, MemoryError):
                 pass  # clean rejection
+
+
+def test_unimplemented_item_versions_rejected():
+    """Item versions the native codec does not implement (sequential v1,
+    layered v4) must raise UnsupportedFormat — decoding them with v2/v3
+    semantics would silently produce garbage coordinates."""
+    import struct
+
+    import pytest
+
+    from treee_tpu.io import laz_native
+    from treee_tpu.utils.errors import UnsupportedFormat
+
+    for fmt, plen, bad_version in ((0, 20, 1), (6, 30, 4)):
+        vlr = bytearray(laz_native.make_vlr(point_format=fmt,
+                                            point_length=plen))
+        # head is 34 bytes; each item is (type u16, size u16, version u16)
+        struct.pack_into("<H", vlr, 34 + 4, bad_version)
+        with pytest.raises(UnsupportedFormat):
+            laz_native.decompress(b"", None, bytes(vlr), 0)

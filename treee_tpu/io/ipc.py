@@ -50,13 +50,13 @@ def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
     import zipfile
     import zlib
 
-    from ..utils.errors import CorruptFile
+    from ..utils.errors import CorruptFile, UnsupportedFormat
 
     try:
         with np.load(path_or_buf) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             if meta.get("format_version", 0) > FORMAT_VERSION:
-                raise ValueError("checkpoint from a newer format version")
+                raise UnsupportedFormat("checkpoint from a newer format version")
             arrays = {
                 "pos": z["pos"].astype(np.float32),
                 "segment": z["segment"].astype(np.int32),
@@ -65,12 +65,16 @@ def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
             return arrays, z["world_offset"], meta["source_location"]
     except FileNotFoundError:
         raise
+    except UnsupportedFormat:
+        raise
     except (zipfile.BadZipFile, KeyError, UnicodeDecodeError, OSError,
             json.JSONDecodeError, EOFError, zlib.error, NotImplementedError,
-            tokenize.TokenError, SyntaxError) as e:
+            tokenize.TokenError, SyntaxError, ValueError) as e:
         # zlib.error: mangled deflate stream; NotImplementedError: corrupted
         # zip compression-method field; TokenError/SyntaxError: numpy's .npy
-        # header safe_eval on mangled bytes
+        # header safe_eval on mangled bytes; ValueError: a flipped zip magic
+        # sends np.load down its pickle path ("Cannot load file containing
+        # pickled data when allow_pickle=False")
         raise CorruptFile(f"bad session checkpoint: {e}") from e
 
 

@@ -279,9 +279,11 @@ def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001,
     point_length = POINT_LENGTHS[point_format]
     rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
     if records is not None:
-        records = np.ascontiguousarray(records, np.uint8).reshape(rec.shape)
-        records[:, 0:12] = rec[:, 0:12]
-        rec = records
+        # copy=True: patching the xyz bytes must not write through into the
+        # caller's records buffer (an already-contiguous input would alias)
+        patched = np.array(records, np.uint8, copy=True).reshape(rec.shape)
+        patched[:, 0:12] = rec[:, 0:12]
+        rec = patched
     n = rec.shape[0]
     header_size = 375 if point_format >= 6 else 227
     buf = _io.BytesIO()
@@ -302,9 +304,10 @@ def write_laz(path: str, pos_up: np.ndarray, scale: float = 0.001,
     point_length = POINT_LENGTHS[point_format]
     rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
     if records is not None:
-        records = np.ascontiguousarray(records, np.uint8).reshape(rec.shape)
-        records[:, 0:12] = rec[:, 0:12]
-        rec = records
+        # copy=True: see write_las — never write through the caller's buffer
+        patched = np.array(records, np.uint8, copy=True).reshape(rec.shape)
+        patched[:, 0:12] = rec[:, 0:12]
+        rec = patched
     n = rec.shape[0]
     header_size = 375 if point_format >= 6 else 227
     vlr_payload = laz_native.make_vlr(chunk_size, point_length, point_format)

@@ -132,7 +132,10 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
             and all(
                 it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12,
                                ITEM_BYTE)
-                and it["version"] in (1, 2)
+                # the native codec implements the v2 item coding ONLY: v1
+                # uses different corrector/model layouts, so accepting it
+                # here would silently decode garbage instead of raising
+                and it["version"] == 2
                 for it in items
             )
         )
@@ -141,8 +144,10 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
         ok = (
             len(items) >= 1
             and items[0]["type"] == ITEM_POINT14
+            # v3 only: a hypothetical v4 layered coding would differ, and
+            # decoding it with v3 semantics would corrupt silently
             and all(
-                it["type"] in _LAYERED_TYPES and it["version"] in (3, 4)
+                it["type"] in _LAYERED_TYPES and it["version"] == 3
                 for it in items
             )
         )

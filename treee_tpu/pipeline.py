@@ -78,6 +78,7 @@ class Session:
         self.source_location = config.interactive.source_location
         self.table: ch.SegmentTable | None = None
         self._counts_np = None  # host mirror of table.count (curvature path)
+        self._counts_stale = False  # set by edits; cleared when table rebuilt
         self.camera = Camera.orbital()
         self.palette = palettes.get(config.render.palette)
         self.max_distance = config.segmentation.max_distance
@@ -136,6 +137,7 @@ class Session:
         )
         self.table = table
         self._counts_np = None
+        self._counts_stale = False  # table freshly derived from this cloud
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
         if bool(res.occupied_overflow):
@@ -164,6 +166,7 @@ class Session:
         )
         self.table = table
         self._counts_np = None
+        self._counts_stale = False
         return table
 
     def properties(self):
@@ -184,7 +187,7 @@ class Session:
         # so the interactive path doesn't block on a per-call device sync.
         ncfg = self.config.neighbors
         cnt = None
-        if self.table is not None:
+        if self.table is not None and not getattr(self, "_counts_stale", False):
             counts = getattr(self, "_counts_np", None)
             if counts is None:
                 counts = np.asarray(self.table.count)
@@ -192,6 +195,8 @@ class Session:
             if 0 <= segment_id < len(counts):
                 cnt = int(counts[segment_id])
         if cnt is None:
+            # table absent or stale after edits: one scalar device sync for a
+            # fresh count — never route a grown segment to brute force
             cnt = int(jnp.sum(member))
         use_grid = cnt > ncfg.brute_force_max
         return ch.segment_curvature(
@@ -272,15 +277,17 @@ class Session:
         else:
             lod = octree_mod.lod_mask(tree, level, points_per_node, live=mask,
                                       frustum=frustum)
-        cap = capacity or min(self.cloud.capacity, 4 << 20)
-        count, idx = octree_mod.compact_indices(lod, cap)
         if capacity is None:
-            # snug granular capacity (one host sync per rebuild, not per
-            # frame); headroom so draw/restore edits don't immediately overflow
-            snug = octree_mod.snug_capacity(int(count))
-            if snug < cap:
-                idx = idx[:snug]
-                cap = snug
+            # snug granular capacity from the TRUE subset size (one host sync
+            # per rebuild, not per frame).  Sizing BEFORE compaction matters:
+            # a fixed default cap silently truncated adaptive/level-10
+            # subsets (~6M rows on the 15M bench scene) to the cap, dropping
+            # whole trees from frames with no signal.
+            cap = min(self.cloud.capacity,
+                      octree_mod.snug_capacity(int(jnp.sum(lod))))
+        else:
+            cap = capacity
+        count, idx = octree_mod.compact_indices(lod, cap)
         pos_c = self.cloud.pos[idx]
         self._lod = (pos_c, idx, jnp.minimum(count, cap))
 
@@ -414,11 +421,21 @@ class Session:
         self._next_id += 1
         return nid
 
+    def _mark_edited(self) -> None:
+        # segment membership changed: the table's per-segment counts no
+        # longer describe the cloud, so the curvature brute-vs-grid routing
+        # must not trust them (a combine() folding the multi-million-point
+        # ground segment into a small tree id would otherwise route an O(N^2)
+        # brute-force k-NN).  characteristics() clears the flag.
+        self._counts_np = None
+        self._counts_stale = True
+
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
         self.cloud = edit.remove_points(
             self.cloud, jnp.asarray(center, jnp.float32), r, DELETED_SEGMENT
         )
+        self._mark_edited()
 
     def draw_sphere(self, center, target: int, radius=None,
                     include_deleted: bool = False):
@@ -427,6 +444,7 @@ class Session:
         self.cloud = edit.remove_points(self.cloud, c, r, target)
         if include_deleted:
             self.cloud = edit.restore_deleted(self.cloud, c, r, target)
+        self._mark_edited()
 
     def reclassify_sphere(self, center, classification: int, segment: int,
                           radius=None):
@@ -453,6 +471,7 @@ class Session:
 
     def combine(self, a: int, b: int):
         self.cloud = edit.combine_segments(self.cloud, a, b)
+        self._mark_edited()
 
     def spawn(self, center, radius=None) -> int:
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -460,6 +479,7 @@ class Session:
         self.cloud = edit.spawn_segment(
             self.cloud, jnp.asarray(center, jnp.float32), r, nid
         )
+        self._mark_edited()
         return nid
 
     def pick(self, pixel_x: float, pixel_y: float,

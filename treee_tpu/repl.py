@@ -82,6 +82,12 @@ class Repl:
         self.show_deleted = False  # mod.rs:36,261 show_deleted toggle
         self.fp = False  # Controller::FirstPerson vs Orbital (camera.rs:147-151)
         self.frame_idx = 0
+        # the screen-error adaptive subset is VIEW-DEPENDENT (frustum cull +
+        # distance-scaled level cut): remember its tau and rebuild it lazily
+        # at the next render after any camera motion, else rotating away from
+        # the build-time view would render permanently missing regions
+        self._adaptive_tau: float | None = None
+        self._lod_dirty = False
 
     # ---- helpers ---------------------------------------------------------
 
@@ -143,7 +149,11 @@ class Repl:
             return True
         try:
             cmd, *args = shlex.split(line)
-            return self._dispatch(cmd.lower(), args)
+            cont = self._dispatch(cmd.lower(), args)
+            if cmd.lower() in ("camera", "key", "rotate", "scroll") \
+                    and self._adaptive_tau is not None:
+                self._lod_dirty = True
+            return cont
         except Exception as e:  # surface, keep looping (reference error toast)
             self._print(f"error: {e}")
             return True
@@ -249,9 +259,12 @@ class Repl:
                 tau = float(args[1]) if len(args) > 1 else 1.0
                 self.s.build_lod(camera=self.s.camera, adaptive_tau_px=tau)
                 self.use_lod = True
+                self._adaptive_tau = tau
+                self._lod_dirty = False
             elif args[0] == "level":
                 self.s.build_lod(level=int(args[1]))
                 self.use_lod = True
+                self._adaptive_tau = None  # level cut is view-independent
             else:
                 raise ValueError("lod takes on|off|adaptive|level N")
         elif cmd == "showdeleted":
@@ -296,6 +309,9 @@ class Repl:
                 )
             )
         elif cmd == "render":
+            if self.use_lod and self._lod_dirty and self._adaptive_tau is not None:
+                s.build_lod(camera=s.camera, adaptive_tau_px=self._adaptive_tau)
+                self._lod_dirty = False
             self._save_png(
                 s.render(use_lod=self.use_lod,
                          show_deleted=self.show_deleted),
