@@ -55,6 +55,9 @@ void treee_las_decode(const uint8_t* rec, int64_t n, int32_t point_length,
                       const double* scale, const double* offset,
                       const double* center, float* out, int32_t n_threads) {
   if (n <= 0) return;
+  // every record read touches bytes [0, 12); a corrupt header with
+  // 0 < point_length < 12 would read past the final record otherwise
+  if (point_length < 12) return;
   unsigned hw = std::thread::hardware_concurrency();
   int64_t workers = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
   workers = std::min<int64_t>(workers, std::max<int64_t>(1, n / 65536));

@@ -826,24 +826,57 @@ static int decompress_stream(const u8* file, u64 file_len,
 
   i64 table_offset;
   read_i64(file + point_data_offset, &table_offset);
+  if (table_offset == -1) {
+    // stream-written files (non-seekable writers) store -1 here and append
+    // the real chunk-table offset as the file's final 8 bytes
+    if (file_len < 8) return 1;
+    read_i64(file + file_len - 8, &table_offset);
+  }
   if (table_offset < 0 ||
       static_cast<u64>(table_offset) + 8 > file_len)
     return 1;
 
-  // chunk table: u32 version, u32 n_chunks, then IC(32,2)-coded byte sizes
+  // chunk table: u32 version, u32 n_chunks, then IC(32,2)-coded entries —
+  // byte sizes (context 1), preceded per chunk by a point count (context 0)
+  // when the VLR declares variable-size chunks (chunk_size == 0xFFFFFFFF)
   u32 version, n_chunks;
   read_u32(file + table_offset, &version);
   read_u32(file + table_offset + 4, &n_chunks);
   if (version != 0) return 2;
 
+  const bool variable = chunk_size == 0xFFFFFFFFu;
+  if (!variable && chunk_size == 0) return 1;
+  {
+    // bound n_chunks BEFORE allocating: a corrupt count would otherwise
+    // drive a multi-GB zero-filled vector + a ~4G-iteration table decode
+    const u64 data_bytes = file_len - point_data_offset;
+    u64 cap;
+    if (variable) {
+      // each chunk holds >= 1 point and occupies >= 1 data byte
+      cap = n_points < data_bytes ? n_points : data_bytes;
+    } else {
+      cap = (static_cast<u64>(n_points) + chunk_size - 1) / chunk_size;
+    }
+    if (n_chunks > cap) {
+      if (!variable) n_chunks = static_cast<u32>(cap);  // ignore extras
+      else return 1;
+    }
+  }
+
   std::vector<u64> sizes(n_chunks);
+  std::vector<u32> counts;
+  if (variable) counts.resize(n_chunks);
   {
     Decoder dec;
     dec.init(file + table_offset + 8, file_len - (table_offset + 8));
     IntegerCompressor ic;
     ic.init(32, 2, /*for_compress=*/false);
-    i32 prev = 0;
+    i32 prev = 0, prev_count = 0;
     for (u32 i = 0; i < n_chunks; ++i) {
+      if (variable) {
+        prev_count = ic.decompress(dec, prev_count, 0);
+        counts[i] = static_cast<u32>(prev_count);
+      }
       const i32 v = ic.decompress(dec, prev, 1);
       sizes[i] = static_cast<u32>(v);
       prev = v;
@@ -855,8 +888,9 @@ static int decompress_stream(const u8* file, u64 file_len,
   u64 off = point_data_offset + 8;
   u64 remaining = n_points, out_idx = 0;
   for (u32 i = 0; i < n_chunks && remaining; ++i) {
-    const u32 npts =
-        static_cast<u32>(remaining < chunk_size ? remaining : chunk_size);
+    u64 want = variable ? counts[i] : chunk_size;
+    if (want > remaining) want = remaining;
+    const u32 npts = static_cast<u32>(want);
     ranges.push_back({off, npts, out_idx});
     off += sizes[i];
     out_idx += npts;

@@ -1175,6 +1175,11 @@ int decompress_stream(const u8* file, u64 file_len, u64 point_data_offset,
 
   i64 table_offset;
   std::memcpy(&table_offset, file + point_data_offset, 8);
+  if (table_offset == -1) {
+    // stream-written files: real chunk-table offset in the last 8 bytes
+    if (file_len < 8) return 1;
+    std::memcpy(&table_offset, file + file_len - 8, 8);
+  }
   if (table_offset < 0 || static_cast<u64>(table_offset) + 8 > file_len)
     return 1;
 
@@ -1184,6 +1189,21 @@ int decompress_stream(const u8* file, u64 file_len, u64 point_data_offset,
   if (version != 0) return 2;
 
   const bool variable = chunk_size == 0xFFFFFFFFu;
+  if (!variable && chunk_size == 0) return 1;
+  {
+    // bound n_chunks BEFORE allocating (corrupt counts: multi-GB vectors)
+    const u64 data_bytes = file_len - point_data_offset;
+    u64 cap;
+    if (variable) {
+      cap = n_points < data_bytes ? n_points : data_bytes;
+    } else {
+      cap = (n_points + chunk_size - 1) / chunk_size;
+    }
+    if (n_chunks > cap) {
+      if (!variable) n_chunks = static_cast<u32>(cap);  // ignore extras
+      else return 1;
+    }
+  }
   std::vector<u64> sizes(n_chunks);
   std::vector<u32> counts(n_chunks);
   {
@@ -1320,8 +1340,14 @@ int treee_laz_decompress_layered(
   using namespace laszip::layered;
   if (n_items == 0) return 2;
   std::vector<LayeredItemSpec> items(n_items);
-  for (laszip::u32 i = 0; i < n_items; ++i)
+  laszip::u64 size_sum = 0;
+  for (laszip::u32 i = 0; i < n_items; ++i) {
     items[i] = {item_types[i], item_sizes[i]};
+    size_sum += item_sizes[i];
+  }
+  // per-point writes walk the item sizes: a sum beyond point_length would
+  // write past the caller's n_points*point_length buffer (heap OOB)
+  if (size_sum != point_length) return 2;
   return decompress_stream(file, file_len, point_data_offset, n_points,
                            point_length, items, chunk_size, out, n_threads);
 }
@@ -1334,8 +1360,12 @@ int treee_laz_compress_layered(
   using namespace laszip::layered;
   if (n_items == 0) return 2;
   std::vector<LayeredItemSpec> items(n_items);
-  for (laszip::u32 i = 0; i < n_items; ++i)
+  laszip::u64 size_sum = 0;
+  for (laszip::u32 i = 0; i < n_items; ++i) {
     items[i] = {item_types[i], item_sizes[i]};
+    size_sum += item_sizes[i];
+  }
+  if (size_sum != point_length) return 2;  // reads would walk OOB likewise
   return compress_stream(records, n_points, point_length, items, chunk_size,
                          base_offset, out_buf, out_cap, out_len);
 }

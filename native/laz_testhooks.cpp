@@ -95,4 +95,76 @@ int treee_laz_test_chunk_table(const laszip::u32* sizes, laszip::u32 n,
   return 0;
 }
 
+// Rewrite a FIXED-chunk compressed stream (compress_stream layout:
+// [i64 abs_table_offset][chunks][table]) into VARIABLE-chunk framing: the
+// chunk table gains a per-chunk point count (IC context 0) before each byte
+// size (context 1), as upstream LASzip writes when the VLR chunk size is
+// 0xFFFFFFFF.  Lets tests exercise the variable-table decode path without a
+// ground-truth variable-chunk .laz.
+int treee_laz_rewrite_table_variable(const laszip::u8* stream,
+                                     laszip::u64 stream_len,
+                                     laszip::u64 base_offset,
+                                     laszip::u32 n_points,
+                                     laszip::u32 chunk_size,
+                                     laszip::u8* out_buf,
+                                     laszip::u64 out_cap,
+                                     laszip::u64* out_len) {
+  using namespace laszip;
+  if (stream_len < 16 || chunk_size == 0) return 1;
+  i64 abs_off;
+  std::memcpy(&abs_off, stream, 8);
+  if (abs_off < 0) return 1;
+  const u64 rel = static_cast<u64>(abs_off) - base_offset;
+  if (rel < 8 || rel + 8 > stream_len) return 1;
+
+  u32 version, n_chunks;
+  std::memcpy(&version, stream + rel, 4);
+  std::memcpy(&n_chunks, stream + rel + 4, 4);
+  if (version != 0) return 1;
+
+  std::vector<u32> sizes(n_chunks);
+  {
+    Decoder dec;
+    dec.init(stream + rel + 8, stream_len - (rel + 8));
+    IntegerCompressor ic;
+    ic.init(32, 2, /*for_compress=*/false);
+    i32 prev = 0;
+    for (u32 i = 0; i < n_chunks; ++i) {
+      prev = ic.decompress(dec, prev, 1);
+      sizes[i] = static_cast<u32>(prev);
+    }
+  }
+
+  Encoder enc;
+  enc.init();
+  {
+    IntegerCompressor ic;
+    ic.init(32, 2, /*for_compress=*/true);
+    i32 prev_count = 0, prev_size = 0;
+    u64 left = n_points;
+    for (u32 i = 0; i < n_chunks; ++i) {
+      const u32 cnt = static_cast<u32>(
+          left < chunk_size ? left : chunk_size);
+      ic.compress(enc, prev_count, static_cast<i32>(cnt), 0);
+      prev_count = static_cast<i32>(cnt);
+      ic.compress(enc, prev_size, static_cast<i32>(sizes[i]), 1);
+      prev_size = static_cast<i32>(sizes[i]);
+      left -= cnt;
+    }
+    enc.done();
+  }
+
+  const u64 total = rel + 8 + enc.out.size();
+  *out_len = total;
+  if (total > out_cap) return 3;
+  std::memcpy(out_buf, stream, rel);  // offset field + chunk data verbatim
+  const i64 new_abs = static_cast<i64>(base_offset + rel);
+  std::memcpy(out_buf, &new_abs, 8);  // table lands at the same offset
+  std::memcpy(out_buf + rel, &version, 4);
+  std::memcpy(out_buf + rel + 4, &n_chunks, 4);
+  std::memcpy(out_buf + rel + 8, enc.out.data(), enc.out.size());
+  return 0;
+}
+
 }  // extern "C"
+

@@ -450,3 +450,148 @@ def test_unimplemented_item_versions_rejected():
         struct.pack_into("<H", vlr, 34 + 4, bad_version)
         with pytest.raises(UnsupportedFormat):
             laz_native.decompress(b"", None, bytes(vlr), 0)
+
+
+def _patch_laz(path, mutate):
+    """Read a .laz, apply ``mutate(bytearray, offset_to_points) -> bytes``,
+    write it back."""
+    import struct as _struct
+
+    data = bytearray(open(path, "rb").read())
+    off = _struct.unpack_from("<I", data, 96)[0]  # offset to point data
+    out = mutate(data, off)
+    open(path, "wb").write(out)
+    return off
+
+
+@pytest.mark.parametrize("fmt", [0, 6])
+def test_streamed_chunk_table_offset(tmp_path, fmt):
+    """table offset == -1 (non-seekable stream writers): the real chunk-table
+    offset lives in the file's final 8 bytes (both framing generations)."""
+    import struct as _struct
+
+    rng = np.random.default_rng(29)
+    pos = rng.uniform(-20, 20, (30_000, 3)).astype(np.float32)
+    path = str(tmp_path / f"s{fmt}.laz")
+    las.write_laz(path, pos, point_format=fmt, chunk_size=8_000)
+    ref = las.load(path).pos.copy()
+
+    def mutate(data, off):
+        real = bytes(data[off:off + 8])
+        _struct.pack_into("<q", data, off, -1)
+        return bytes(data) + real
+
+    _patch_laz(path, mutate)
+    got = las.load(path).pos
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fmt", [0, 6])
+def test_corrupt_chunk_count_no_giant_alloc(tmp_path, fmt):
+    """n_chunks=0xFFFFFFFF in the chunk table must not drive a multi-GB
+    allocation: fixed-chunk decode clamps to the chunks the point count
+    needs (the extra table entries are ignored) and still round-trips."""
+    import struct as _struct
+
+    rng = np.random.default_rng(31)
+    pos = rng.uniform(-20, 20, (30_000, 3)).astype(np.float32)
+    path = str(tmp_path / f"c{fmt}.laz")
+    las.write_laz(path, pos, point_format=fmt, chunk_size=8_000)
+    ref = las.load(path).pos.copy()
+
+    def mutate(data, off):
+        table = _struct.unpack_from("<q", data, off)[0]
+        _struct.pack_into("<I", data, table + 4, 0xFFFFFFFF)
+        return bytes(data)
+
+    _patch_laz(path, mutate)
+    got = las.load(path).pos
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fmt", [0, 6])
+def test_variable_chunk_table_decodes(tmp_path, fmt):
+    """Variable-size-chunk streams (VLR chunk_size == 0xFFFFFFFF; the chunk
+    table interleaves per-chunk point counts) decode through both framing
+    generations.  The fixture rewrites a fixed-chunk stream into variable
+    framing via a native test hook."""
+    import ctypes
+    import struct as _struct
+
+    from treee_tpu.io import native_build
+
+    lib = native_build.load_library()
+    if lib is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(37)
+    n = 30_000
+    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    path = str(tmp_path / f"v{fmt}.laz")
+    las.write_laz(path, pos, point_format=fmt, chunk_size=8_000)
+    ref = las.load(path).pos.copy()
+
+    def mutate(data, off):
+        stream = np.frombuffer(bytes(data[off:]), np.uint8)
+        out = np.zeros(len(stream) + 1024, np.uint8)
+        out_len = ctypes.c_uint64()
+        fn = lib.treee_laz_rewrite_table_variable
+        fn.restype = ctypes.c_int
+        rc = fn(
+            stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_uint64(len(stream)), ctypes.c_uint64(off),
+            ctypes.c_uint32(n), ctypes.c_uint32(8_000),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_uint64(len(out)), ctypes.byref(out_len),
+        )
+        assert rc == 0, rc
+        # flag variable chunks in the VLR (header 227/375 + 54-byte VLR
+        # header + chunk_size at payload offset 12)
+        header_size = 375 if fmt >= 6 else 227
+        _struct.pack_into("<I", data, header_size + 54 + 12, 0xFFFFFFFF)
+        return bytes(data[:off]) + out[: out_len.value].tobytes()
+
+    _patch_laz(path, mutate)
+    got = las.load(path).pos
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_layered_item_size_sum_validated():
+    """Layered decompress with item sizes that do not sum to point_length
+    must fail cleanly (rc=2 -> exception), never walk the output buffer."""
+    import ctypes
+
+    from treee_tpu.io import native_build
+
+    lib = native_build.load_library()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    out = np.zeros(30 * 4, np.uint8)
+    types = (ctypes.c_uint16 * 2)(10, 14)   # POINT14 + BYTE14
+    sizes = (ctypes.c_uint16 * 2)(30, 99)   # sums to 129 != 30
+    fn = lib.treee_laz_decompress_layered
+    fn.restype = ctypes.c_int
+    rc = fn(
+        ctypes.c_char_p(b"\0" * 64), ctypes.c_uint64(64),
+        ctypes.c_uint64(0), ctypes.c_uint32(4), ctypes.c_uint32(30),
+        types, sizes, ctypes.c_uint32(2), ctypes.c_uint32(8000),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(1),
+    )
+    assert rc == 2
+
+
+def test_short_point_length_rejected(tmp_path):
+    """A header with 0 < point_length < 12 (xyz needs 12 bytes) raises the
+    clean corrupt-file error instead of reading out of bounds."""
+    import struct as _struct
+
+    rng = np.random.default_rng(41)
+    pos = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    path = str(tmp_path / "short.las")
+    las.write_las(path, pos)
+    data = bytearray(open(path, "rb").read())
+    _struct.pack_into("<H", data, 105, 4)  # point record length field
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        las.load(path)

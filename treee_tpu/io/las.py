@@ -68,8 +68,11 @@ class LasHeader:
         num_points_14 = rest[20]
         if sig != LAS_SIGNATURE:
             raise ValueError("corrupt file: bad LAS signature")
-        if pt_length == 0:
-            raise ValueError("corrupt file: zero point record length")
+        if pt_length < 12:
+            # every record starts with the 12-byte i32 xyz triple; a shorter
+            # length would walk decoders (incl. the native path) out of bounds
+            raise ValueError(
+                f"corrupt file: point record length {pt_length} < 12")
         num_points = legacy_count if legacy_count != 0 else num_points_14
         sx, sy, sz, ox, oy, oz, maxx, minx, maxy, miny, maxz, minz = doubles
         # bit 7 of the point format flags LAZ compression (LASzip convention)

@@ -23,6 +23,9 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libtreee_native.so")
 
 _SOURCES = ["las_decode.cpp", "laz_decompress.cpp", "laz_layered.cpp",
             "laz_testhooks.cpp"]
+# headers participate in the staleness check: edits to the codec core must
+# trigger a rebuild, not silently run against the stale committed .so
+_HEADERS = ["laszip_core.h"]
 
 _cached_lib: ctypes.CDLL | None = None
 _cached_failed = False
@@ -40,7 +43,11 @@ def _stale() -> bool:
     if not os.path.exists(_LIB_PATH):
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
-    return any(os.path.getmtime(s) > lib_mtime for s in _sources())
+    deps = _sources() + [
+        p for h in _HEADERS
+        if os.path.exists(p := os.path.join(_NATIVE_DIR, h))
+    ]
+    return any(os.path.getmtime(s) > lib_mtime for s in deps)
 
 
 def build(verbose: bool = False) -> str:
@@ -49,7 +56,10 @@ def build(verbose: bool = False) -> str:
     if not srcs:
         raise FileNotFoundError(f"no native sources under {_NATIVE_DIR}")
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        # -fwrapv: the LASzip corrector arithmetic (IntegerCompressor, GPS
+        # high-32 contexts) relies on two's-complement i32 wraparound; make
+        # that defined instead of UB the optimizer may exploit
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", "-fwrapv",
         "-o", _LIB_PATH, *srcs,
     ]
     if verbose:
