@@ -273,3 +273,50 @@ def test_cummax_blocked_matches_numpy():
         np.testing.assert_array_equal(
             np.asarray(octree._revcummin(jnp.asarray(xf))),
             np.minimum.accumulate(xf[::-1])[::-1])
+
+
+def test_node_table_overflow_drops_consistently():
+    """Nodes beyond max_nodes are dropped whole: every retained entry's
+    (prefix, start, count) stays a consistent sorted-run descriptor, and
+    table.n reporting the TRUE node count flags the truncation.  (Clamping
+    overflow nodes into the last slot used to leave it with one node's
+    start but the summed count of all overflow nodes.)"""
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0, 100, size=(2000, 3)).astype(np.float32)
+    valid = np.ones(2000, bool)
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    full = octree.node_table(tree, level=2, max_nodes=512)
+    n_true = int(full.n)
+    assert n_true > 4  # level-2 grid of a uniform cloud has many nodes
+    cap = 4
+    t = octree.node_table(tree, level=2, max_nodes=cap)
+    assert int(t.n) == n_true  # true count: n > max_nodes signals drops
+    # retained entries must match the untruncated table exactly
+    np.testing.assert_array_equal(np.asarray(t.prefix),
+                                  np.asarray(full.prefix)[:cap])
+    np.testing.assert_array_equal(np.asarray(t.start),
+                                  np.asarray(full.start)[:cap])
+    np.testing.assert_array_equal(np.asarray(t.count),
+                                  np.asarray(full.count)[:cap])
+
+
+def test_node_bounds_cover_their_points():
+    """Conservative AABBs: every point of a node lies inside the node's
+    reported bounds (the cell-size scale once used /1024 against quantize's
+    /1023, under-covering each node by span/1024)."""
+    rng = np.random.default_rng(6)
+    pos = rng.uniform(-40, 60, size=(3000, 3)).astype(np.float32)
+    valid = np.ones(3000, bool)
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    level = 2
+    table = octree.node_table(tree, level=level, max_nodes=512)
+    blo, bhi = octree.node_bounds(table, tree, level)
+    blo, bhi = np.asarray(blo), np.asarray(bhi)
+    n = int(table.n)
+    starts = np.asarray(table.start)
+    counts = np.asarray(table.count)
+    order = np.asarray(tree.order)
+    eps = 1e-3
+    for i in range(n):
+        pts = pos[order[starts[i]:starts[i] + counts[i]]]
+        assert (pts >= blo[i] - eps).all() and (pts <= bhi[i] + eps).all()

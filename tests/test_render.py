@@ -126,3 +126,37 @@ def test_palettes_valid():
     t = np.asarray(palettes.get("turbo"))
     assert t[25, 2] > t[25, 0]  # turbo is blue early on
     assert t[-1, 0] > t[-1, 2]  # and red at the end
+
+
+def test_no_edge_wrap_bleed():
+    """Dilation must not wrap: a fat splat at the right screen edge paints
+    nothing onto the left edge (jnp.roll is cyclic; the wrapped band is
+    rejected)."""
+    w, h = CFG.width, CFG.height
+    cam = _cam(5.0)
+    # a close point whose center lands in the last column, mid-height
+    d = np.asarray(cam.ray_direction(w - 0.5, h / 2.0, w, h))
+    p = np.asarray(cam.position) + d * 1.0
+    big = dataclasses.replace(CFG, point_size=2.0)  # huge splat radius
+    img, _, hit = splat.render_points(
+        jnp.asarray(p[None, :], jnp.float32), jnp.array([0.5]),
+        jnp.ones(1, bool), cam, palettes.get("turbo"), big,
+    )
+    hit = np.asarray(hit)
+    assert hit[:, -1].any()              # the splat itself rendered
+    assert not hit[:, : big.max_splat_radius].any()  # nothing wrapped left
+
+
+def test_far_depth_high_palette_not_background():
+    """zq clamp: a point whose f32 z01 rounds to 1.0 with palette index 255
+    must not pack to the IBIG background sentinel."""
+    w, h = CFG.width, CFG.height
+    far_cfg = dataclasses.replace(CFG, far=100.0, point_size=0.0)
+    cam = _cam(2.0)
+    d = np.asarray(cam.ray_direction(w / 2.0, h / 2.0, w, h))
+    p = np.asarray(cam.position) + d * (far_cfg.far - 1e-4)
+    img, z01, hit = splat.render_points(
+        jnp.asarray(p[None, :], jnp.float32), jnp.array([1.0]),
+        jnp.ones(1, bool), cam, palettes.get("turbo"), far_cfg,
+    )
+    assert np.asarray(hit).any()

@@ -194,3 +194,31 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(img, ref, atol=5e-3)
     exact = (img == ref).all(axis=-1).mean()
     assert exact > 0.98, f"only {exact:.4f} of pixels bit-identical"
+
+
+def test_all_padding_shards_do_not_corrupt_bounds():
+    """Shards holding ONLY padding must contribute min/max identities to the
+    global-bounds collective.  scene_bounds' local (0,1) unit-box fallback
+    used to leak into pmin/pmax, pulling the global lo toward the origin and
+    silently changing cell size + anchor bins vs the single-device run."""
+    pts = las.synthetic_forest(n_trees=3, points_per_tree=1500,
+                               ground_points=1000, seed=13)
+    pts = pts + np.float32([400.0, 50.0, 400.0])  # far from the origin
+    n = len(pts)
+    n_pad = 65536  # 8 shards of 8192: only shard 0 holds valid rows
+    assert n <= 8192
+    pos = np.zeros((n_pad, 3), np.float32)
+    pos[:n] = pts
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+
+    ref = np.asarray(
+        segment_points(jnp.asarray(pos), jnp.asarray(valid), 0.75,
+                       CFG.segmentation).segment
+    )
+    mesh = sharding.make_mesh()
+    fn = sharding.sharded_segment(mesh, CFG)
+    pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos),
+                                           jnp.asarray(valid))
+    seg_sharded, _ = fn(pos_s, valid_s, jnp.float32(0.75))
+    np.testing.assert_array_equal(np.asarray(seg_sharded), ref)

@@ -142,7 +142,11 @@ def _cell_bounds(tree: Octree, coarse: jax.Array, level: int):
     base_keys = (coarse << shift).astype(jnp.int32)
     cell = morton.decode(base_keys).astype(jnp.float32)
     extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
-    cell_size = extent / morton.MORTON_SIZE * (1 << (morton.MORTON_BITS - level))
+    # same denominator as morton.quantize (extent/(MORTON_SIZE-1) per grid
+    # step): a /MORTON_SIZE cell size under-covered each node by span/1024,
+    # breaking the frustum test's conservativeness for boundary points
+    cell_size = (extent / (morton.MORTON_SIZE - 1)
+                 * (1 << (morton.MORTON_BITS - level)))
     lo = tree.lo + cell / (morton.MORTON_SIZE - 1) * extent
     return lo, lo + cell_size
 
@@ -321,7 +325,13 @@ class NodeTable(flax.struct.PyTreeNode):
 
 
 def node_table(tree: Octree, level: int, max_nodes: int) -> NodeTable:
-    """Extract the level-``level`` node table, padded to ``max_nodes`` entries."""
+    """Extract the level-``level`` node table, padded to ``max_nodes`` entries.
+
+    Nodes beyond ``max_nodes`` are DROPPED (``n`` still reports the true
+    count, so ``n > max_nodes`` signals the truncation).  Clamping them into
+    the last slot instead would leave entry max_nodes-1 with an arbitrary
+    winner's prefix/start but the summed count of every overflow node — an
+    inconsistent range a consumer could walk out of bounds."""
     shift = 3 * (morton.MORTON_BITS - level)
     coarse = jnp.where(tree.keys != INVALID_KEY, tree.keys >> shift, INVALID_KEY)
     new_node = jnp.concatenate([jnp.ones(1, bool), coarse[1:] != coarse[:-1]])
@@ -332,12 +342,13 @@ def node_table(tree: Octree, level: int, max_nodes: int) -> NodeTable:
     slot = jnp.arange(n_cap, dtype=jnp.int32)
     n_nodes = jnp.sum(new_node.astype(jnp.int32))
 
-    tgt = jnp.where(new_node, jnp.minimum(node_id, max_nodes - 1), max_nodes)
+    in_cap = node_id < max_nodes
+    tgt = jnp.where(new_node & in_cap, node_id, max_nodes)
     prefix = jnp.full(max_nodes + 1, INVALID_KEY, jnp.int32).at[tgt].set(coarse)
     start = jnp.zeros(max_nodes + 1, jnp.int32).at[tgt].set(slot)
     # counts via segment_sum over node ids of valid slots
     valid_slot = coarse != INVALID_KEY
-    seg = jnp.where(valid_slot, jnp.minimum(node_id, max_nodes - 1), max_nodes)
+    seg = jnp.where(valid_slot & in_cap, node_id, max_nodes)
     count = jax.ops.segment_sum(
         valid_slot.astype(jnp.int32), seg, num_segments=max_nodes + 1
     )
@@ -345,7 +356,7 @@ def node_table(tree: Octree, level: int, max_nodes: int) -> NodeTable:
         prefix=prefix[:max_nodes],
         start=start[:max_nodes],
         count=count[:max_nodes],
-        n=jnp.minimum(n_nodes, max_nodes),
+        n=n_nodes,  # true count: n > max_nodes flags dropped nodes
     )
 
 

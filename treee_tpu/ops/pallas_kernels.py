@@ -108,6 +108,9 @@ def _dilate_kernel(kimg_ref, params_ref, out_ref, *, radius):
         return jnp.maximum(coef / jnp.maximum(d, 1e-6), 0.71)
 
     k = kimg_ref[:]
+    h, w = k.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     # source offsets packed ((sdx+8)<<4 | sdy+8) into one plane: |offset| <=
     # radius <= 7, and fewer live [H,W] planes keeps the scoped VMEM budget
     sd = jnp.full_like(k, (8 << 4) | 8)
@@ -120,7 +123,13 @@ def _dilate_kernel(kimg_ref, params_ref, out_ref, *, radius):
             cdy = (csd & 15) - 8 + dy
             crd = rad(ck)
             inside = (cdx * cdx + cdy * cdy).astype(jnp.float32) <= crd * crd
-            better = (ck != ibig) & inside & (ck < k)
+            # pltpu.roll wraps: mask destinations whose source row/col came
+            # from the opposite screen edge (same fix as the XLA scan path)
+            src_ok = (
+                (row - dy >= 0) & (row - dy < h)
+                & (col - dx >= 0) & (col - dx < w)
+            )
+            better = (ck != ibig) & inside & (ck < k) & src_ok
             k = jnp.where(better, ck, k)
             sd = jnp.where(better, ((cdx + 8) << 4) | (cdy + 8), sd)
     out_ref[:] = k

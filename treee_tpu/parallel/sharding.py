@@ -97,9 +97,13 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
 
     def local_step(pos, valid, d):
         # global bounds: local reduce + cross-device min/max
-        lo_l, hi_l = seg.scene_bounds(pos, valid)
+        # identity-valued local bounds: an all-padding shard must not pull
+        # the global box to scene_bounds' (0,1) fallback (seg.scene_bounds_raw)
+        lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
         lo = jax.lax.pmin(lo_l, axis)
         hi = jax.lax.pmax(hi_l, axis)
+        any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
+        lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
         s = seg.cell_size(lo, hi, d, scfg)
         # robust band anchor: local strided histogram + psum is EXACTLY the
         # global histogram (shard sizes are multiples of the stride)
@@ -140,9 +144,13 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
     scfg = cfg.segmentation
 
     def local_step(pos, valid, d):
-        lo_l, hi_l = seg.scene_bounds(pos, valid)
+        # identity-valued local bounds: an all-padding shard must not pull
+        # the global box to scene_bounds' (0,1) fallback (seg.scene_bounds_raw)
+        lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
         lo = jax.lax.pmin(lo_l, axis)
         hi = jax.lax.pmax(hi_l, axis)
+        any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
+        lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
         s = seg.cell_size(lo, hi, d, scfg)
         # robust band anchor: local strided histogram + psum is EXACTLY the
         # global histogram (shard sizes are multiples of the stride)

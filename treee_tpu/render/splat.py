@@ -46,7 +46,11 @@ def prop_from_segment(segment: jax.Array) -> jax.Array:
 def _project(pos: jax.Array, cam: Camera, width: int, height: int):
     """Project to (pixel_x, pixel_y, view_depth, z01, radius_px_factor)."""
     view = cam.view_matrix()
-    vp = pos @ view[:3, :3].T + view[:3, 3]
+    # camera-relative position is a large-magnitude cancellation for
+    # georeferenced (UTM-scale) coordinates: keep the rotation at full f32
+    # (CLAUDE.md: f32 matmuls feeding subtractions need HIGHEST on TPU)
+    vp = jnp.dot(pos, view[:3, :3].T,
+                 precision=jax.lax.Precision.HIGHEST) + view[:3, 3]
     depth = -vp[:, 2]
     proj = cam.projection_matrix(width / height)
     w = jnp.maximum(depth, 1e-6)
@@ -78,16 +82,15 @@ def rasterize_keys(
 
     pmin = cfg.prop_min / float(0xFFFFFFFF)
     pmax = cfg.prop_max / float(0xFFFFFFFF)
-    r_px = cfg.point_size * f_proj * (h / 2.0) / jnp.maximum(depth, 1e-6)
-    r_px = jnp.minimum(r_px, cfg.max_splat_radius + 0.5)
+    # NOTE: a point renders only if its CENTER pixel is on-screen (the pix
+    # where-clause below) — partial splats whose center is off-screen are an
+    # accepted approximation vs the reference's clipped instanced quads
     vis = (
         mask
         & (depth > cfg.near)
         & (depth < cfg.far)
         & (prop >= pmin)
         & (prop <= pmax)
-        & (fx > -r_px - 1) & (fx < w + r_px + 1)
-        & (fy > -r_px - 1) & (fy < h + r_px + 1)
     )
 
     ix0 = jnp.floor(fx).astype(jnp.int32)
@@ -104,7 +107,12 @@ def rasterize_keys(
     # the circle test (point_cloud.wgsl:73 semantics), radius derived from the
     # winner's depth — pure [H,W] vector ops.
     depth_bits = 23
-    zq = (jnp.clip(z01, 0.0, 1.0) * ((1 << depth_bits) - 1)).astype(jnp.int32)
+    # clamp to 2^23 - 2: zq = 2^23 - 1 with palette 255 would pack to
+    # 0x7FFFFFFF = IBIG, making a farthest-depth point read as background
+    zq = jnp.minimum(
+        (jnp.clip(z01, 0.0, 1.0) * ((1 << depth_bits) - 1)).astype(jnp.int32),
+        (1 << depth_bits) - 2,
+    )
     pal8 = jnp.clip((prop * 256.0).astype(jnp.int32), 0, 255)
     key = (zq << 8) | pal8
     pix = jnp.where(
@@ -164,6 +172,8 @@ def resolve_keys(
     elif r > 0:
         rimg = jnp.where(hit, radius_from_key(kimg), 0.0)
         zero = jnp.zeros((h, w), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
         def dilate(state, _):
             k, rd, sdx, sdy = state
@@ -174,7 +184,13 @@ def resolve_keys(
                 cdx = jnp.roll(sdx, (dy, dx), (0, 1)) + dx
                 cdy = jnp.roll(sdy, (dy, dx), (0, 1)) + dy
                 inside = cdx * cdx + cdy * cdy <= crd * crd
-                better = (ck != IBIG) & inside & (ck < k)
+                # roll wraps: reject destinations whose source row/col came
+                # from the opposite screen edge (mirror-bleed otherwise)
+                src_ok = (
+                    (row - dy >= 0) & (row - dy < h)
+                    & (col - dx >= 0) & (col - dx < w)
+                )
+                better = (ck != IBIG) & inside & (ck < k) & src_ok
                 k = jnp.where(better, ck, k)
                 rd = jnp.where(better, crd, rd)
                 sdx = jnp.where(better, cdx, sdx)

@@ -432,16 +432,29 @@ def _bruteforce_voronoi(
     )
 
 
-def scene_bounds(pos: jax.Array, valid: jax.Array):
-    """(lo, hi) f32[3] over valid points; unit box if none."""
+def scene_bounds_raw(pos: jax.Array, valid: jax.Array):
+    """(lo, hi) f32[3] with +/-big identities when nothing is valid.
+
+    Collective-safe form: a shard with only padding must contribute the
+    min/max IDENTITIES to a cross-device pmin/pmax, not the unit-box
+    fallback (which would pull the global lo to 0 and silently change cell
+    size / anchor bins vs the single-device run).  Apply
+    ``scene_bounds_finalize`` AFTER the collective."""
     big = jnp.float32(3.0e38)
     lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
     hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    any_valid = jnp.any(valid)
-    return (
-        jnp.where(any_valid, lo, 0.0),
-        jnp.where(any_valid, hi, 1.0),
-    )
+    return lo, hi
+
+
+def scene_bounds_finalize(lo, hi, any_valid):
+    """Unit box when no point anywhere was valid (single-device semantics)."""
+    return jnp.where(any_valid, lo, 0.0), jnp.where(any_valid, hi, 1.0)
+
+
+def scene_bounds(pos: jax.Array, valid: jax.Array):
+    """(lo, hi) f32[3] over valid points; unit box if none."""
+    lo, hi = scene_bounds_raw(pos, valid)
+    return scene_bounds_finalize(lo, hi, jnp.any(valid))
 
 
 def cell_size(lo, hi, d, cfg: SegmentationConfig):
