@@ -168,3 +168,44 @@ def test_unknown_projection_raises():
         geo.transform_to_latlong("+proj=sinu +ellps=WGS84", 0.0, 0.0)
     with pytest.raises(geo.ProjError):
         geo.transform_to_latlong("no plus tokens", 0.0, 0.0)
+
+
+def test_format_degrees_negative_fraction_keeps_sign():
+    """-0°30' must not print identically to +0°30' (the truncated degree
+    part is 0, so the sign has to ride an explicit prefix)."""
+    assert geo.format_degrees(math.radians(-0.5)) == "-00°30'00.0\""
+    assert geo.format_degrees(math.radians(0.5)) == "00°30'00.0\""
+    assert geo.format_degrees(math.radians(-48.5)) == "-48°30'00.0\""
+
+
+def test_tmerc_lat0_with_scale():
+    """+lat_0 combined with +k != 1 (Gauss-Krüger-style): the false origin
+    arc must NOT be divided by k0 — forward is y = y0 + k0*(M - M0)."""
+    base = "+proj=tmerc +lon_0=9 +k=0.9996 +x_0=0 +y_0=0 +ellps=bessel"
+    e, nn = 10_000.0, 5_550_000.0
+    lon0, lat0 = geo.transform_to_latlong(base, e, nn)
+    a, f = 6377397.155, 1.0 / 299.1528128
+    n = f / (2.0 - f)
+    big_a = geo._rectifying_radius(a, n)
+    m50 = geo._meridian_arc(math.radians(50.0), n, big_a)
+    lon1, lat1 = geo.transform_to_latlong(
+        base + " +lat_0=50", e, nn - 0.9996 * m50)
+    assert abs(lon0 - lon1) < 1e-12
+    assert abs(lat0 - lat1) < 1e-9
+
+
+def test_utm_honors_explicit_ellipsoid_params():
+    """+proj=utm with explicit +a/+rf (no +ellps) must use them, not the
+    GRS80 fallback — same as the tmerc path with identical parameters."""
+    e, nn = 512345.0, 5334567.0
+    lon_u, lat_u = geo.transform_to_latlong(
+        "+proj=utm +zone=32 +a=6377397.155 +rf=299.1528128", e, nn)
+    lon_t, lat_t = geo.transform_to_latlong(
+        "+proj=tmerc +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 "
+        "+a=6377397.155 +rf=299.1528128", e, nn)
+    assert abs(lon_u - lon_t) < 1e-12
+    assert abs(lat_u - lat_t) < 1e-12
+    # and differs measurably from the GRS80 fallback it used to take
+    lon_g, lat_g = geo.transform_to_latlong(
+        "+proj=utm +zone=32 +ellps=GRS80", e, nn)
+    assert abs(lat_u - lat_g) > 1e-6

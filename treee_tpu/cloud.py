@@ -26,11 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Segment id reserved for deleted points (interactive/mod.rs:19 DELETED_INDEX).
+# Segment id 0 doubles as "deleted" AND "no tree assigned", exactly like the
+# reference (interactive/mod.rs:19 DELETED_INDEX == segmenting.rs:198's
+# no-tree id): points the segmenter leaves unassigned are hidden/excluded
+# the same way user-deleted points are until re-segmented or drawn back in.
 DELETED_SEGMENT = 0
-# Segment id for not-yet-segmented points (reference uses 0 for "no tree" during
-# segmentation, segmenting.rs:198; we distinguish unsegmented from deleted).
-UNSEGMENTED = 0
 
 CLASS_GROUND = 0
 CLASS_TRUNK = 1

@@ -131,8 +131,10 @@ def tmerc_to_latlong(
     big_a = _rectifying_radius(a, n)
     m0 = _meridian_arc(lat0, n, big_a) if lat0 else 0.0
 
+    # forward is northing = y0 + k0*(M(lat) - M(lat0)), so the recovered arc
+    # is M = (northing - y0)/k0 + M0 — M0 must NOT be divided by k0
     x = (easting - x0) / (k0 * big_a)
-    y = (northing - y0 + m0) / (k0 * big_a)
+    y = ((northing - y0) / k0 + m0) / big_a
 
     beta = [
         n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
@@ -193,9 +195,14 @@ def transform_to_latlong(proj_string: str, x: float, y: float) -> tuple[float, f
         zone = int(p.get("zone", 0))
         if not 1 <= zone <= 60:
             raise ProjError(f"utm zone {zone} out of range")
-        return utm_to_latlong(
-            x, y, zone, bool(p.get("south", False)),
-            str(p.get("ellps", "GRS80")),
+        # honor explicit +a/+b/+rf/+f like the other projections: (a, f)
+        # above already resolved them (falling back to +ellps)
+        return tmerc_to_latlong(
+            x, y, a, f,
+            k0=UTM_SCALE,
+            lon0=math.radians(zone * 6.0 - 183.0),
+            x0=UTM_FALSE_EASTING,
+            y0=UTM_FALSE_NORTHING_SOUTH if p.get("south", False) else 0.0,
         )
     if proj == "tmerc":
         return tmerc_to_latlong(x, y, a, f, k0=k0, lon0=lon0, lat0=lat0,
@@ -215,10 +222,15 @@ def segment_coords(world_offset, lo, hi, proj_string: str) -> tuple[float, float
 
 
 def format_degrees(val_radians: float) -> str:
-    """D°M'S.s" formatting (mod.rs:1060-1066 semantics)."""
+    """D°M'S.s" formatting (mod.rs:1060-1066 semantics).
+
+    The sign rides an explicit prefix so values in (-1°, 0°) — where the
+    truncated degree part is 0 — keep their hemisphere."""
     deg = math.degrees(val_radians)
-    minutes = (deg - math.trunc(deg)) * (60.0 if deg >= 0 else -60.0)
-    d = math.trunc(deg)
+    mag = abs(deg)
+    d = math.trunc(mag)
+    minutes = (mag - d) * 60.0
     m = math.trunc(minutes)
     s = (minutes - m) * 60.0
-    return f"{int(d):02d}°{int(m):02d}'{s:04.1f}\""
+    sign = "-" if deg < 0 else ""
+    return f"{sign}{int(d):02d}°{int(m):02d}'{s:04.1f}\""

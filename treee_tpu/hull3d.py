@@ -49,7 +49,9 @@ def _fibonacci_sphere(k: int) -> np.ndarray:
 @jax.jit
 def support_candidates(pos: jax.Array, mask: jax.Array, dirs: jax.Array):
     """Indices of the support point per direction; i32[K] (-1 if no points)."""
-    scores = jnp.dot(pos, dirs.T, preferred_element_type=jnp.float32)
+    # HIGHEST: preferred_element_type does not stop bf16 INPUT truncation on
+    # the MXU — far-from-origin clouds would pick interior "support" points
+    scores = jnp.dot(pos, dirs.T, precision=jax.lax.Precision.HIGHEST)
     scores = jnp.where(mask[:, None], scores, -INF)
     idx = jnp.argmax(scores, axis=0).astype(jnp.int32)
     any_pt = jnp.any(mask)

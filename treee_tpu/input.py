@@ -99,7 +99,15 @@ class InputController:
     def key(self, key: str, pressed: bool) -> None:
         self.keyboard.update(key, pressed)
 
-    def mouse_button(self, button: str, pressed: bool) -> None:
+    def mouse_button(self, button: str, pressed: bool,
+                     x: float | None = None, y: float | None = None) -> None:
+        """Button event; pass the cursor position when the frontend delivers
+        it with the event — winit sends CursorMoved before presses so the
+        reference never sees a stale position, but a frontend that doesn't
+        stream hover moves would otherwise click at the last drag point (or
+        the (0,0) init)."""
+        if x is not None and y is not None:
+            self.mouse.position = np.asarray((x, y), np.float32)
         self.mouse.update(button, pressed)
         if button == "left":
             if pressed:

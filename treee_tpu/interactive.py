@@ -107,7 +107,9 @@ def pick(
     if not include_deleted:
         eligible &= cloud.segment != DELETED_SEGMENT
     diff = cloud.pos - origin
-    along = diff @ direction
+    # HIGHEST: the dot feeds a squared-distance subtraction (CLAUDE.md TPU
+    # rule); default-precision `along` makes perp2 garbage far from origin
+    along = jnp.dot(diff, direction, precision=jax.lax.Precision.HIGHEST)
     perp2 = jnp.sum(diff * diff, axis=-1) - along * along
     ok = eligible & (along >= 0.0) & (perp2 <= point_scale * point_scale)
     dist = jnp.where(ok, along, INF)
@@ -121,27 +123,3 @@ def pick(
 def segment_exists(cloud: PointCloud, seg) -> jax.Array:
     return jnp.any(cloud.valid & (cloud.segment == seg))
 
-
-@jax.jit
-def append_points(cloud: PointCloud, pos, count, new_id) -> PointCloud:
-    """Append ``count`` points (padded buffer ``pos``) as a new segment.
-
-    Device-side merge used by "Add" (load more points into a session,
-    mod.rs:340-371): incoming points land in free capacity slots.
-    """
-    cap = cloud.capacity
-    m = pos.shape[0]
-    # rank of each free slot
-    free = ~cloud.valid
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    take = free & (free_rank < count)
-    src = jnp.clip(free_rank, 0, m - 1)
-    # per-column gathers: a [cap,3]-row gather output takes the 64x
-    # lane-padded TPU layout (characteristics.py _gather_rows)
-    gathered = jnp.stack([pos[:, c][src] for c in range(3)], axis=1)
-    new_pos = jnp.where(take[:, None], gathered, cloud.pos)
-    new_seg = jnp.where(take, new_id, cloud.segment)
-    new_valid = cloud.valid | take
-    return cloud.replace(
-        pos=new_pos, segment=new_seg.astype(jnp.int32), valid=new_valid
-    )

@@ -130,6 +130,11 @@ def landmarks(rbv: RadialBoundingVolume, base, interpolate_height: bool) -> jax.
 
     ``interpolate_height``: the reference uses 0..1 layer interpolation for
     Ground/NoCrown volumes and mid-slice (0.5) otherwise (hull.rs:891-898).
+
+    Component order is [cos*d, sin*d, height] — height THIRD — which is NOT
+    the codebase's y-up convention but IS the reference's landmark txt
+    format byte-for-byte (hull.rs:889-900 pushes cos, sin, then the
+    vertical; mod.rs:402's apex is [0, 0, top]).  Do not "fix" to y-up.
     """
     s, k = rbv.slices, rbv.sectors
     sector_angle = 2.0 * math.pi / k

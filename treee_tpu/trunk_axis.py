@@ -84,7 +84,12 @@ def low_high_layer(pos: jax.Array, mask: jax.Array, layer_width=1.0) -> TrunkAxi
     """LowHighLayer algorithm (trunk_axis.rs:181-232)."""
     lo, hi, found = _masked_minmax_y(pos, mask)
     y = pos[:, 1]
-    layer = jnp.minimum(jnp.asarray(layer_width, jnp.float32), (hi - lo) / 2.0)
+    # floor the layer width: a height-degenerate slice (hi == lo) would
+    # otherwise make both band masks empty and the means collapse to x=z=0
+    layer = jnp.maximum(
+        jnp.minimum(jnp.asarray(layer_width, jnp.float32), (hi - lo) / 2.0),
+        1e-3,
+    )
     low = mask & (y - lo < layer)
     high = mask & (hi - y < layer)
 
@@ -98,7 +103,13 @@ def low_high_layer(pos: jax.Array, mask: jax.Array, layer_width=1.0) -> TrunkAxi
     origin = jnp.array([lm[0], lo, lm[1]])
     target = jnp.array([hm[0], hi, hm[1]])
     direction = target - origin
-    direction = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-6)
+    norm = jnp.linalg.norm(direction)
+    # degenerate (zero-extent) axis: report vertical instead of a zero
+    # vector, which would make axis_transform singular
+    direction = jnp.where(
+        norm > 1e-6, direction / jnp.maximum(norm, 1e-6),
+        jnp.array([0.0, 1.0, 0.0]),
+    )
     direction = jnp.where(found, direction, jnp.array([0.0, 1.0, 0.0]))
     origin = jnp.where(found, origin, jnp.zeros(3))
     return TrunkAxis(origin=origin, direction=direction, found=found)
