@@ -217,3 +217,39 @@ def test_score_chunk_widths_bit_identical():
             jax.tree_util.tree_leaves(ref_t), jax.tree_util.tree_leaves(t)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_upper_half_separators_no_sign_overflow():
+    """Separators quantizing into the upper half of the scene's y range
+    (qg >= 32768) used to wrap the packed int32 negative; the arithmetic
+    >> then sign-extended gs to ~ground_sep - yext, zeroing CLASS_GROUND
+    for every elevated segment.  Same for segment_properties' min-y field."""
+    pts, seg = _lone_tree()
+    n = len(pts)
+    shifted = pts + np.float32([0.0, 200.0, 0.0])
+    # reference: the tree alone (its own y range -> lower-half quantization)
+    t_ref, cls_ref = ch.compute_segments(
+        jnp.asarray(shifted), jnp.asarray(seg), jnp.ones(n, bool), 4, CFG)
+    # a far-below dummy segment stretches yext so the tree's separators land
+    # in the UPPER half of the quantization range
+    low = np.float32([[0.0, 0.0, 0.0], [1.0, 0.0, 1.0], [2.0, 0.0, 2.0]])
+    allp = np.concatenate([shifted, low])
+    seg_all = np.concatenate([seg, np.full(3, 2, np.int32)])
+    valid = jnp.ones(n + 3, bool)
+    t_all, cls_all = ch.compute_segments(
+        jnp.asarray(allp), jnp.asarray(seg_all), valid, 4, CFG)
+    # separators themselves agree (table values are un-quantized)
+    assert abs(float(t_all.ground_sep[1]) - float(t_ref.ground_sep[1])) < 1e-3
+    assert abs(float(t_all.crown_sep[1]) - float(t_ref.crown_sep[1])) < 1e-3
+    # per-point classification agrees except points within quantization
+    # distance (<= yext/65535 per scene) of a separator
+    agree = float(np.mean(np.asarray(cls_all)[:n] == np.asarray(cls_ref)))
+    assert agree > 0.995, agree
+
+    # properties: per-point height must track the segment's own min-y, not a
+    # sign-wrapped one (which pinned height to 1.0 for the whole segment)
+    exp_a, hgt_a = ch.segment_properties(
+        jnp.asarray(allp), jnp.asarray(seg_all), valid,
+        cls_all, t_all, 4, CFG)
+    h = np.asarray(hgt_a)[:n]
+    assert h.min() < 0.2 and h.max() > 0.8  # spans the tree, not pinned

@@ -194,9 +194,12 @@ def main(argv=None) -> int:
         args.demo or (args.input is not None and not args.input.endswith(".npz"))
     )
     if should_segment:
-        with phase_timer("segment+characteristics", block_on=None):
+        with phase_timer("segment+characteristics"):
             res = session.segment(args.distance)
-        print(f"segments: {int(res.n_segments)}")
+            # scalar fetch INSIDE the timer: block_until_ready is a no-op
+            # over the axon tunnel, so only a fetch makes -v timings honest
+            n_segments = int(res.n_segments)
+        print(f"segments: {n_segments}")
 
     if args.serve is not None:
         from .serve import ViewerServer
@@ -241,19 +244,22 @@ def main(argv=None) -> int:
     if args.export_info:
         table = session.table if session.table is not None else session.characteristics()
         seg_ids = np.flatnonzero(np.asarray(table.present))
+        lo_np, hi_np = np.asarray(table.lo), np.asarray(table.hi)
         out = {}
         for sid in seg_ids:
-            entry = {
-                "trunk_height": float(table.trunk_height[sid]),
-                "crown_height": float(table.crown_height[sid]),
-                "ground_sep": float(table.ground_sep[sid]),
-                "crown_sep": float(table.crown_sep[sid]),
-                "count": int(table.count[sid]),
-            }
-            coords = session.segment_coords(int(sid))
-            if coords is not None:
-                entry["longitude"] = float(np.degrees(coords[0]))
-                entry["latitude"] = float(np.degrees(coords[1]))
+            # SegmentSave-shaped rows (exports.segment_info_json carries the
+            # reference's min/max/offset fields, calculations.rs:62-73)
+            entry = json.loads(exports.segment_info_json(
+                {
+                    "trunk_height": table.trunk_height[sid],
+                    "crown_height": table.crown_height[sid],
+                    "ground_sep": table.ground_sep[sid],
+                    "crown_sep": table.crown_sep[sid],
+                },
+                lo_np[sid], hi_np[sid], session.world_offset,
+                coords=session.segment_coords(int(sid)),
+            ))
+            entry["count"] = int(table.count[sid])
             out[int(sid)] = entry
         with open(args.export_info, "w") as fh:
             json.dump(out, fh, indent=2)
@@ -280,15 +286,29 @@ def main(argv=None) -> int:
 
     if args.export_traits:
         from . import rbv as rbv_mod
+        from . import trunk_axis
 
         if session.table is None:
             session.characteristics()
         table = session.table
+        # same volume settings as the sibling RBV/landmark exports: method,
+        # symmetry, slice/sector overrides AND the per-segment trunk-axis
+        # transform — traits from a different volume than the exported RBV
+        # would silently disagree for tilted trees
         rbv_kw = dict(
             method=(rbv_mod.METHOD_MEAN if args.rbv_method == "mean"
                     else rbv_mod.METHOD_MAX),
             symmetric=args.rbv_symmetric,
         )
+        if args.rbv_slices is not None:
+            rbv_kw.update(crown_slices=args.rbv_slices,
+                          trunk_slices=args.rbv_slices)
+        if args.rbv_sectors is not None:
+            rbv_kw.update(crown_sectors=args.rbv_sectors,
+                          trunk_sectors=args.rbv_sectors)
+        axis_fn = (trunk_axis.low_high_layer
+                   if args.trunk_axis_algorithm == "lowhigh"
+                   else trunk_axis.average_direction)
         ids = (
             [args.segment_id]
             if args.segment_id is not None
@@ -299,8 +319,13 @@ def main(argv=None) -> int:
             member = session.cloud.valid & (session.cloud.segment == int(sid))
             if not bool(np.asarray(member).any()):
                 continue
+            axis = axis_fn(
+                session.cloud.pos,
+                member & (session.cloud.classification == 1),
+            )
             crown, trunk = rbv_mod.split_rbv(
                 session.cloud.pos, session.cloud.classification, member,
+                transform=trunk_axis.axis_transform(axis),
                 **rbv_kw,
             )
             out[int(sid)] = json.loads(rbv_mod.traits(crown, trunk).to_json())

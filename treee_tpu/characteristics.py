@@ -546,7 +546,10 @@ def compute_segments(
     qg = jnp.clip(((ground_sep - ylo) * qsc).astype(jnp.int32), 0, 65535)
     qc = jnp.clip(((crown_sep - ylo) * qsc).astype(jnp.int32), 0, 65535)
     packed = ((qg << 16) | qc)[seg]
-    gs = ylo + (packed >> 16).astype(jnp.float32) * (yext / 65535.0)
+    # mask after the ARITHMETIC >>: qg >= 32768 makes packed negative in
+    # int32 and the shift sign-extends (gs would come back ~ground_sep-yext
+    # for any separator above the scene's y midpoint)
+    gs = ylo + ((packed >> 16) & 0xFFFF).astype(jnp.float32) * (yext / 65535.0)
     cs = ylo + (packed & 0xFFFF).astype(jnp.float32) * (yext / 65535.0)
     classification = jnp.where(
         y < gs,
@@ -646,7 +649,10 @@ def segment_properties(
     # height in [~0, yext]: quantize 1/height via height itself
     qh = jnp.clip((height_ext * qsc).astype(jnp.int32), 1, 65535)
     packed = ((qmy << 16) | qh)[seg]
-    min_y_pt = ylo_s + (packed >> 16).astype(jnp.float32) * (yext_s / 65535.0)
+    # & 0xFFFF after the arithmetic >>: see the compute_segments twin — a
+    # negative packed value would sign-extend min_y_pt to ~min_y - yext
+    min_y_pt = ylo_s + ((packed >> 16) & 0xFFFF).astype(jnp.float32) \
+        * (yext_s / 65535.0)
     inv_h_pt = 1.0 / ((packed & 0xFFFF).astype(jnp.float32)
                       * (yext_s / 65535.0))
     slice_idx = jnp.clip(
@@ -720,9 +726,12 @@ def segment_curvature(
     vectorization (k-nearest/src/kd_tree.rs:105-143).
     """
     if use_grid:
-        idx, _ = neighbors.knn_grid(pos, member, cell_size, k=k)
+        idx, dist = neighbors.knn_grid(pos, member, cell_size, k=k)
     else:
-        idx, _ = neighbors.knn_bruteforce(pos, member, k=k)
-    cov = neighbors.neighbor_covariance(pos, idx)
+        idx, dist = neighbors.knn_bruteforce(pos, member, k=k)
+    # segments with < k members (fresh brush spawns, sparse understory) pad
+    # the k slots with INF-distance non-members — exclude them from the
+    # covariance like the reference's KD-tree, which only returns members
+    cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
     curve = eigen.curvature_from_cov(cov)
     return jnp.where(member, curve, 0.0)

@@ -35,9 +35,14 @@ def save_points_ply(
     for prop in ("x", "y", "z", "expansion", "height", "curve"):
         w(f"property float {prop}\n")
     w("end_header\n")
-    for i in idx:
-        p = pos[i]
-        w(f"{p[0]} {-p[2]} {p[1]} {expansion[i]} {height[i]} {curve[i]}\n")
+    # vectorized row formatting: a per-row Python f-string loop costs tens of
+    # minutes for a full 15M-point cloud on this 1-CPU host
+    cols = np.column_stack([
+        pos[idx, 0], -pos[idx, 2], pos[idx, 1],
+        np.asarray(expansion)[idx], np.asarray(height)[idx],
+        np.asarray(curve)[idx],
+    ]).astype(np.float32)
+    np.savetxt(fh, cols, fmt="%.8g", delimiter=" ")
 
 
 def save_hull_ply(fh, pos: np.ndarray, faces: np.ndarray) -> None:

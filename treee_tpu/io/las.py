@@ -26,6 +26,8 @@ import io as _io
 import struct
 import numpy as np
 
+from ..utils.errors import CorruptFile
+
 LAS_SIGNATURE = b"LASF"
 
 # (name, struct format) pairs for the LAS public header block through 1.4.
@@ -54,7 +56,7 @@ class LasHeader:
     @classmethod
     def parse(cls, data: bytes) -> "LasHeader":
         if len(data) < 227:
-            raise ValueError("file too small for a LAS header")
+            raise CorruptFile("file too small for a LAS header")
         buf = data[:_HEADER_SIZE_V14]
         if len(buf) < _HEADER_SIZE_V14:
             buf = buf + b"\0" * (_HEADER_SIZE_V14 - len(buf))
@@ -67,13 +69,20 @@ class LasHeader:
         # rest[17]=waveform offset, rest[18]=first EVLR, rest[19]=#EVLRs
         num_points_14 = rest[20]
         if sig != LAS_SIGNATURE:
-            raise ValueError("corrupt file: bad LAS signature")
+            raise CorruptFile("corrupt file: bad LAS signature")
         if pt_length < 12:
             # every record starts with the 12-byte i32 xyz triple; a shorter
             # length would walk decoders (incl. the native path) out of bounds
-            raise ValueError(
+            raise CorruptFile(
                 f"corrupt file: point record length {pt_length} < 12")
-        num_points = legacy_count if legacy_count != 0 else num_points_14
+        # the 64-bit count field only exists in 1.4's 375-byte header; for a
+        # legacy (227-byte) header those bytes are VLR/point data — reading
+        # them would turn "legacy count 0" into a garbage point count
+        has_14_count = vmin >= 4 and header_size >= _HEADER_SIZE_V14
+        num_points = (
+            legacy_count if legacy_count != 0
+            else (num_points_14 if has_14_count else 0)
+        )
         sx, sy, sz, ox, oy, oz, maxx, minx, maxy, miny, maxz, minz = doubles
         # bit 7 of the point format flags LAZ compression (LASzip convention)
         compressed = bool(pt_format & 0x80)

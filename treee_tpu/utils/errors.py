@@ -13,8 +13,11 @@ class TreeeError(Exception):
     """Base class for framework errors (lib.rs Error)."""
 
 
-class CorruptFile(TreeeError):
-    """Bad signature / malformed structure (lib.rs Error::CorruptFile)."""
+class CorruptFile(TreeeError, ValueError):
+    """Bad signature / malformed structure (lib.rs Error::CorruptFile).
+
+    Also a ValueError, so pre-taxonomy callers (``except ValueError``) keep
+    catching ingest corruption."""
 
 
 class UnsupportedFormat(TreeeError):
