@@ -236,11 +236,7 @@ struct Point10Codec {
 // per-sequence quantized delta-multiplier models with a 64-bit escape.
 // ---------------------------------------------------------------------------
 
-constexpr i32 kGpsMulti = 500;
-constexpr i32 kGpsMultiMinus = -10;
-constexpr u32 kGpsMultiUnchanged = kGpsMulti - kGpsMultiMinus + 1;  // 511
-constexpr u32 kGpsMultiCodeFull = kGpsMulti - kGpsMultiMinus + 2;   // 512
-constexpr u32 kGpsMultiTotal = kGpsMulti - kGpsMultiMinus + 6;      // 516
+// GPS multi-model constants shared with the layered codec: laszip_core.h
 
 struct GpsTime11Codec {
   u64 last_gpstime[4];
@@ -469,133 +465,14 @@ struct GpsTime11Codec {
 // ---------------------------------------------------------------------------
 
 struct Rgb12Codec {
-  u16 last[3];
-  SymbolModel m_byte_used;
-  SymbolModel m_diff[6];  // r-lo, r-hi, g-lo, g-hi, b-lo, b-hi
+  // RGB12 v2 == the shared RGB diff-coder core with flat (single-context)
+  // state; the body lives in laszip_core.h (rgb_read/rgb_write) so the
+  // layered RGB14 codec and this one cannot drift apart
+  RgbModels m;
 
-  void init(const u8* first6, bool for_compress) {
-    std::memcpy(last, first6, 6);
-    m_byte_used.init(128, for_compress);
-    for (int i = 0; i < 6; ++i) m_diff[i].init(256, for_compress);
-  }
-
-  static u8 clamp8(i32 v) {
-    return v < 0 ? 0 : (v > 255 ? 255 : static_cast<u8>(v));
-  }
-
-  void read(Decoder& dec, u8* out) {
-    u16 item[3];
-    const u32 sym = dec.decode_symbol(m_byte_used);
-    if (sym & 1)
-      item[0] = static_cast<u16>(
-          (dec.decode_symbol(m_diff[0]) + (last[0] & 0xFF)) & 0xFF);
-    else
-      item[0] = last[0] & 0xFF;
-    if (sym & 2)
-      item[0] |= static_cast<u16>(
-          ((dec.decode_symbol(m_diff[1]) + (last[0] >> 8)) & 0xFF) << 8);
-    else
-      item[0] |= last[0] & 0xFF00;
-
-    if (sym & 64) {
-      i32 diff = (item[0] & 0xFF) - (last[0] & 0xFF);
-      if (sym & 4)
-        item[1] = static_cast<u16>(
-            (dec.decode_symbol(m_diff[2]) + clamp8(diff + (last[1] & 0xFF))) &
-            0xFF);
-      else
-        item[1] = last[1] & 0xFF;
-      if (sym & 16) {
-        const i32 d2 = (diff + ((item[1] & 0xFF) - (last[1] & 0xFF))) / 2;
-        item[2] = static_cast<u16>(
-            (dec.decode_symbol(m_diff[4]) + clamp8(d2 + (last[2] & 0xFF))) &
-            0xFF);
-      } else {
-        item[2] = last[2] & 0xFF;
-      }
-      diff = (item[0] >> 8) - (last[0] >> 8);
-      if (sym & 8)
-        item[1] |= static_cast<u16>(
-            ((dec.decode_symbol(m_diff[3]) + clamp8(diff + (last[1] >> 8))) &
-             0xFF)
-            << 8);
-      else
-        item[1] |= last[1] & 0xFF00;
-      if (sym & 32) {
-        const i32 d2 = (diff + ((item[1] >> 8) - (last[1] >> 8))) / 2;
-        item[2] |= static_cast<u16>(
-            ((dec.decode_symbol(m_diff[5]) + clamp8(d2 + (last[2] >> 8))) &
-             0xFF)
-            << 8);
-      } else {
-        item[2] |= last[2] & 0xFF00;
-      }
-    } else {
-      item[1] = item[0];
-      item[2] = item[0];
-    }
-    std::memcpy(out, item, 6);
-    std::memcpy(last, item, 6);
-  }
-
-  void write(Encoder& enc, const u8* cur6) {
-    u16 item[3];
-    std::memcpy(item, cur6, 6);
-    u32 sym = 0;
-    if ((last[0] & 0x00FF) != (item[0] & 0x00FF)) sym |= 1;
-    if ((last[0] & 0xFF00) != (item[0] & 0xFF00)) sym |= 2;
-    if ((last[1] & 0x00FF) != (item[1] & 0x00FF)) sym |= 4;
-    if ((last[1] & 0xFF00) != (item[1] & 0xFF00)) sym |= 8;
-    if ((last[2] & 0x00FF) != (item[2] & 0x00FF)) sym |= 16;
-    if ((last[2] & 0xFF00) != (item[2] & 0xFF00)) sym |= 32;
-    const bool differ = ((item[0] & 0x00FF) != (item[1] & 0x00FF)) ||
-                        ((item[0] & 0x00FF) != (item[2] & 0x00FF)) ||
-                        ((item[0] & 0xFF00) != (item[1] & 0xFF00)) ||
-                        ((item[0] & 0xFF00) != (item[2] & 0xFF00));
-    if (differ) sym |= 64;
-    enc.encode_symbol(m_byte_used, sym);
-
-    i32 diff;
-    if (sym & 1) {
-      diff = (item[0] & 0xFF) - (last[0] & 0xFF);
-      enc.encode_symbol(m_diff[0], static_cast<u8>(diff));
-    }
-    if (sym & 2) {
-      diff = (item[0] >> 8) - (last[0] >> 8);
-      enc.encode_symbol(m_diff[1], static_cast<u8>(diff));
-    }
-    if (sym & 64) {
-      if (sym & 4) {
-        diff = (item[0] & 0xFF) - (last[0] & 0xFF);
-        enc.encode_symbol(
-            m_diff[2],
-            static_cast<u8>((item[1] & 0xFF) - clamp8(diff + (last[1] & 0xFF))));
-      }
-      if (sym & 16) {
-        diff = (((item[0] & 0xFF) - (last[0] & 0xFF)) +
-                ((item[1] & 0xFF) - (last[1] & 0xFF))) /
-               2;
-        enc.encode_symbol(
-            m_diff[4],
-            static_cast<u8>((item[2] & 0xFF) - clamp8(diff + (last[2] & 0xFF))));
-      }
-      if (sym & 8) {
-        diff = (item[0] >> 8) - (last[0] >> 8);
-        enc.encode_symbol(
-            m_diff[3],
-            static_cast<u8>((item[1] >> 8) - clamp8(diff + (last[1] >> 8))));
-      }
-      if (sym & 32) {
-        diff = (((item[0] >> 8) - (last[0] >> 8)) +
-                ((item[1] >> 8) - (last[1] >> 8))) /
-               2;
-        enc.encode_symbol(
-            m_diff[5],
-            static_cast<u8>((item[2] >> 8) - clamp8(diff + (last[2] >> 8))));
-      }
-    }
-    std::memcpy(last, item, 6);
-  }
+  void init(const u8* first6, bool for_compress) { m.init(first6, for_compress); }
+  void read(Decoder& dec, u8* out) { rgb_read(dec, m, out); }
+  void write(Encoder& enc, const u8* cur6) { rgb_write(enc, m, cur6); }
 };
 
 // Generic BYTE v2 item codec: one adaptive 256-symbol model per byte column,
@@ -822,170 +699,27 @@ static int decompress_stream(const u8* file, u64 file_len,
                              u32 point_length,
                              const std::vector<ItemSpec>& items, u32 chunk_size,
                              u8* out, i32 n_threads) {
-  if (point_data_offset + 8 > file_len) return 1;
-
-  i64 table_offset;
-  read_i64(file + point_data_offset, &table_offset);
-  if (table_offset == -1) {
-    // stream-written files (non-seekable writers) store -1 here and append
-    // the real chunk-table offset as the file's final 8 bytes
-    if (file_len < 8) return 1;
-    read_i64(file + file_len - 8, &table_offset);
-  }
-  if (table_offset < 0 ||
-      static_cast<u64>(table_offset) + 8 > file_len)
-    return 1;
-
-  // chunk table: u32 version, u32 n_chunks, then IC(32,2)-coded entries —
-  // byte sizes (context 1), preceded per chunk by a point count (context 0)
-  // when the VLR declares variable-size chunks (chunk_size == 0xFFFFFFFF)
-  u32 version, n_chunks;
-  read_u32(file + table_offset, &version);
-  read_u32(file + table_offset + 4, &n_chunks);
-  if (version != 0) return 2;
-
-  const bool variable = chunk_size == 0xFFFFFFFFu;
-  if (!variable && chunk_size == 0) return 1;
-  {
-    // bound n_chunks BEFORE allocating: a corrupt count would otherwise
-    // drive a multi-GB zero-filled vector + a ~4G-iteration table decode
-    const u64 data_bytes = file_len - point_data_offset;
-    u64 cap;
-    if (variable) {
-      // each chunk holds >= 1 point and occupies >= 1 data byte
-      cap = n_points < data_bytes ? n_points : data_bytes;
-    } else {
-      cap = (static_cast<u64>(n_points) + chunk_size - 1) / chunk_size;
-    }
-    if (n_chunks > cap) {
-      if (!variable) n_chunks = static_cast<u32>(cap);  // ignore extras
-      else return 1;
-    }
-  }
-
-  std::vector<u64> sizes(n_chunks);
-  std::vector<u32> counts;
-  if (variable) counts.resize(n_chunks);
-  {
-    Decoder dec;
-    dec.init(file + table_offset + 8, file_len - (table_offset + 8));
-    IntegerCompressor ic;
-    ic.init(32, 2, /*for_compress=*/false);
-    i32 prev = 0, prev_count = 0;
-    for (u32 i = 0; i < n_chunks; ++i) {
-      if (variable) {
-        prev_count = ic.decompress(dec, prev_count, 0);
-        counts[i] = static_cast<u32>(prev_count);
-      }
-      const i32 v = ic.decompress(dec, prev, 1);
-      sizes[i] = static_cast<u32>(v);
-      prev = v;
-    }
-  }
-
-  // chunk ranges
-  std::vector<ChunkRange> ranges;
-  u64 off = point_data_offset + 8;
-  u64 remaining = n_points, out_idx = 0;
-  for (u32 i = 0; i < n_chunks && remaining; ++i) {
-    u64 want = variable ? counts[i] : chunk_size;
-    if (want > remaining) want = remaining;
-    const u32 npts = static_cast<u32>(want);
-    ranges.push_back({off, npts, out_idx});
-    off += sizes[i];
-    out_idx += npts;
-    remaining -= npts;
-    if (off > file_len) return 1;
-  }
-  if (remaining) return 1;
-
-  // parallel decode
-  unsigned hw = std::thread::hardware_concurrency();
-  u64 workers = n_threads > 0 ? static_cast<u64>(n_threads)
-                              : (hw > 0 ? hw : 4);
-  if (workers > ranges.size()) workers = ranges.size();
-  std::atomic<size_t> next{0};
-  std::atomic<int> status{0};
-  auto worker = [&]() {
-    for (;;) {
-      const size_t i = next.fetch_add(1);
-      if (i >= ranges.size()) return;
-      const ChunkRange& r = ranges[i];
-      const u64 avail = (i + 1 < ranges.size())
-                            ? ranges[i + 1].offset - r.offset
-                            : file_len - r.offset;
-      const int rc = decompress_chunk(file + r.offset, avail, r.n_points,
-                                      items, point_length,
-                                      out + r.out_index * point_length);
-      if (rc) status.store(rc);
-    }
-  };
-  if (workers <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    for (u64 w = 0; w < workers; ++w) pool.emplace_back(worker);
-    for (auto& t : pool) t.join();
-  }
-  return status.load();
+  // framing (chunk table, bounds, offset==-1, variable chunks, worker
+  // pool) is shared with the layered codec: laszip_core.h
+  return chunked_decompress_stream(
+      file, file_len, point_data_offset, n_points, point_length, chunk_size,
+      out, n_threads,
+      [&](const u8* data, u64 avail, u32 npts, u8* rec_out) {
+        return decompress_chunk(data, avail, npts, items, point_length,
+                                rec_out);
+      });
 }
 
 static int compress_stream(const u8* records, u32 n_points, u32 point_length,
                            const std::vector<ItemSpec>& items, u32 chunk_size,
                            u64 base_offset, u8* out_buf, u64 out_cap,
                            u64* out_len) {
-  if (chunk_size == 0) chunk_size = 50000;
-
-  std::vector<std::vector<u8>> chunks;
-  for (u64 i = 0; i < n_points; i += chunk_size) {
-    const u32 npts = static_cast<u32>(
-        (n_points - i) < chunk_size ? (n_points - i) : chunk_size);
-    chunks.emplace_back();
-    const int rc = compress_chunk(records + i * point_length, npts, items,
-                                  point_length, &chunks.back());
-    if (rc) return rc;
-  }
-
-  // assemble: [i64 table_offset][chunks...][table]
-  u64 total = 8;
-  for (auto& c : chunks) total += c.size();
-  const u64 table_offset = base_offset + total;
-
-  Encoder table_enc;
-  table_enc.init();
-  {
-    IntegerCompressor ic;
-    ic.init(32, 2, /*for_compress=*/true);
-    i32 prev = 0;
-    for (auto& c : chunks) {
-      ic.compress(table_enc, prev, static_cast<i32>(c.size()), 1);
-      prev = static_cast<i32>(c.size());
-    }
-    table_enc.done();
-  }
-  total += 8 + table_enc.out.size();
-  if (total > out_cap) {
-    *out_len = total;
-    return 3;
-  }
-
-  u8* p = out_buf;
-  const i64 to = static_cast<i64>(table_offset);
-  std::memcpy(p, &to, 8);
-  p += 8;
-  for (auto& c : chunks) {
-    std::memcpy(p, c.data(), c.size());
-    p += c.size();
-  }
-  const u32 version = 0, n_chunks = static_cast<u32>(chunks.size());
-  std::memcpy(p, &version, 4);
-  p += 4;
-  std::memcpy(p, &n_chunks, 4);
-  p += 4;
-  std::memcpy(p, table_enc.out.data(), table_enc.out.size());
-  p += table_enc.out.size();
-  *out_len = static_cast<u64>(p - out_buf);
-  return 0;
+  return chunked_compress_stream(
+      records, n_points, point_length, chunk_size, base_offset, out_buf,
+      out_cap, out_len,
+      [&](const u8* rec, u32 npts, std::vector<u8>* chunk) {
+        return compress_chunk(rec, npts, items, point_length, chunk);
+      });
 }
 
 static std::vector<ItemSpec> items_from_arrays(const u16* types,
