@@ -665,6 +665,117 @@ inline void rgb_write(Encoder& enc, RgbModels& c, const u8* cur6) {
 }
 
 // ---------------------------------------------------------------------------
+// Shared wave-packet diff-coder core: the WAVEPACKET13 v1 item coding, which
+// is ALSO the per-scanner-channel-context body of WAVEPACKET14 v3 (the same
+// sharing pattern as RgbModels above).  Covers the 29-byte LAS wave-packet
+// block of point formats 4/5 (sequential) and 9/10 (layered) — the reference
+// ingests these through the Rust `laz` crate (treee/src/laz.rs:147-159).
+//
+// Derived from the published LASzip algorithm; like the rest of this codec it
+// is validated by roundtrip + unit tests (no ground-truth .laz in this
+// environment).  Layout notes kept honest: the raw 64-bit offset escape is
+// written low-32-then-high-32 (LASzip's writeInt64 order), and the offset
+// case model is context-switched on the PREVIOUS point's case symbol.
+// ---------------------------------------------------------------------------
+
+#pragma pack(push, 1)
+struct WavepacketData {  // LAS wave-packet block, 29 bytes on disk
+  u8 index;              // wave packet descriptor index
+  u64 offset;            // byte offset to waveform data
+  u32 packet_size;       // waveform packet size in bytes
+  i32 return_point;      // f32 bits: return point waveform location
+  i32 x, y, z;           // f32 bits: parametric dx/dy/dt
+};
+#pragma pack(pop)
+static_assert(sizeof(WavepacketData) == 29, "LAS wave packet is 29 bytes");
+
+struct WavepacketModels {
+  WavepacketData last;
+  u32 sym_last_offset_diff;  // previous offset-case symbol (0..3)
+  i32 last_diff_32;          // last 32-bit offset delta (case-2 predictor)
+  SymbolModel m_packet_index;
+  SymbolModel m_offset_diff[4];  // offset case, context = previous case
+  IntegerCompressor ic_offset_diff, ic_packet_size, ic_return_point, ic_xyz;
+
+  void init(const u8* seed29, bool for_compress) {
+    std::memcpy(&last, seed29, sizeof(WavepacketData));
+    sym_last_offset_diff = 0;
+    last_diff_32 = 0;
+    m_packet_index.init(256, for_compress);
+    for (auto& m : m_offset_diff) m.init(4, for_compress);
+    ic_offset_diff.init(32, 1, for_compress);
+    ic_packet_size.init(32, 1, for_compress);
+    ic_return_point.init(32, 1, for_compress);
+    ic_xyz.init(32, 3, for_compress);
+  }
+};
+
+inline void wavepacket_read(Decoder& dec, WavepacketModels& c, u8* out) {
+  WavepacketData cur;
+  cur.index = static_cast<u8>(dec.decode_symbol(c.m_packet_index));
+  const u32 sym = dec.decode_symbol(c.m_offset_diff[c.sym_last_offset_diff]);
+  c.sym_last_offset_diff = sym;
+  switch (sym) {
+    case 0:  // same offset (re-referenced waveform)
+      cur.offset = c.last.offset;
+      break;
+    case 1:  // contiguous: previous offset + previous size
+      cur.offset = c.last.offset + c.last.packet_size;
+      break;
+    case 2:  // 32-bit delta, predicted by the last delta
+      c.last_diff_32 = c.ic_offset_diff.decompress(dec, c.last_diff_32, 0);
+      cur.offset = static_cast<u64>(static_cast<i64>(c.last.offset) +
+                                    c.last_diff_32);
+      break;
+    default: {  // raw 64-bit escape, low 32 first
+      const u64 lo = dec.read_bits(32);
+      const u64 hi = dec.read_bits(32);
+      cur.offset = (hi << 32) | lo;
+      break;
+    }
+  }
+  cur.packet_size = static_cast<u32>(c.ic_packet_size.decompress(
+      dec, static_cast<i32>(c.last.packet_size), 0));
+  cur.return_point = c.ic_return_point.decompress(dec, c.last.return_point, 0);
+  cur.x = c.ic_xyz.decompress(dec, c.last.x, 0);
+  cur.y = c.ic_xyz.decompress(dec, c.last.y, 1);
+  cur.z = c.ic_xyz.decompress(dec, c.last.z, 2);
+  std::memcpy(out, &cur, sizeof(WavepacketData));
+  c.last = cur;
+}
+
+inline void wavepacket_write(Encoder& enc, WavepacketModels& c,
+                             const u8* cur29) {
+  WavepacketData cur;
+  std::memcpy(&cur, cur29, sizeof(WavepacketData));
+  enc.encode_symbol(c.m_packet_index, cur.index);
+  const i64 diff64 =
+      static_cast<i64>(cur.offset) - static_cast<i64>(c.last.offset);
+  u32 sym;
+  if (cur.offset == c.last.offset) sym = 0;
+  else if (cur.offset == c.last.offset + c.last.packet_size) sym = 1;
+  else if (diff64 == static_cast<i64>(static_cast<i32>(diff64))) sym = 2;
+  else sym = 3;
+  enc.encode_symbol(c.m_offset_diff[c.sym_last_offset_diff], sym);
+  c.sym_last_offset_diff = sym;
+  if (sym == 2) {
+    const i32 d = static_cast<i32>(diff64);
+    c.ic_offset_diff.compress(enc, c.last_diff_32, d, 0);
+    c.last_diff_32 = d;
+  } else if (sym == 3) {
+    enc.write_bits(32, static_cast<u32>(cur.offset));
+    enc.write_bits(32, static_cast<u32>(cur.offset >> 32));
+  }
+  c.ic_packet_size.compress(enc, static_cast<i32>(c.last.packet_size),
+                            static_cast<i32>(cur.packet_size), 0);
+  c.ic_return_point.compress(enc, c.last.return_point, cur.return_point, 0);
+  c.ic_xyz.compress(enc, c.last.x, cur.x, 0);
+  c.ic_xyz.compress(enc, c.last.y, cur.y, 1);
+  c.ic_xyz.compress(enc, c.last.z, cur.z, 2);
+  c.last = cur;
+}
+
+// ---------------------------------------------------------------------------
 // Shared chunked-stream framing, both directions.  The sequential (v2) and
 // layered (v3) codecs differ only in how one chunk is (de)coded; the chunk
 // table, its corruption bounds, stream-written offset==-1 handling,

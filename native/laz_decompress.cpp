@@ -1,5 +1,5 @@
 // LASzip (.laz) point codec: chunked compression/decompression of the
-// LAS point formats 0-3.
+// LAS point formats 0-5.
 //
 // Native counterpart of the reference's use of the Rust `laz` crate for
 // multi-threaded chunk decode (treee/src/laz.rs:130-180).  Implements the
@@ -11,13 +11,16 @@
 //             delta-multiplier models and 64-bit escape
 //   RGB12     (type 8): per-byte used-mask + channel-correlated difference
 //             models
+//   WAVEPACKET13 (type 9, v1): offset-case model (same/contiguous/32-bit
+//             delta/64-bit escape) + delta-coded size/location/direction
+//             (shared core in laszip_core.h, formats 4/5)
 //   BYTE      (type 0): one adaptive 256-symbol folded-difference model per
 //             column (arbitrary extra payload)
 // plus the chunked stream framing with the compressed chunk table.  Both
 // directions are implemented; correctness is established by roundtrip (no
 // .laz ground-truth data exists in this environment) and the framing/item
 // layout matches the published LASzip format, so standard files for formats
-// 0-3 are accepted via their LASzip-VLR item list.
+// 0-5 are accepted via their LASzip-VLR item list.
 //
 // Chunks are independent by construction, so decompression fans out across
 // std::thread workers exactly like the reference's rayon chunk pool.
@@ -517,6 +520,7 @@ enum ItemType : u16 {
   ITEM_POINT10 = 6,
   ITEM_GPSTIME11 = 7,
   ITEM_RGB12 = 8,
+  ITEM_WAVEPACKET13 = 9,
 };
 
 struct ItemSpec {
@@ -525,19 +529,24 @@ struct ItemSpec {
 };
 
 // Standard item layout for the legacy entry points: POINT10 core, GPS time
-// for formats 1/3, RGB for formats 2/3, BYTE for any remaining payload.
+// for formats 1/3/4/5, RGB for formats 2/3/5, wave packets for 4/5, BYTE for
+// any remaining payload.
 static bool infer_items(u8 fmt, u32 point_length, std::vector<ItemSpec>* out) {
-  if (fmt > 3 || point_length < sizeof(Point10)) return false;
+  if (fmt > 5 || point_length < sizeof(Point10)) return false;
   out->clear();
   out->push_back({ITEM_POINT10, 20});
   u32 used = 20;
-  if (fmt == 1 || fmt == 3) {
+  if (fmt == 1 || fmt == 3 || fmt == 4 || fmt == 5) {
     out->push_back({ITEM_GPSTIME11, 8});
     used += 8;
   }
-  if (fmt == 2 || fmt == 3) {
+  if (fmt == 2 || fmt == 3 || fmt == 5) {
     out->push_back({ITEM_RGB12, 6});
     used += 6;
+  }
+  if (fmt == 4 || fmt == 5) {
+    out->push_back({ITEM_WAVEPACKET13, 29});
+    used += 29;
   }
   if (point_length < used) return false;
   if (point_length > used)
@@ -551,6 +560,7 @@ struct ItemState {
   Point10Codec p10;
   GpsTime11Codec gps;
   Rgb12Codec rgb;
+  WavepacketModels wp;  // WAVEPACKET13 v1 == the shared core, flat state
   ByteCodec bytes;
 
   int init(const u8* first, bool for_compress) {
@@ -569,6 +579,10 @@ struct ItemState {
       case ITEM_RGB12:
         if (size != 6) return 2;
         rgb.init(first, for_compress);
+        return 0;
+      case ITEM_WAVEPACKET13:
+        if (size != 29) return 2;
+        wp.init(first, for_compress);
         return 0;
       case ITEM_BYTE:
         bytes.init(first, size, for_compress);
@@ -592,6 +606,9 @@ struct ItemState {
       case ITEM_RGB12:
         rgb.read(dec, dst);
         break;
+      case ITEM_WAVEPACKET13:
+        wavepacket_read(dec, wp, dst);
+        break;
       case ITEM_BYTE:
         bytes.read(dec, dst);
         break;
@@ -611,6 +628,9 @@ struct ItemState {
         break;
       case ITEM_RGB12:
         rgb.write(enc, src);
+        break;
+      case ITEM_WAVEPACKET13:
+        wavepacket_write(enc, wp, src);
         break;
       case ITEM_BYTE:
         bytes.write(enc, src);
@@ -694,11 +714,27 @@ static int compress_chunk(const u8* records, u32 n_points,
   return 0;
 }
 
+// Up-front item validation, mirroring the layered codec's item_supported():
+// unsupported items must report rc=2 regardless of the stream's framing
+// state (a corrupt chunk table would otherwise mask them as rc=1).
+static bool item_supported(const ItemSpec& it) {
+  switch (it.type) {
+    case ITEM_POINT10: return it.size == 20;
+    case ITEM_GPSTIME11: return it.size == 8;
+    case ITEM_RGB12: return it.size == 6;
+    case ITEM_WAVEPACKET13: return it.size == 29;
+    case ITEM_BYTE: return it.size > 0;
+    default: return false;
+  }
+}
+
 static int decompress_stream(const u8* file, u64 file_len,
                              u64 point_data_offset, u32 n_points,
                              u32 point_length,
                              const std::vector<ItemSpec>& items, u32 chunk_size,
                              u8* out, i32 n_threads) {
+  for (const auto& it : items)
+    if (!item_supported(it)) return 2;
   // framing (chunk table, bounds, offset==-1, variable chunks, worker
   // pool) is shared with the layered codec: laszip_core.h
   return chunked_decompress_stream(

@@ -1,5 +1,6 @@
-// LASzip layered (v3) point codec: LAS 1.4 point formats 6-8 (.laz
-// "compressor 3" streams with POINT14 / RGB14 / RGBNIR14 / BYTE14 items).
+// LASzip layered (v3) point codec: LAS 1.4 point formats 6-10 (.laz
+// "compressor 3" streams with POINT14 / RGB14 / RGBNIR14 / WAVEPACKET14 /
+// BYTE14 items).
 //
 // Native counterpart of the reference's layered decompressor path
 // (treee/src/laz.rs:147-159: item version 3|4 -> LayeredPointRecordDecompressor
@@ -726,6 +727,46 @@ struct Nir14Codec {
   }
 };
 
+// WAVEPACKET14 v3: the v1 wave-packet scheme (shared core, laszip_core.h)
+// with per-scanner-channel contexts + its own layer.
+struct Wavepacket14Codec {
+  bool compressing = false;
+  u32 current = 0;
+  struct Ctx {
+    bool unused = true;
+    WavepacketModels m;
+  } ctx[4];
+
+  void init(const u8* first29, u32 context, bool for_compress) {
+    compressing = for_compress;
+    for (auto& c : ctx) c.unused = true;
+    current = context & 3;
+    ctx[current].m.init(first29, for_compress);
+    ctx[current].unused = false;
+  }
+
+  Ctx& sync(u32 context) {
+    const u32 tgt = context & 3;
+    if (tgt != current) {
+      if (ctx[tgt].unused) {
+        ctx[tgt].m.init(reinterpret_cast<const u8*>(&ctx[current].m.last),
+                        compressing);
+        ctx[tgt].unused = false;
+      }
+      current = tgt;
+    }
+    return ctx[current];
+  }
+
+  void read(Decoder& dec, u32 context, u8* out) {
+    wavepacket_read(dec, sync(context).m, out);
+  }
+
+  void write(Encoder& enc, u32 context, const u8* cur29) {
+    wavepacket_write(enc, sync(context).m, cur29);
+  }
+};
+
 // BYTE14 v3: per-context, one folded-difference model AND one layer per
 // extra-byte column.
 struct Byte14Codec {
@@ -803,6 +844,7 @@ static u32 item_layers(const LayeredItemSpec& it) {
     case ITEM_POINT14: return P14_LAYERS;
     case ITEM_RGB14: return 1;
     case ITEM_RGBNIR14: return 2;
+    case ITEM_WAVEPACKET14: return 1;
     case ITEM_BYTE14: return it.size;
     default: return 0;
   }
@@ -813,6 +855,7 @@ static bool item_supported(const LayeredItemSpec& it) {
     case ITEM_POINT14: return it.size == 30;
     case ITEM_RGB14: return it.size == 6;
     case ITEM_RGBNIR14: return it.size == 8;
+    case ITEM_WAVEPACKET14: return it.size == 29;
     case ITEM_BYTE14: return it.size > 0;
     default: return false;
   }
@@ -856,6 +899,7 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
   Point14Codec p14;
   Rgb14Codec rgb;
   Nir14Codec nir;
+  Wavepacket14Codec wp;
   std::vector<Byte14Codec> bytes;
   u32 context = 0;
   {
@@ -880,6 +924,9 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
           nir.init(nv, context, false);
           break;
         }
+        case ITEM_WAVEPACKET14:
+          wp.init(out + off, context, false);
+          break;
         case ITEM_BYTE14:
           bytes.emplace_back();
           bytes.back().init(out + off, it.size, context, false);
@@ -913,6 +960,9 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
           std::memcpy(rec + off + 6, &nv, 2);
           break;
         }
+        case ITEM_WAVEPACKET14:
+          wp.read(dec[layer], context, rec + off);
+          break;
         case ITEM_BYTE14:
           bytes[byte_codec++].read(&dec[layer], context, rec + off);
           break;
@@ -949,6 +999,7 @@ int compress_chunk(const u8* records, u32 n_points,
   Point14Codec p14;
   Rgb14Codec rgb;
   Nir14Codec nir;
+  Wavepacket14Codec wp;
   std::vector<Byte14Codec> bytes;
   u32 context = 0;
   {
@@ -972,6 +1023,9 @@ int compress_chunk(const u8* records, u32 n_points,
           nir.init(nv, context, true);
           break;
         }
+        case ITEM_WAVEPACKET14:
+          wp.init(records + off, context, true);
+          break;
         case ITEM_BYTE14:
           bytes.emplace_back();
           bytes.back().init(records + off, it.size, context, true);
@@ -1005,6 +1059,9 @@ int compress_chunk(const u8* records, u32 n_points,
           nir.write(enc[layer + 1], context, nv);
           break;
         }
+        case ITEM_WAVEPACKET14:
+          wp.write(enc[layer], context, rec + off);
+          break;
         case ITEM_BYTE14:
           bytes[byte_codec++].write(&enc[layer], context, rec + off);
           break;

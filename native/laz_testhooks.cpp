@@ -27,6 +27,30 @@ void treee_laz_test_median5(const laszip::i32* values, laszip::u32 n,
   }
 }
 
+// Encode a wave-packet transition (last -> cur) with a fresh WavepacketModels
+// and return the offset-case SYMBOL actually emitted (0 same / 1 contiguous /
+// 2 32-bit delta / 3 raw 64-bit escape), extracted by decoding the stream:
+// first the 256-symbol packet-index model, then the 4-symbol case model, both
+// identically initialized.  Pins the documented case mapping against
+// hand-derived expectations instead of roundtrip symmetry.
+laszip::u32 treee_laz_test_wavepacket_offset_sym(const laszip::u8* last29,
+                                                 const laszip::u8* cur29) {
+  using namespace laszip;
+  WavepacketModels codec;
+  codec.init(last29, /*for_compress=*/true);
+  Encoder enc;
+  enc.init();
+  wavepacket_write(enc, codec, cur29);
+  enc.done();
+  Decoder dec;
+  dec.init(enc.out.data(), enc.out.size());
+  SymbolModel m_index, m_case;
+  m_index.init(256, /*for_compress=*/false);
+  m_case.init(4, /*for_compress=*/false);
+  dec.decode_symbol(m_index);
+  return dec.decode_symbol(m_case);
+}
+
 // Compress (pred, real) pairs through an IntegerCompressor, then decompress;
 // record the decoded values and the encoder's k (corrector bit width) per
 // step.  Returns 0 on success.

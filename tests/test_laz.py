@@ -352,22 +352,102 @@ def test_layered_corrupt_streams(tmp_path):
         las.load(bytes(bad))
 
 
-def test_wavepacket_items_rejected():
-    """WAVEPACKET14 (type 13) streams are refused as unsupported, not
-    misdecoded."""
+def _wavepacket_block(rng, n):
+    """Realistic 29-byte wave-packet blocks exercising all four offset cases:
+    contiguous packets (offset = prev + size), re-referenced packets (same
+    offset), 32-bit jumps, and >32-bit jumps (raw 64-bit escape)."""
+    idx = rng.integers(0, 4, n).astype(np.uint8)
+    size = rng.integers(100, 5000, n).astype("<u8")
+    off = np.cumsum(size) + 1000                      # mostly contiguous
+    off[n // 4: n // 4 + 50] = off[n // 4]            # repeats (case 0)
+    off[n // 2: n // 2 + 100] += 3_000_000_000        # beyond i32 (case 3)
+    off = off.astype("<u8")
+    wp = np.zeros((n, 29), np.uint8)
+    wp[:, 0] = idx
+    wp[:, 1:9] = off.view(np.uint8).reshape(n, 8)
+    wp[:, 9:13] = size.astype("<u4").view(np.uint8).reshape(n, 4)
+    wp[:, 13:17] = (rng.random(n).astype("<f4") * 100).view(np.uint8).reshape(n, 4)
+    d = rng.standard_normal((n, 3)).astype("<f4")
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wp[:, 17:29] = d.astype("<f4").view(np.uint8).reshape(n, 12)
+    return wp
+
+
+def test_wavepacket_formats_roundtrip():
+    """Formats 4/5 (waveform LiDAR) through the sequential WAVEPACKET13 v1
+    item codec; the reference ingests these via the laz crate
+    (laz.rs:147-159)."""
+    rng = np.random.default_rng(41)
+    n = 15_000
+    for fmt in (4, 5):
+        length = las.POINT_LENGTHS[fmt]
+        rec = np.zeros((n, length), np.uint8)
+        xyz = np.cumsum(rng.integers(-80, 80, (n, 3)), axis=0).astype("<i4")
+        rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+        rec[:, 14] = 0b001001
+        rec[:, 20:28] = _gps_times(rng, n).view(np.uint8).reshape(n, 8)
+        off = 28
+        if fmt == 5:
+            rgb = (rng.integers(0, 256, (n, 3)) * 257).astype("<u2")
+            rec[:, 28:34] = rgb.view(np.uint8).reshape(n, 6)
+            off = 34
+        rec[:, off:off + 29] = _wavepacket_block(rng, n)
+        stream = laz_native.compress(rec, length, base_offset=0,
+                                     chunk_size=6_000, point_format=fmt)
+        out = _decompress_items(stream, n, length, fmt, 6_000)
+        np.testing.assert_array_equal(out, rec)
+        assert len(stream) < 0.7 * rec.nbytes  # actually compresses
+    items = laz_native.standard_items(4, las.POINT_LENGTHS[4])
+    assert items[-1] == {"type": 9, "size": 29, "version": 1}
+
+
+def test_layered_wavepacket_roundtrip():
+    """Formats 9/10 through the layered WAVEPACKET14 v3 codec, including
+    scanner-channel context switches mid-stream."""
+    rng = np.random.default_rng(43)
+    n = 15_000
+    for fmt in (9, 10):
+        length = las.POINT_LENGTHS[fmt]
+        rec = _point14_records(rng, n, length, 6)  # POINT14 core fields
+        off = 30
+        if fmt == 10:
+            rgbn = (rng.integers(0, 256, (n, 4)) * 257).astype("<u2")
+            rec[:, 30:38] = rgbn.view(np.uint8).reshape(n, 8)
+            off = 38
+        rec[:, off:off + 29] = _wavepacket_block(rng, n)
+        stream = laz_native.compress(rec, length, base_offset=0,
+                                     chunk_size=6_000, point_format=fmt)
+        out = _decompress_layered(stream, n, length, fmt, 6_000)
+        np.testing.assert_array_equal(out, rec)
+    info = laz_native.parse_vlr(
+        laz_native.make_vlr(point_length=las.POINT_LENGTHS[9],
+                            point_format=9))
+    assert info["items"] == [
+        {"type": 10, "size": 30, "version": 3},
+        {"type": 13, "size": 29, "version": 3},
+    ]
+
+
+def test_wavepacket_bad_size_rejected():
+    """A wave-packet item whose size is not 29 is refused (rc=2), not
+    misdecoded, in both framing generations."""
     import ctypes
 
     lib = native_build.load_library()
-    types = np.asarray([10, 13], np.uint16)
-    sizes = np.asarray([30, 29], np.uint16)
-    out = np.empty(10 * 59, np.uint8)
-    rc = lib.treee_laz_decompress_layered(
-        b"\0" * 128, 128, 0, 10, 59,
-        types.ctypes.data_as(ctypes.c_void_p),
-        sizes.ctypes.data_as(ctypes.c_void_p), 2,
-        50_000, out.ctypes.data_as(ctypes.c_void_p), 0,
-    )
-    assert rc == 2
+    out = np.empty(10 * 58, np.uint8)
+    for entry, types, core_size in (
+        (lib.treee_laz_decompress_layered, [10, 13], 30),
+        (lib.treee_laz_decompress_items, [6, 9], 20),
+    ):
+        t = np.asarray(types, np.uint16)
+        s = np.asarray([core_size, 28], np.uint16)  # 28 != the required 29
+        rc = entry(
+            b"\0" * 128, 128, 0, 10, int(s.sum()),
+            t.ctypes.data_as(ctypes.c_void_p),
+            s.ctypes.data_as(ctypes.c_void_p), 2,
+            50_000, out.ctypes.data_as(ctypes.c_void_p), 0,
+        )
+        assert rc == 2
 
 
 def test_v2_truncated_chunk_rejected(tmp_path):

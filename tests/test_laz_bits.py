@@ -160,3 +160,36 @@ def test_chunk_table_corrector():
     # similar sizes compress far below 4 bytes each through the
     # previous-size prediction in context 1
     assert 0 < slen.value < 4 * len(sizes)
+
+
+def _wp29(index=0, offset=0, size=0, loc=0.0, dxyz=(0.0, 0.0, 0.0)):
+    buf = np.zeros(29, np.uint8)
+    buf[0] = index
+    buf[1:9] = np.asarray([offset], "<u8").view(np.uint8)
+    buf[9:13] = np.asarray([size], "<u4").view(np.uint8)
+    buf[13:17] = np.asarray([loc], "<f4").view(np.uint8)
+    buf[17:29] = np.asarray(dxyz, "<f4").view(np.uint8)
+    return buf
+
+
+def test_wavepacket_offset_case_symbols():
+    """WAVEPACKET13/14 offset-case mapping: 0 = same offset (re-referenced
+    waveform), 1 = contiguous (prev offset + prev size), 2 = 32-bit delta,
+    3 = raw 64-bit escape.  Hand-built transitions, symbol extracted from the
+    real encoder's stream."""
+    fn = lib.treee_laz_test_wavepacket_offset_sym
+    fn.restype = ctypes.c_uint32
+    last = _wp29(index=2, offset=10_000, size=500)
+
+    def sym(cur):
+        return fn(last.ctypes.data_as(ctypes.c_void_p),
+                  cur.ctypes.data_as(ctypes.c_void_p))
+
+    assert sym(_wp29(offset=10_000, size=700)) == 0          # same offset
+    assert sym(_wp29(offset=10_500, size=700)) == 1          # prev + size
+    assert sym(_wp29(offset=9_000, size=700)) == 2           # small delta
+    assert sym(_wp29(offset=10_000 + (1 << 40), size=1)) == 3  # 64-bit escape
+    # boundary: a delta of exactly INT32_MAX still rides case 2
+    assert sym(_wp29(offset=10_000 + 0x7FFFFFFF, size=1)) == 2
+    # one beyond INT32_MAX needs the escape
+    assert sym(_wp29(offset=10_000 + 0x80000000, size=1)) == 3

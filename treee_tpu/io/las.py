@@ -221,7 +221,8 @@ def load(source, center: np.ndarray | None = None, max_points: int | None = None
 
 
 # Record length per LAS point format (ASPRS spec).
-POINT_LENGTHS = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
+POINT_LENGTHS = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
+                 6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
 
 
 def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,

@@ -50,41 +50,50 @@ def parse_vlr(payload: bytes) -> dict:
 
 
 # LASzip item types (published constants): BYTE=0, POINT10=6, GPSTIME11=7,
-# RGB12=8 (sequential v2, LAS point formats 0-3); POINT14=10, RGB14=11,
+# RGB12=8, WAVEPACKET13=9 (sequential, LAS point formats 0-5; all v2 items
+# except the wave packet, which only exists as v1); POINT14=10, RGB14=11,
 # RGBNIR14=12, WAVEPACKET14=13, BYTE14=14 (layered v3, LAS 1.4 formats 6+).
 ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12 = 0, 6, 7, 8
+ITEM_WAVEPACKET13 = 9
 ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14 = 10, 11, 12
 ITEM_WAVEPACKET14, ITEM_BYTE14 = 13, 14
 
-_LAYERED_TYPES = (ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_BYTE14)
+_LAYERED_TYPES = (ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_WAVEPACKET14,
+                  ITEM_BYTE14)
 
 
 def standard_items(point_format: int, point_length: int) -> list[dict]:
-    """The LASzip item sequence for a LAS point format 0-3 (sequential v2)
-    or 6-8 (layered v3) record."""
-    if 0 <= point_format <= 3:
+    """The LASzip item sequence for a LAS point format 0-5 (sequential) or
+    6-10 (layered v3) record."""
+    if 0 <= point_format <= 5:
         items = [{"type": ITEM_POINT10, "size": 20, "version": 2}]
         used = 20
-        if point_format in (1, 3):
+        if point_format in (1, 3, 4, 5):
             items.append({"type": ITEM_GPSTIME11, "size": 8, "version": 2})
             used += 8
-        if point_format in (2, 3):
+        if point_format in (2, 3, 5):
             items.append({"type": ITEM_RGB12, "size": 6, "version": 2})
             used += 6
+        if point_format in (4, 5):
+            items.append({"type": ITEM_WAVEPACKET13, "size": 29, "version": 1})
+            used += 29
         tail = {"type": ITEM_BYTE, "version": 2}
-    elif 6 <= point_format <= 8:
+    elif 6 <= point_format <= 10:
         items = [{"type": ITEM_POINT14, "size": 30, "version": 3}]
         used = 30
         if point_format == 7:
             items.append({"type": ITEM_RGB14, "size": 6, "version": 3})
             used += 6
-        if point_format == 8:
+        if point_format in (8, 10):
             items.append({"type": ITEM_RGBNIR14, "size": 8, "version": 3})
             used += 8
+        if point_format in (9, 10):
+            items.append({"type": ITEM_WAVEPACKET14, "size": 29, "version": 3})
+            used += 29
         tail = {"type": ITEM_BYTE14, "version": 3}
     else:
         raise UnsupportedFormat(
-            f"point format {point_format} (0-3 and 6-8 supported)"
+            f"point format {point_format} (0-10 supported)"
         )
     if point_length < used:
         raise CorruptFile(
@@ -98,8 +107,8 @@ def standard_items(point_format: int, point_length: int) -> list[dict]:
 
 def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20,
              point_format: int = 0) -> bytes:
-    """LASzip VLR payload: chunked v2 (formats 0-3) or layered v3 (formats
-    6-8) items for the given point format."""
+    """LASzip VLR payload: sequential chunked (formats 0-5) or layered v3
+    (formats 6-10) items for the given point format."""
     items = standard_items(point_format, point_length)
     packed = [struct.pack("<HHH", it["type"], it["size"], it["version"])
               for it in items]
@@ -125,19 +134,22 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
     if info["coder"] != 0:
         raise UnsupportedFormat(f"LASzip coder {info['coder']} not supported")
     items = info["items"]
-    if info["compressor"] == 2:  # sequential chunked (formats 0-3)
+    if info["compressor"] == 2:  # sequential chunked (formats 0-5)
+        def seq_ok(it):
+            # the native codec implements the v2 item coding ONLY (v1 uses
+            # different corrector/model layouts, so accepting it here would
+            # silently decode garbage instead of raising) — except the wave
+            # packet, whose only published sequential coding is v1
+            if it["type"] == ITEM_WAVEPACKET13:
+                return it["version"] == 1
+            return (it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12,
+                                   ITEM_BYTE)
+                    and it["version"] == 2)
+
         ok = (
             len(items) >= 1
             and items[0]["type"] == ITEM_POINT10
-            and all(
-                it["type"] in (ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12,
-                               ITEM_BYTE)
-                # the native codec implements the v2 item coding ONLY: v1
-                # uses different corrector/model layouts, so accepting it
-                # here would silently decode garbage instead of raising
-                and it["version"] == 2
-                for it in items
-            )
+            and all(seq_ok(it) for it in items)
         )
         entry = "treee_laz_decompress_items"
     elif info["compressor"] == 3:  # layered chunked (LAS 1.4 formats 6+)
@@ -159,8 +171,8 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
         )
     if not ok:
         raise UnsupportedFormat(
-            f"LASzip items {items} (sequential v2 POINT10-family and layered "
-            "v3 POINT14-family implemented; WAVEPACKET items are not)"
+            f"LASzip items {items} (sequential POINT10-family v2 + "
+            "WAVEPACKET13 v1, and layered v3 POINT14-family, implemented)"
         )
     if sum(it["size"] for it in items) != header.point_length:
         raise CorruptFile("LASzip item sizes disagree with the point length")
@@ -188,8 +200,8 @@ def compress(records: np.ndarray, point_length: int, base_offset: int,
              chunk_size: int = DEFAULT_CHUNK_SIZE,
              point_format: int = 0) -> bytes:
     """Compress raw point records into a chunked LAZ stream using the
-    standard item sequence for ``point_format`` (sequential v2 for formats
-    0-3, layered v3 for formats 6-8)."""
+    standard item sequence for ``point_format`` (sequential for formats
+    0-5, layered v3 for formats 6-10)."""
     if point_length < 20:
         raise UnsupportedFormat("point record shorter than the POINT10 core")
     items = standard_items(point_format, point_length)
