@@ -15,6 +15,7 @@ Env knobs: BENCH_POINTS (default 15_000_000), BENCH_FRAMES (default 8).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -384,10 +385,13 @@ def main() -> None:
 
     # full-cloud edit + re-render (the round-1 metric, kept for comparison):
     # measured scatter floor at 15M rows is ~122 ms/frame (profile_frame.py),
-    # so this is ~= edit + full frame by construction.  Optional: the extra
-    # un-donated cloud copy can exhaust HBM at 30M — skip rather than die.
+    # so this is ~= edit + full frame by construction.  The cloud is DONATED
+    # (it is consumed and rebound every call), so the edit mutates in place
+    # instead of allocating a second 15M-point copy — the copy is what
+    # OOM'd this metric at 30M in round 2.  Still optional: skip rather
+    # than die if HBM is exhausted anyway.
     try:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def edit_and_full_frame(cloud, center, cam):
             c2 = edit_mod.remove_points(cloud, center, 2.0, 0)
             prop = splat.prop_from_segment(c2.segment)

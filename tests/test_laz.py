@@ -466,7 +466,7 @@ def test_v2_truncated_chunk_rejected(tmp_path):
         las.load(bytes(bad))
 
 
-@pytest.mark.parametrize("fmt", [0, 6])  # sequential v2 and layered v3
+@pytest.mark.parametrize("fmt", [0, 6, 9])  # sequential, layered, wavepacket
 def test_corruption_fuzz_no_uncaught_errors(tmp_path, fmt):
     """Single-bit flips and 4-byte field fills anywhere in a .laz either
     decode (garbage points are fine — arithmetic coding has no integrity

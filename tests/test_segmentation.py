@@ -225,3 +225,44 @@ def test_bruteforce_voronoi_matches_and_is_optimal():
         d_bf = winner_dist(sg_bf, b, ix, iz)
         d_jfa = winner_dist(sg_jfa, b, ix, iz)
         assert d_bf <= d_jfa + 1e-5, (b, ix, iz, d_bf, d_jfa)
+
+
+def test_sorted_extract_matches_topk():
+    """The sort-based cluster selection (SegmentationConfig.use_sorted_extract,
+    the default — replaces a ~90 ms batched top_k at bench scale) is
+    bit-identical to the top_k path: same biggest-first order, same
+    lowest-index tie-break, same accumulation-target candidate set.
+    Covers a normal forest, a count-tie truncation regime (9 equal clusters,
+    4 slots), and an empty cloud."""
+    import dataclasses
+
+    cfg_t = dataclasses.replace(CFG, use_sorted_extract=False)
+    pts = las.synthetic_forest(n_trees=7, points_per_tree=1200,
+                               ground_points=1800, seed=21)
+    pos, v = jnp.asarray(pts), jnp.ones(len(pts), bool)
+    r_s = segment_points(pos, v, 0.75, CFG)
+    r_t = segment_points(pos, v, 0.75, cfg_t)
+    assert int(r_s.n_segments) == int(r_t.n_segments)
+    np.testing.assert_array_equal(np.asarray(r_s.segment),
+                                  np.asarray(r_t.segment))
+    np.testing.assert_array_equal(np.asarray(r_s.tracked_pos),
+                                  np.asarray(r_t.tracked_pos))
+
+    cfg2 = SegmentationConfig(grid_size=64, max_bands=4, max_segments=32,
+                              max_trees_per_band=4, cc_iters=10)
+    cfg2t = dataclasses.replace(cfg2, use_sorted_extract=False)
+    rng = np.random.default_rng(7)
+    clusters = [rng.normal(0, 0.5, (200, 3)).astype(np.float32)
+                + np.array([(i % 3) * 15.0, 5.0, (i // 3) * 15.0], np.float32)
+                for i in range(9)]
+    pos2 = jnp.asarray(np.concatenate(clusters))
+    v2 = jnp.ones(pos2.shape[0], bool)
+    r_s = segment_points(pos2, v2, 0.75, cfg2)
+    r_t = segment_points(pos2, v2, 0.75, cfg2t)
+    np.testing.assert_array_equal(np.asarray(r_s.segment),
+                                  np.asarray(r_t.segment))
+
+    r_s = segment_points(jnp.zeros((64, 3)), jnp.zeros(64, bool), 0.75, cfg2)
+    r_t = segment_points(jnp.zeros((64, 3)), jnp.zeros(64, bool), 0.75, cfg2t)
+    np.testing.assert_array_equal(np.asarray(r_s.segment),
+                                  np.asarray(r_t.segment))

@@ -95,12 +95,12 @@ def main() -> None:
                                            cfg.cc_occupied_cap)
     )(occupied)
     cnt = jnp.where(occupied, 5, 0).astype(jnp.int32)
-    cell_center = jnp.zeros((g, g, 2), jnp.float32)
+    lo0 = jnp.zeros(3, jnp.float32)
 
     timeit("_extract_clusters (full)",
            jax.jit(lambda l, c: sg._extract_clusters(
-               l, c, cell_center, cfg.max_trees_per_band, cfg.min_points,
-               occ_idx, occ_valid)), lbl, cnt)
+               l, c, lo0, jnp.float32(0.75), cfg.max_trees_per_band,
+               cfg.min_points, occ_idx, occ_valid)), lbl, cnt)
 
     score = jnp.asarray(rng.integers(0, 1000, (b, g * g)).astype(np.int32))
 

@@ -84,17 +84,33 @@ def main() -> None:
 
     bench("band_scan TOTAL", lambda c: sg.band_scan(c, lo, s, d, cfg)[0], cnt)
 
-    def cc_extract(c):
+    def cc_extract(c, use_sorted=True):
         cell_center = jnp.stack(
             [lo[0] + (jax.lax.broadcasted_iota(jnp.float32, (g, g), 0) + 0.5) * s,
              lo[2] + (jax.lax.broadcasted_iota(jnp.float32, (g, g), 1) + 0.5) * s],
             axis=-1)
+        # match band_scan's defaults (Pallas CC auto-on on TPU) so this
+        # line itemizes honestly against TOTAL; without the flag this
+        # measured the slower XLA CC and inflated "extract" by ~30 ms
         labels, occ_idx, occ_valid = sg._connected_components(
-            c > 0, cfg.cc_iters, cfg.cc_occupied_cap)
-        return sg._extract_clusters(labels, c, cell_center, c_cap,
-                                    cfg.min_points, occ_idx, occ_valid)
+            c > 0, cfg.cc_iters, cfg.cc_occupied_cap,
+            pallas_sweeps=(cfg.cc_pallas_sweeps
+                           if jax.default_backend() == "tpu" else 0),
+            pallas_bodies=cfg.cc_pallas_bodies)
+        return sg._extract_clusters(labels, c, lo, s, c_cap,
+                                    cfg.min_points, occ_idx, occ_valid,
+                                    use_sorted=use_sorted)
 
-    bench("cc + extract_clusters", cc_extract, cnt)
+    bench("cc + extract_clusters (sorted)", cc_extract, cnt)
+    bench("cc + extract_clusters (top_k)",
+          lambda c: cc_extract(c, use_sorted=False), cnt)
+    cs, ms_ = jax.jit(cc_extract)(cnt)
+    ct, mt_ = jax.jit(lambda c: cc_extract(c, use_sorted=False))(cnt)
+    ms_np, mt_np = np.asarray(ms_), np.asarray(mt_)
+    same = (ms_np == mt_np).all() and np.array_equal(
+        np.where(ms_np[..., None], np.asarray(cs), 0),
+        np.where(mt_np[..., None], np.asarray(ct), 0))
+    print(f"# sorted == top_k selection: {bool(same)}", flush=True)
 
     cents_b, cmask_b = jax.jit(cc_extract)(cnt)
     cents_b = jax.block_until_ready(cents_b)

@@ -110,6 +110,15 @@ class SegmentationConfig:
     use_pallas_cc: bool | None = None
     cc_pallas_sweeps: int = 48
     cc_pallas_bodies: int = 3
+    # sort-based cluster selection in _extract_clusters: lex-sort the
+    # compacted accumulation-target candidates by (band, -count) instead of
+    # a batched top_k over the full [B, G*G] grid.  Bit-identical selection
+    # (stable sort reproduces top_k's biggest-first order and lowest-index
+    # tie-break; regression-tested).  MEASURED at the 15M bench grid on v5e
+    # (tools/probe_bandscan.py, 2026-08-19): cc+extract 208.3 ms sorted vs
+    # 214.5 top_k (both dominated by the shared CC/scatter work); the full
+    # 15M bench moved 0.899 -> 0.883 s (16.75 -> 16.98 Mpts/s).
+    use_sorted_extract: bool = True
     # whole-band matching scan in one sequential-grid kernel
     # (ops/pallas_kernels.match_scan_pallas).  Tri-state; None = auto (TPU
     # only).  MEASURED on v5e (tools/probe_match.py, 2026-08-18): 10.46 vs
