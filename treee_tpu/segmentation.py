@@ -185,10 +185,13 @@ def _extract_clusters(
     top_k path for comparison.
 
     CAVEAT: occupied cells beyond the compaction capacity contribute neither
-    counts nor centroid weight (they also lose the CC jump shortcut) — at the
-    default 512k cap that needs >3.5 fully dense 384^2 bands, far denser than
-    forest scans; raise SegmentationConfig.cc_occupied_cap for pathological
-    density.  Returns (centroids f32[B,C,2], mask bool[B,C]).
+    counts nor centroid weight (they also lose the CC jump shortcut), and in
+    the sorted path an accumulation target that itself lies beyond the cap is
+    not a candidate at all (top_k scanned the full grid and could still find
+    it) — at the default 512k cap that needs >3.5 fully dense 384^2 bands,
+    far denser than forest scans; the ``occupied_overflow`` flag marks the
+    regime and SegmentationConfig.cc_occupied_cap raises it.  Returns
+    (centroids f32[B,C,2], mask bool[B,C]).
     """
     b, g, _ = labels.shape
     gg = g * g
