@@ -554,6 +554,21 @@ static bool infer_items(u8 fmt, u32 point_length, std::vector<ItemSpec>* out) {
   return true;
 }
 
+// Single source of truth for the per-item size constraints: used by the
+// stream-level up-front validation (unsupported items must report rc=2
+// regardless of the framing state — a corrupt chunk table would otherwise
+// mask them as rc=1) AND by ItemState::init below.
+static bool item_supported(const ItemSpec& it) {
+  switch (it.type) {
+    case ITEM_POINT10: return it.size == 20;
+    case ITEM_GPSTIME11: return it.size == 8;
+    case ITEM_RGB12: return it.size == 6;
+    case ITEM_WAVEPACKET13: return it.size == 29;
+    case ITEM_BYTE: return it.size > 0;
+    default: return false;
+  }
+}
+
 struct ItemState {
   u16 type = 0;
   u32 offset = 0, size = 0;
@@ -564,24 +579,21 @@ struct ItemState {
   ByteCodec bytes;
 
   int init(const u8* first, bool for_compress) {
+    if (!item_supported({type, static_cast<u16>(size)})) return 2;
     switch (type) {
       case ITEM_POINT10: {
-        if (size != 20) return 2;
         Point10 p;
         std::memcpy(&p, first, sizeof(Point10));
         p10.init(p, for_compress);
         return 0;
       }
       case ITEM_GPSTIME11:
-        if (size != 8) return 2;
         gps.init(first, for_compress);
         return 0;
       case ITEM_RGB12:
-        if (size != 6) return 2;
         rgb.init(first, for_compress);
         return 0;
       case ITEM_WAVEPACKET13:
-        if (size != 29) return 2;
         wp.init(first, for_compress);
         return 0;
       case ITEM_BYTE:
@@ -712,20 +724,6 @@ static int compress_chunk(const u8* records, u32 n_points,
   enc.done();
   out->insert(out->end(), enc.out.begin(), enc.out.end());
   return 0;
-}
-
-// Up-front item validation, mirroring the layered codec's item_supported():
-// unsupported items must report rc=2 regardless of the stream's framing
-// state (a corrupt chunk table would otherwise mask them as rc=1).
-static bool item_supported(const ItemSpec& it) {
-  switch (it.type) {
-    case ITEM_POINT10: return it.size == 20;
-    case ITEM_GPSTIME11: return it.size == 8;
-    case ITEM_RGB12: return it.size == 6;
-    case ITEM_WAVEPACKET13: return it.size == 29;
-    case ITEM_BYTE: return it.size > 0;
-    default: return false;
-  }
 }
 
 static int decompress_stream(const u8* file, u64 file_len,

@@ -353,14 +353,29 @@ def test_layered_corrupt_streams(tmp_path):
 
 
 def _wavepacket_block(rng, n):
-    """Realistic 29-byte wave-packet blocks exercising all four offset cases:
-    contiguous packets (offset = prev + size), re-referenced packets (same
-    offset), 32-bit jumps, and >32-bit jumps (raw 64-bit escape)."""
+    """Realistic 29-byte wave-packet blocks exercising all four offset cases
+    BY CONSTRUCTION: contiguous packets (offset = prev offset + prev size,
+    case 1), re-referenced packets (same offset, case 0), +/-32-bit jumps
+    (case 2), and >32-bit jumps with a NONZERO HIGH WORD (case 3 — both
+    halves of the raw 64-bit escape must survive)."""
     idx = rng.integers(0, 4, n).astype(np.uint8)
-    size = rng.integers(100, 5000, n).astype("<u8")
-    off = np.cumsum(size) + 1000                      # mostly contiguous
-    off[n // 4: n // 4 + 50] = off[n // 4]            # repeats (case 0)
-    off[n // 2: n // 2 + 100] += 3_000_000_000        # beyond i32 (case 3)
+    size = rng.integers(100, 5000, n).astype(np.uint64)
+    kind = rng.choice(4, n, p=[0.15, 0.6, 0.15, 0.1])
+    off = np.zeros(n, np.uint64)
+    off[0] = 1000
+    for i in range(1, n):
+        if kind[i] == 0:    # re-referenced waveform
+            off[i] = off[i - 1]
+        elif kind[i] == 1:  # contiguous
+            off[i] = off[i - 1] + size[i - 1]
+        elif kind[i] == 2:  # 32-bit jump, either direction
+            jump = np.uint64(rng.integers(1, 1_000_000))
+            if rng.random() < 0.5 or off[i - 1] < 2_000_000:
+                off[i] = off[i - 1] + jump
+            else:
+                off[i] = off[i - 1] - jump
+        else:               # 64-bit escape, high word nonzero
+            off[i] = off[i - 1] + (np.uint64(rng.integers(1, 1000)) << 40)
     off = off.astype("<u8")
     wp = np.zeros((n, 29), np.uint8)
     wp[:, 0] = idx
@@ -675,3 +690,27 @@ def test_short_point_length_rejected(tmp_path):
     open(path, "wb").write(bytes(data))
     with pytest.raises(ValueError):
         las.load(path)
+
+
+def test_wavepacket_file_header_is_las13(tmp_path):
+    """Waveform formats 4/5 must be written as LAS 1.3 (235-byte header with
+    the u64 'Start of Waveform Data Packet Record' field) — strict external
+    readers reject point formats 4/5 under version 1.2."""
+    rng = np.random.default_rng(47)
+    pos = rng.uniform(-20, 20, (30_000, 3)).astype(np.float32)
+    for fmt, write in ((4, las.write_laz), (5, las.write_las)):
+        path = str(tmp_path / f"wp{fmt}.laz")
+        write(path, pos, point_format=fmt)
+        scan = las.load(path)
+        assert scan.header.version_minor == 3
+        assert scan.header.header_size == 235
+        assert scan.header.point_format == fmt
+        recovered = scan.pos + scan.world_offset.astype(np.float32)
+        np.testing.assert_allclose(recovered, pos, atol=2e-3)
+    # formats 0-3 stay 1.2, formats 6+ stay 1.4
+    p0 = str(tmp_path / "f0.las")
+    las.write_las(p0, pos, point_format=0)
+    assert las.load(p0).header.version_minor == 2
+    p6 = str(tmp_path / "f6.las")
+    las.write_las(p6, pos, point_format=6)
+    assert las.load(p6).header.version_minor == 4

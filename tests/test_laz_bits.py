@@ -193,3 +193,61 @@ def test_wavepacket_offset_case_symbols():
     assert sym(_wp29(offset=10_000 + 0x7FFFFFFF, size=1)) == 2
     # one beyond INT32_MAX needs the escape
     assert sym(_wp29(offset=10_000 + 0x80000000, size=1)) == 3
+
+
+def test_golden_stream_hashes():
+    """Byte-exact golden pins of the encoder output for one fixed input per
+    point format.  Roundtrip symmetry cannot see a change that lands in both
+    directions at once; these hashes make ANY codec-stream change loud and
+    deliberate (update the table only with an explicit compatibility note)."""
+    import hashlib
+
+    from treee_tpu.io import las, laz_native
+
+    golden = {
+        0: ("816370c01fb5d0ee", 12445),
+        1: ("12c03c482d48adac", 14468),
+        2: ("874e7b03e554f7c2", 37858),
+        3: ("201e2025de19ac07", 39879),
+        4: ("9fb5da203cc5f050", 27910),
+        5: ("90da3b88240ac433", 53339),
+        6: ("d678852161880ec2", 17026),
+        7: ("55787b6ca6bb94e0", 17550),
+        8: ("c68f60f16654aaee", 17602),
+        9: ("e7569be8914a18cb", 18786),
+        10: ("cc37f6acf60a40b9", 19362),
+    }
+
+    def records(fmt):
+        rng = np.random.default_rng(1234)
+        n = 4096
+        length = las.POINT_LENGTHS[fmt]
+        rec = np.zeros((n, length), np.uint8)
+        xyz = np.cumsum(rng.integers(-64, 64, (n, 3)), axis=0).astype("<i4")
+        rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+        rec[:, 14] = 0b0010001 if fmt >= 6 else 0b001001
+        if fmt in (1, 3, 4, 5):
+            t = (np.arange(n) * 1e-4 + 3e5).astype("<f8")
+            rec[:, 20:28] = t.view(np.uint8).reshape(n, 8)
+        if fmt in (2, 3, 5):
+            o = 28 if fmt in (3, 5) else 20
+            rgb = (rng.integers(0, 256, (n, 3)) * 257).astype("<u2")
+            rec[:, o:o + 6] = rgb.view(np.uint8).reshape(n, 6)
+        if fmt in (4, 5):
+            o = length - 29
+            sz = rng.integers(100, 1000, n).astype("<u4")
+            off = (np.cumsum(sz.astype(np.uint64)) + 7).astype("<u8")
+            rec[:, o] = rng.integers(0, 3, n)
+            rec[:, o + 1:o + 9] = off.view(np.uint8).reshape(n, 8)
+            rec[:, o + 9:o + 13] = sz.view(np.uint8).reshape(n, 4)
+        if fmt >= 6:
+            t = (np.arange(n) * 1e-4 + 3e5).astype("<f8")
+            rec[:, 22:30] = t.view(np.uint8).reshape(n, 8)
+        return rec, length
+
+    for fmt, (digest, size) in golden.items():
+        rec, length = records(fmt)
+        stream = laz_native.compress(rec, length, 0, chunk_size=1024,
+                                     point_format=fmt)
+        assert len(stream) == size, (fmt, len(stream))
+        assert hashlib.sha256(stream).hexdigest()[:16] == digest, fmt

@@ -130,9 +130,9 @@ def main() -> None:
         ss, sp, cc, lo, sj), seed_slot, seed_pos, cell_center)
     for chunk in (128, 256, 512):
         timeit(f"bruteforce c{chunk}",
-               lambda oi, ov, tr, ac, cc, _c=chunk: sg._bruteforce_voronoi(
-                   oi, ov, tr, ac, cc, b, g, _c),
-               occ_idx, occ_valid, tracked, active, cell_center)
+               lambda oi, ov, tr, ac, _c=chunk: sg._bruteforce_voronoi(
+                   oi, ov, tr, ac, lo, sj, b, g, _c),
+               occ_idx, occ_valid, tracked, active)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,8 @@ class SegmentationConfig:
     # MEASURED on v5e (tools/probe_voronoi.py, 2026-08-18): 5.0-5.2 ms/call
     # at 124,761 occupied cells / 2,104 active slots, vs 7.9 packed /
     # 12.6 plain JFA — and it also deletes the seed-grid scatters the JFA
-    # needs.  chunk in {128,256,512} is within noise.
+    # needs.  chunk in {128,256,512} is within noise.  4.3 ms after the
+    # arithmetic-cell-center fix (no [occ,2] row gather, 2026-08-19).
     use_bruteforce_voronoi: bool = True
     voronoi_chunk: int = 256            # tracked slots per running-min chunk
     # VMEM-resident CC sweeps (ops/pallas_kernels.cc_sweep_pallas): each CC

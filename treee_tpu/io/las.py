@@ -239,6 +239,25 @@ def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
     )
 
 
+def _header13(n, point_format, point_length, offset_to_points, n_vlrs,
+              scale, offset, mins, maxs) -> bytes:
+    """LAS 1.3 public header (235 bytes): the legacy block plus the u64
+    'Start of Waveform Data Packet Record' field — required for the
+    waveform point formats 4/5 (ASPRS LAS 1.3); zero here because records
+    carry no internal waveform block (external/absent waveform data)."""
+    legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
+    head = struct.pack(
+        legacy_fmt,
+        LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 3,
+        b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
+        1, 2026, 235, offset_to_points, n_vlrs, point_format, point_length,
+        n, 0, 0, 0, 0, 0,
+        scale, scale, scale, offset[0], offset[1], offset[2],
+        maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
+    )
+    return head + struct.pack("<Q", 0)
+
+
 def _header14(n, point_format, point_length, offset_to_points, n_vlrs,
               scale, offset, mins, maxs) -> bytes:
     """LAS 1.4 public header (375 bytes): legacy counts zeroed, extended
@@ -259,9 +278,17 @@ def _header14(n, point_format, point_length, offset_to_points, n_vlrs,
 
 def _header_for(n, point_format, point_length, offset_to_points, n_vlrs,
                 scale, mins, maxs) -> bytes:
-    make = _header14 if (point_format & 0x7F) >= 6 else _legacy_header
+    fmt = point_format & 0x7F
+    make = (_header14 if fmt >= 6
+            else _header13 if fmt in (4, 5)
+            else _legacy_header)
     return make(n, point_format, point_length, offset_to_points, n_vlrs,
                 scale, mins, mins, maxs)
+
+
+def _header_size_for(point_format: int) -> int:
+    fmt = point_format & 0x7F
+    return 375 if fmt >= 6 else 235 if fmt in (4, 5) else 227
 
 
 def _records_from_positions(pos_up: np.ndarray, scale: float,
@@ -298,7 +325,7 @@ def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001,
         patched[:, 0:12] = rec[:, 0:12]
         rec = patched
     n = rec.shape[0]
-    header_size = 375 if point_format >= 6 else 227
+    header_size = _header_size_for(point_format)
     buf = _io.BytesIO()
     buf.write(_header_for(n, point_format, point_length, header_size, 0,
                           scale, mins, maxs))
@@ -322,7 +349,7 @@ def write_laz(path: str, pos_up: np.ndarray, scale: float = 0.001,
         patched[:, 0:12] = rec[:, 0:12]
         rec = patched
     n = rec.shape[0]
-    header_size = 375 if point_format >= 6 else 227
+    header_size = _header_size_for(point_format)
     vlr_payload = laz_native.make_vlr(chunk_size, point_length, point_format)
     vlr_header = struct.pack(
         "<H16sHH32s", 0, b"laszip encoded".ljust(16, b"\0"), 22204,

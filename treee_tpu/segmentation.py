@@ -439,7 +439,8 @@ def _bruteforce_voronoi(
     occ_valid: jax.Array,      # bool[occ_cap]
     tracked_pos_b: jax.Array,  # f32[B,T,2] tracked centroid per band per slot
     active_b: jax.Array,       # bool[B,T]
-    cell_center: jax.Array,    # f32[G,G,2]
+    lo: jax.Array,             # f32[3] scene lower bound
+    s: jax.Array,              # f32 cell size
     n_bands: int,
     g: int,
     chunk: int,
@@ -463,7 +464,12 @@ def _bruteforce_voronoi(
     gg = g * g
     t_cap = tracked_pos_b.shape[1]
     occ_band = occ_idx // gg
-    cc = cell_center.reshape(gg, 2)[occ_idx % gg]            # [occ,2]
+    # cell centers arithmetically from the flat index — avoids a lane-padded
+    # [occ,2]-output row gather (same fix as _extract_clusters); identical
+    # f32 expression to band_scan's cell_center iota
+    cell_flat = occ_idx % gg
+    ccx = lo[0] + ((cell_flat // g).astype(jnp.float32) + 0.5) * s  # [occ]
+    ccz = lo[2] + ((cell_flat % g).astype(jnp.float32) + 0.5) * s
     onehot = (
         occ_band[:, None] == jnp.arange(n_bands, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)                                    # [occ,B]
@@ -478,7 +484,7 @@ def _bruteforce_voronoi(
         at = jnp.dot(
             onehot, active_b[:, c0:c1].astype(jnp.float32), precision=hp
         ) > 0.5
-        dist = (cc[:, :1] - cxt) ** 2 + (cc[:, 1:] - czt) ** 2
+        dist = (ccx[:, None] - cxt) ** 2 + (ccz[:, None] - czt) ** 2
         dist = jnp.where(at, dist, INF)
         j = jnp.argmin(dist, axis=1).astype(jnp.int32)
         dm = jnp.min(dist, axis=1)
@@ -675,7 +681,7 @@ def band_scan(cnt, lo, s, d, cfg: SegmentationConfig):
         # exact nearest tracked centroid at occupied cells only — no seed
         # grids, no flood fill (see _bruteforce_voronoi)
         slot_grids = _bruteforce_voronoi(
-            occ_idx, occ_valid, tracked_pos_b, active_b, cell_center,
+            occ_idx, occ_valid, tracked_pos_b, active_b, lo, s,
             b, g, cfg.voronoi_chunk,
         )
         return slot_grids, n_alloc, tracked_pos_b, active_b
