@@ -246,17 +246,25 @@ def main() -> None:
     )
 
     # ADAPTIVE frame: full-cloud rendering is scatter-bound (~122 ms at 15M
-    # rows — the single z-scatter is primitive-optimal, CLAUDE.md); the
-    # display only has ~1M pixels, so the finest octree level (0.2 m cells on
-    # this scan) deduplicates points below screen resolution.  Measured
+    # rows — the single z-scatter is primitive-optimal, CLAUDE.md), so the
+    # honest fast path renders a screen-error cut (octree.adaptive_mask):
+    # per-region octree level chosen so cells project <= tau px at the
+    # node's camera distance.  tau=2 px beats the old distance-independent
+    # level-10 voxel dedup OUTRIGHT — 0.989 vs 0.80 pixel match at the same
+    # ~7M-point frame budget (tools/probe_tau.py, v5e 2026-08-19).  Measured
     # separately from the honest full-cloud number, with the fraction of
     # pixels identical to the full render as the quality evidence.
+    f_proj = cam0.projection_matrix(cfg.render.width / cfg.render.height)[1, 1]
+    px_scale = float(f_proj) * (cfg.render.height / 2.0)
     count_a, idx_a_big = sync(jax.jit(
-        lambda pos, valid, prop: octree.compact_indices(
-            octree.lod_mask(octree.build(pos, valid), level=10) & valid,
+        lambda pos, valid: octree.compact_indices(
+            octree.adaptive_mask(
+                octree.build(pos, valid), cam0.position, px_scale,
+                tau_px=2.0,
+            ) & valid,
             pos.shape[0],
         )
-    )(pos, valid, prop))
+    )(pos, valid))
     ad_n = int(count_a)
     # render-only snapshot subset: no edit headroom, minimal padded rows
     # (frame cost scales with PADDED rows; snug_capacity keeps waste <~6%)
@@ -292,14 +300,10 @@ def main() -> None:
     print(f"# bench: adaptive frame {ad_ms:.1f} ms, {match:.1%} pixels == full",
           file=sys.stderr, flush=True)
 
-    # SCREEN-ERROR adaptive cut (octree.adaptive_mask): per-region octree
-    # level chosen so cells project <= tau px at the node's distance from the
-    # camera — near field keeps full detail, far field collapses to coarse
-    # representatives.  Strictly fewer points than the distance-independent
-    # level-10 dedup at the same on-screen error budget; rebuilt per camera
-    # move in Session.build_lod(adaptive_tau_px=...).
-    f_proj = cam0.projection_matrix(cfg.render.width / cfg.render.height)[1, 1]
-    px_scale = float(f_proj) * (cfg.render.height / 2.0)
+    # NEAR-LOSSLESS screen-error cut at tau=1 px: the sub-pixel cells keep
+    # full detail, so the image is ~indistinguishable from the full render
+    # (pixel match ~1.0) at a fraction of the rows; rebuilt per camera move
+    # in Session.build_lod(adaptive_tau_px=...).
     count_s, idx_s_big = sync(jax.jit(
         lambda pos, valid: octree.compact_indices(
             octree.adaptive_mask(

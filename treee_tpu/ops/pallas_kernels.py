@@ -466,6 +466,12 @@ def match_scan_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: tracking carry
+            # the (T,C) work planes put ~18 MB on the kernel's VMEM stack at
+            # bench scale (T=2048, C=256, 4 rounds), just over the 16 MB
+            # default — whether the default compile fits depends on the
+            # surrounding HLO (it first tripped after an unrelated
+            # segmentation change recompiled this executable, 2026-08-19)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
