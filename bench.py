@@ -430,4 +430,14 @@ if __name__ == "__main__":
         if "value" in RESULT:
             RESULT["error"] = True
             print(json.dumps(RESULT), flush=True)
+            raise
+        # nothing measured yet: transient axon-tunnel failures (wedged
+        # transfer, remote_compile HTTP 500 after a stale claim) poison the
+        # in-process jax client, so retry ONCE in a fresh process
+        if not os.environ.get("BENCH_RETRIED"):
+            print("# bench: failed before any result; one fresh-process "
+                  "retry", file=sys.stderr, flush=True)
+            os.environ["BENCH_RETRIED"] = "1"
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__)])
         raise
