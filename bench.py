@@ -45,6 +45,15 @@ def _watchdog(limit_s: float) -> None:
                 RESULT["wedged"] = True
                 print(json.dumps(RESULT), flush=True)
                 os._exit(0)
+            # wedged before any measurement: the blocking transfer poisons
+            # this process's jax client, so retry ONCE in a fresh process
+            # (exec replaces the image; the wedged main thread dies with it)
+            if not os.environ.get("BENCH_RETRIED"):
+                print("# bench: wedged before any result; one fresh-process "
+                      "retry", file=sys.stderr, flush=True)
+                os.environ["BENCH_RETRIED"] = "1"
+                os.execv(sys.executable,
+                         [sys.executable, os.path.abspath(__file__)])
             print("# bench: wedged before any result", file=sys.stderr,
                   flush=True)
             os._exit(1)

@@ -705,6 +705,10 @@ def test_wavepacket_file_header_is_las13(tmp_path):
         assert scan.header.version_minor == 3
         assert scan.header.header_size == 235
         assert scan.header.point_format == fmt
+        # Global Encoding must flag waveform packets (bit 2 = external)
+        import struct
+        enc = struct.unpack_from("<H", open(path, "rb").read(8), 6)[0]
+        assert enc & 0x4
         recovered = scan.pos + scan.world_offset.astype(np.float32)
         np.testing.assert_allclose(recovered, pos, atol=2e-3)
     # formats 0-3 stay 1.2, formats 6+ stay 1.4

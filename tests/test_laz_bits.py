@@ -199,49 +199,63 @@ def test_golden_stream_hashes():
     """Byte-exact golden pins of the encoder output for one fixed input per
     point format.  Roundtrip symmetry cannot see a change that lands in both
     directions at once; these hashes make ANY codec-stream change loud and
-    deliberate (update the table only with an explicit compatibility note)."""
+    deliberate (update the table only with an explicit compatibility note).
+    Inputs are pure integer mixing (NO np.random: NumPy does not guarantee
+    Generator stream stability across versions, NEP 19) so the pins track
+    only the codec."""
     import hashlib
 
     from treee_tpu.io import las, laz_native
 
     golden = {
-        0: ("816370c01fb5d0ee", 12445),
-        1: ("12c03c482d48adac", 14468),
-        2: ("874e7b03e554f7c2", 37858),
-        3: ("201e2025de19ac07", 39879),
-        4: ("9fb5da203cc5f050", 27910),
-        5: ("90da3b88240ac433", 53339),
-        6: ("d678852161880ec2", 17026),
-        7: ("55787b6ca6bb94e0", 17550),
-        8: ("c68f60f16654aaee", 17602),
-        9: ("e7569be8914a18cb", 18786),
-        10: ("cc37f6acf60a40b9", 19362),
+        0: ("c04510c07132308e", 12474),
+        1: ("f970c6b78a614f76", 14497),
+        2: ("82f9da1f4200dcc3", 37902),
+        3: ("952243896318f81c", 39924),
+        4: ("0ea84e2624e68ed5", 27925),
+        5: ("fbb04d7a05148922", 53351),
+        6: ("cc91ee77a06440f0", 17053),
+        7: ("ba60360f7bb00aef", 17577),
+        8: ("7b80d4f1089b5754", 17629),
+        9: ("efe27e3a5596578e", 18813),
+        10: ("727cf3b24c18511d", 19389),
     }
 
+    def mix(i, salt):
+        # splitmix-style integer hash: deterministic, version-independent
+        # (salt product folded in Python ints: numpy warns on scalar wrap)
+        add = np.uint64((salt * 0x9E3779B97F4A7C15) % (1 << 64))
+        x = np.uint64(i) + add
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
     def records(fmt):
-        rng = np.random.default_rng(1234)
         n = 4096
+        i = np.arange(n, dtype=np.uint64)
         length = las.POINT_LENGTHS[fmt]
         rec = np.zeros((n, length), np.uint8)
-        xyz = np.cumsum(rng.integers(-64, 64, (n, 3)), axis=0).astype("<i4")
+        steps = (mix(i, 1) % np.uint64(128)).astype(np.int64) - 64
+        xyz = np.stack([np.cumsum(steps), np.cumsum(steps[::-1]),
+                        np.cumsum((steps * 3) % 97)], axis=1).astype("<i4")
         rec[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
         rec[:, 14] = 0b0010001 if fmt >= 6 else 0b001001
+        t = (np.arange(n) * 1e-4 + 3e5).astype("<f8")
         if fmt in (1, 3, 4, 5):
-            t = (np.arange(n) * 1e-4 + 3e5).astype("<f8")
             rec[:, 20:28] = t.view(np.uint8).reshape(n, 8)
         if fmt in (2, 3, 5):
             o = 28 if fmt in (3, 5) else 20
-            rgb = (rng.integers(0, 256, (n, 3)) * 257).astype("<u2")
+            rgb = (np.stack([mix(i, 2) % 256, mix(i, 3) % 256,
+                             mix(i, 4) % 256], axis=1) * 257).astype("<u2")
             rec[:, o:o + 6] = rgb.view(np.uint8).reshape(n, 6)
         if fmt in (4, 5):
             o = length - 29
-            sz = rng.integers(100, 1000, n).astype("<u4")
+            sz = (np.uint64(100) + mix(i, 5) % np.uint64(900)).astype("<u4")
             off = (np.cumsum(sz.astype(np.uint64)) + 7).astype("<u8")
-            rec[:, o] = rng.integers(0, 3, n)
+            rec[:, o] = (mix(i, 6) % np.uint64(3)).astype(np.uint8)
             rec[:, o + 1:o + 9] = off.view(np.uint8).reshape(n, 8)
             rec[:, o + 9:o + 13] = sz.view(np.uint8).reshape(n, 4)
         if fmt >= 6:
-            t = (np.arange(n) * 1e-4 + 3e5).astype("<f8")
             rec[:, 22:30] = t.view(np.uint8).reshape(n, 8)
         return rec, length
 

@@ -56,8 +56,6 @@ def main() -> None:
             np.asarray(leaf.reshape(-1)[0])
         return out
 
-    tree = jax.jit(octree.build)(pos, valid)
-    sync((tree.keys,))
     f_proj = cam0.projection_matrix(cfg.render.width / cfg.render.height)[1, 1]
     px_scale = float(f_proj) * (cfg.render.height / 2.0)
 
@@ -83,22 +81,34 @@ def main() -> None:
                 pos.shape[0]))(pos, valid))
         rows.append((f"tau={tau}", int(count_s), idx_s))
 
+    # frame timing through a lax.scan over a camera stack with ONE sync:
+    # per-call axon dispatch has a ~30 ms floor (CLAUDE.md), which would
+    # otherwise swamp the small-subset rows this probe compares
+    n_frames = 8
+    cams = [cam0]
+    for _ in range(n_frames - 1):
+        cams.append(cams[-1].rotate_orbital(40.0, 0.0))
+    cam_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+    @jax.jit
+    def sweep(p, pr, v, cam_stack):
+        def body(acc, cam):
+            img = splat.render_frame(p, pr, v, cam, palette, cfg.render)
+            return acc + jnp.sum(img), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), cam_stack)
+        return total
+
     for name, cnt, idx_big in rows:
         cap = min(octree.snug_capacity(cnt, headroom=1.0), n)
         idx = idx_big[:cap]
         pos_s, prop_s = pos[idx], prop[idx]
         mask_s = jnp.arange(cap) < cnt
 
-        @jax.jit
-        def one(p, pr, v):
-            img = splat.render_frame(p, pr, v, cam0, palette, cfg.render)
-            return jnp.sum(img)
-
-        sync(one(pos_s, prop_s, mask_s))
+        sync(sweep(pos_s, prop_s, mask_s, cam_stack))
         t0 = time.time()
-        for _ in range(5):
-            sync(one(pos_s, prop_s, mask_s))
-        ms = (time.time() - t0) / 5 * 1e3
+        sync(sweep(pos_s, prop_s, mask_s, cam_stack))
+        ms = (time.time() - t0) / n_frames * 1e3
         img_s = np.asarray(frame_full(pos_s, prop_s, mask_s))
         match = float((img_f == img_s).all(axis=-1).mean())
         print(f"{name:10s} pts={cnt:>10,} cap={cap:>10,} "

@@ -225,36 +225,44 @@ POINT_LENGTHS = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
                  6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
 
 
-def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
-                   scale, offset, mins, maxs) -> bytes:
+def _legacy_block(n, point_format, point_length, offset_to_points, n_vlrs,
+                  scale, offset, mins, maxs, version_minor, header_size,
+                  global_encoding=0) -> bytes:
+    """The LAS 1.x legacy header block (227 bytes), shared by every header
+    generation this writer emits."""
     legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
     return struct.pack(
         legacy_fmt,
-        LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 2,
+        LAS_SIGNATURE, 0, global_encoding, 0, 0, 0, b"\0" * 8,
+        1, version_minor,
         b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
-        1, 2026, 227, offset_to_points, n_vlrs, point_format, point_length,
+        1, 2026, header_size, offset_to_points, n_vlrs,
+        point_format, point_length,
         n, 0, 0, 0, 0, 0,
         scale, scale, scale, offset[0], offset[1], offset[2],
         maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
     )
+
+
+def _legacy_header(n, point_format, point_length, offset_to_points, n_vlrs,
+                   scale, offset, mins, maxs) -> bytes:
+    return _legacy_block(n, point_format, point_length, offset_to_points,
+                         n_vlrs, scale, offset, mins, maxs,
+                         version_minor=2, header_size=227)
 
 
 def _header13(n, point_format, point_length, offset_to_points, n_vlrs,
               scale, offset, mins, maxs) -> bytes:
     """LAS 1.3 public header (235 bytes): the legacy block plus the u64
     'Start of Waveform Data Packet Record' field — required for the
-    waveform point formats 4/5 (ASPRS LAS 1.3); zero here because records
-    carry no internal waveform block (external/absent waveform data)."""
-    legacy_fmt = "<4sHHIHH8sBB32s32sHHHIIBHI5I12d"
-    head = struct.pack(
-        legacy_fmt,
-        LAS_SIGNATURE, 0, 0, 0, 0, 0, b"\0" * 8, 1, 3,
-        b"treee-tpu".ljust(32, b"\0"), b"treee-tpu".ljust(32, b"\0"),
-        1, 2026, 235, offset_to_points, n_vlrs, point_format, point_length,
-        n, 0, 0, 0, 0, 0,
-        scale, scale, scale, offset[0], offset[1], offset[2],
-        maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
-    )
+    waveform point formats 4/5 (ASPRS LAS 1.3).  Global Encoding bit 2
+    (waveform packets EXTERNAL) is set and the start-of-waveform field is
+    zero: the records carry no internal waveform block, and LAS 1.3
+    requires one of the waveform bits for formats 4/5."""
+    head = _legacy_block(n, point_format, point_length, offset_to_points,
+                         n_vlrs, scale, offset, mins, maxs,
+                         version_minor=3, header_size=235,
+                         global_encoding=0x4)
     return head + struct.pack("<Q", 0)
 
 
