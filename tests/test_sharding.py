@@ -222,3 +222,40 @@ def test_all_padding_shards_do_not_corrupt_bounds():
                                            jnp.asarray(valid))
     seg_sharded, _ = fn(pos_s, valid_s, jnp.float32(0.75))
     np.testing.assert_array_equal(np.asarray(seg_sharded), ref)
+
+
+def test_sharded_edit_matches_single_device():
+    """Interactive edits are elementwise SoA updates, so they run on a
+    point-sharded cloud with NO collectives and NO code changes: jit
+    propagates the input sharding through remove_points.  Asserts the edited
+    segments equal the single-device result and the output stays sharded
+    along the points axis (the edit never gathers the cloud)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from treee_tpu import interactive
+    from treee_tpu.cloud import PointCloud
+
+    mesh = sharding.make_mesh()
+    pos_np, valid_np = _forest(8 * 2048)
+    seg_np = (np.arange(8 * 2048) % 7 + 1).astype(np.int32)
+
+    def cloud_with(sharded: bool):
+        def put(x, spec):
+            x = jnp.asarray(x)
+            return jax.device_put(x, NamedSharding(mesh, spec)) if sharded else x
+        return PointCloud(
+            pos=put(pos_np, P("data", None)),
+            segment=put(seg_np, P("data")),
+            classification=put(np.zeros(len(seg_np), np.int32), P("data")),
+            valid=put(valid_np, P("data")),
+        )
+
+    center = jnp.asarray(pos_np[100], jnp.float32)  # on a real point
+    edit = jax.jit(lambda c: interactive.remove_points(c, center, 3.0, 0))
+    out_s = edit(cloud_with(True))
+    out_1 = edit(cloud_with(False))
+    np.testing.assert_array_equal(np.asarray(out_s.segment),
+                                  np.asarray(out_1.segment))
+    assert int(np.asarray((out_s.segment != cloud_with(False).segment).sum())) > 0
+    spec = out_s.segment.sharding.spec
+    assert tuple(spec) and spec[0] == "data", spec
