@@ -145,6 +145,8 @@ def test_repl_interactive_session(tmp_path, monkeypatch):
     palette warm
     eyedome 0.5
     range 0 4294967295
+    display shaded
+    render {png}
     display classification
     overlay axis on
     render {png}

@@ -253,3 +253,28 @@ def test_upper_half_separators_no_sign_overflow():
         cls_all, t_all, 4, CFG)
     h = np.asarray(hgt_a)[:n]
     assert h.min() < 0.2 and h.max() > 0.8  # spans the tree, not pinned
+
+
+def test_segment_normals_recover_plane():
+    """Points jittered on a tilted plane: k-NN covariance normals must agree
+    with the true plane normal (and be unit, y-up); non-members get +y."""
+    from treee_tpu.characteristics import segment_normals
+
+    rng = np.random.default_rng(13)
+    n = 1500
+    true_n = np.array([0.3, 0.9, 0.2])
+    true_n /= np.linalg.norm(true_n)
+    u = np.cross(true_n, [1.0, 0.0, 0.0])
+    u /= np.linalg.norm(u)
+    w = np.cross(true_n, u)
+    ab = rng.uniform(-6, 6, (n, 2))
+    pts = (ab[:, :1] * u + ab[:, 1:] * w
+           + rng.normal(0, 0.01, (n, 1)) * true_n).astype(np.float32)
+    member = np.ones(n, bool)
+    member[-50:] = False
+    nrm = np.asarray(segment_normals(jnp.asarray(pts), jnp.asarray(member),
+                                     k=15))
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+    dots = np.abs(nrm[member] @ true_n)
+    assert np.quantile(dots, 0.05) > 0.99  # interior normals nail the plane
+    np.testing.assert_allclose(nrm[~member], [[0.0, 1.0, 0.0]] * 50, atol=0)

@@ -320,3 +320,28 @@ def test_node_bounds_cover_their_points():
     for i in range(n):
         pts = pos[order[starts[i]:starts[i] + counts[i]]]
         assert (pts >= blo[i] - eps).all() and (pts <= bhi[i] + eps).all()
+
+
+def test_smallest_eigenvector_matches_eigh():
+    """smallest_eigenvector vs numpy.linalg.eigh on random symmetric 3x3s:
+    unit norm, y >= 0 orientation, |dot| with the eigh vector ~ 1."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((256, 3, 3)).astype(np.float32)
+    sym = (a + np.transpose(a, (0, 2, 1))) / 2
+    v = np.asarray(eigen.smallest_eigenvector(jnp.asarray(sym)))
+    w, vecs = np.linalg.eigh(sym.astype(np.float64))
+    ref = vecs[:, :, 0]  # eigh is ascending: column 0 = smallest
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+    assert (v[:, 1] >= -1e-6).all()
+    # skip near-degenerate pairs where the eigenvector is ill-conditioned
+    gap = (w[:, 1] - w[:, 0]) > 1e-3
+    dots = np.abs(np.sum(v[gap] * ref[gap], axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+def test_smallest_eigenvector_degenerate():
+    """Rank-deficient inputs (zero matrix, isotropic) fall back to unit +y."""
+    z = jnp.zeros((2, 3, 3), jnp.float32).at[1].set(jnp.eye(3))
+    v = np.asarray(eigen.smallest_eigenvector(z))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(v[0], [0.0, 1.0, 0.0], atol=1e-6)

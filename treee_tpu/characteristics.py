@@ -735,3 +735,28 @@ def segment_curvature(
     cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
     curve = eigen.curvature_from_cov(cov)
     return jnp.where(member, curve, 0.0)
+
+
+def segment_normals(
+    pos: jax.Array,
+    member: jax.Array,
+    k: int = 31,
+    use_grid: bool = False,
+    cell_size: jax.Array | float = 0.5,
+) -> jax.Array:
+    """Per-point unit surface normals for one segment's members, f32[N,3].
+
+    The smallest eigenvector of the SAME k-NN neighborhood covariance the
+    curvature property diagonalizes (calculations.rs:328-373 computes only
+    the eigenvalues; the reference viewer has no normals — its sole depth
+    cue is eye-dome lighting).  Sign fixed upward (y >= 0, aerial scans);
+    non-members get the +y fallback so downstream shading stays defined.
+    """
+    if use_grid:
+        idx, dist = neighbors.knn_grid(pos, member, cell_size, k=k)
+    else:
+        idx, dist = neighbors.knn_bruteforce(pos, member, k=k)
+    cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
+    nrm = eigen.smallest_eigenvector(cov)
+    up = jnp.zeros_like(nrm).at[:, 1].set(1.0)
+    return jnp.where(member[:, None], nrm, up)

@@ -50,3 +50,36 @@ def curvature_from_cov(cov: jax.Array) -> jax.Array:
     e = eigvals_sym3(cov)
     tr = jnp.sum(e, axis=-1)
     return jnp.where(tr > 1e-20, 3.0 * e[..., 2] / tr, 0.0)
+
+
+def smallest_eigenvector(cov: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue, f32[..., 3, 3] -> [..., 3].
+
+    The local surface NORMAL of a neighborhood covariance (a capability the
+    reference's viewer lacks; its only depth cue is eye-dome lighting).  The
+    eigenvector spans the null space of (A - lambda_min I): take the
+    largest-norm pairwise cross product of its rows, which stays stable when
+    one row degenerates.  Rank-deficient neighborhoods (isolated points,
+    perfect lines — no defined normal) fall back to +y; the sign is fixed
+    upward (y >= 0) so shading is consistent for an aerial scan.
+    """
+    e = eigvals_sym3(cov)
+    lam = e[..., 2:3]
+    a01, a02, a12 = cov[..., 0, 1], cov[..., 0, 2], cov[..., 1, 2]
+    r0 = jnp.stack([cov[..., 0, 0] - lam[..., 0], a01, a02], axis=-1)
+    r1 = jnp.stack([a01, cov[..., 1, 1] - lam[..., 0], a12], axis=-1)
+    r2 = jnp.stack([a02, a12, cov[..., 2, 2] - lam[..., 0]], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    v = jnp.where(n01 >= n02, c01, c02)
+    nv = jnp.maximum(n01, n02)
+    v = jnp.where(nv >= n12, v, c12)
+    nv = jnp.maximum(nv, n12)
+    norm = jnp.sqrt(jnp.maximum(nv, 1e-30))
+    up = jnp.zeros_like(v).at[..., 1].set(1.0)
+    v = jnp.where(nv > 1e-24, v / norm, up)
+    return jnp.where(v[..., 1:2] < 0, -v, v)

@@ -179,12 +179,13 @@ class Session:
             self.config.segmentation.max_segments + 1, self.config.characteristics,
         )
 
-    def curvature(self, segment_id: int):
+    def _member_and_grid(self, segment_id: int):
+        """(member mask, use_grid): typical trees brute-force exactly; huge
+        segments (e.g. ground) switch to the grid-hash neighbor engine so
+        selection can't hit an O(N^2) wall.  The member count comes from a
+        host-cached copy of the segment table so the interactive path doesn't
+        block on a per-call device sync."""
         member = self.cloud.valid & (self.cloud.segment == segment_id)
-        # typical trees brute-force exactly; huge segments (e.g. ground)
-        # switch to the grid-hash engine so selection can't hit an O(N^2) wall.
-        # The member count comes from a host-cached copy of the segment table
-        # so the interactive path doesn't block on a per-call device sync.
         ncfg = self.config.neighbors
         cnt = None
         if self.table is not None and not getattr(self, "_counts_stale", False):
@@ -198,8 +199,22 @@ class Session:
             # table absent or stale after edits: one scalar device sync for a
             # fresh count — never route a grown segment to brute force
             cnt = int(jnp.sum(member))
-        use_grid = cnt > ncfg.brute_force_max
+        return member, cnt > ncfg.brute_force_max
+
+    def curvature(self, segment_id: int):
+        member, use_grid = self._member_and_grid(segment_id)
         return ch.segment_curvature(
+            self.cloud.pos, member, k=self.config.characteristics.neighbors,
+            use_grid=use_grid,
+        )
+
+    def normals(self, segment_id: int):
+        """Per-point unit surface normals for a segment (f32[N,3]): smallest
+        eigenvector of the curvature neighborhoods' covariance — a capability
+        beyond the reference viewer, which has no normals (its only depth cue
+        is eye-dome lighting)."""
+        member, use_grid = self._member_and_grid(segment_id)
+        return ch.segment_normals(
             self.cloud.pos, member, k=self.config.characteristics.neighbors,
             use_grid=use_grid,
         )
@@ -358,6 +373,16 @@ class Session:
                 prop = prop / jnp.maximum(jnp.max(jnp.where(member, prop, 0.0)), 1e-6)
         elif display == "curve":
             prop = self.curvature(segment_id)
+        elif display == "shaded":
+            # Lambert brightness from the k-NN surface normals: prop rides
+            # the palette coordinate, so `palette white` gives a grayscale
+            # lit view (beyond the reference, whose only depth cue is
+            # eye-dome lighting)
+            light = jnp.asarray([0.45, 0.76, 0.47], jnp.float32)  # unit, y-up
+            lam = jnp.maximum(
+                jnp.sum(self.normals(segment_id) * light, axis=-1), 0.0
+            )
+            prop = 0.15 + 0.85 * lam
         else:
             raise ValueError(f"unknown display {display!r}")
 

@@ -36,7 +36,7 @@ commands (reference widget/mouse equivalents in parens):
   camera orbit|fp         controller (camera.rs Orbital/FirstPerson)
   key K [N]               WASD/QE movement, N ticks (program.rs:412-450)
   rotate DX DY | scroll V mouse-look / zoom
-  display classification|expansion|height|curve    focused property view
+  display classification|expansion|height|curve|shaded   focused property view
   overlay hull|rbv|axis on|off                     focused overlays
   hullinclude all|crown|trunk|ground|tree|nocrown  hull class filter
                           (IncludeMode combo, hull.rs:15-67)
@@ -213,7 +213,8 @@ class Repl:
                 else s.camera.scroll_orbital(float(args[0]))
             )
         elif cmd == "display":
-            if args[0] not in ("classification", "expansion", "height", "curve"):
+            if args[0] not in ("classification", "expansion", "height",
+                               "curve", "shaded"):
                 raise ValueError(f"unknown display {args[0]!r}")
             self.display = args[0]
         elif cmd == "overlay":
