@@ -89,7 +89,7 @@ _PAGE = """<!doctype html>
   <label><input type=checkbox id=focus> focus</label>
   <select id=display>
    <option>classification</option><option>expansion</option>
-   <option>height</option><option>curve</option></select>
+   <option>height</option><option>curve</option><option>shaded</option></select>
  </div>
  <div class=row>
   <label><input type=checkbox id=hull> hull</label>
