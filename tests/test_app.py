@@ -42,8 +42,16 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "--trunk-axis-algorithm", "lowhigh",
         "--eye-dome-strength", "0.5",
         "--brush-radius", "1.5",
+        "--export-chm", out("chm.asc"),
+        "--raster-cell", "2.0",
     ]
     assert app.main(argv) == 0
+
+    # canopy-height raster: valid .asc header, some canopy above ground
+    asc = open(out("chm.asc")).read().splitlines()
+    assert asc[0].startswith("ncols") and asc[5].startswith("NODATA")
+    chm = np.loadtxt(asc[6:])
+    assert (chm[chm != -9999] >= 0).all() and (chm != -9999).any()
 
     # frame written
     assert os.path.exists(out("frames") + "/frame_000.png")

@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-ground-ply",
                    help="ground-only point export of --segment-id")
     p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
+    p.add_argument("--export-dtm", help="write a ground-height ESRI ASCII "
+                        "grid (.asc) — digital terrain model (rasters.py)")
+    p.add_argument("--export-dsm", help="write a surface-height .asc — "
+                        "digital surface model")
+    p.add_argument("--export-chm", help="write a canopy-height .asc — "
+                        "DSM minus hole-filled DTM")
+    p.add_argument("--raster-cell", type=float, default=0.5,
+                   help="raster cell size in meters (grown to fit the "
+                        "4096-cell grid cap on huge scenes)")
     p.add_argument("--export-hull-ply",
                    help="write the focus segment's crown convex hull .ply "
                         "(hull.rs:583-624); requires --segment-id")
@@ -283,6 +292,19 @@ def main(argv=None) -> int:
         n = session.export_points_ply(path, segment_id=args.segment_id,
                                       include=include)
         print(f"{include} ply: {path} ({n} points)")
+
+    raster_paths = {w: getattr(args, f"export_{w}") for w in ("dtm", "dsm", "chm")}
+    if any(raster_paths.values()):
+        from .io import exports as exports_mod
+
+        grids, (xll, yll), cell = session.rasters(args.raster_cell)
+        for which, path in raster_paths.items():
+            if not path:
+                continue
+            with open(path, "w") as fh:
+                exports_mod.save_ascii_grid(fh, grids[which], xll, yll, cell)
+            rows, cols = grids[which].shape
+            print(f"{which}: {path} ({rows}x{cols} @ {cell:g} m)")
 
     if args.export_traits:
         from . import rbv as rbv_mod

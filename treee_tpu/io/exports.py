@@ -115,3 +115,22 @@ def rbv_distances_json(
         },
         indent=2,
     )
+
+
+def save_ascii_grid(fh, grid: np.ndarray, xll: float, yll: float,
+                    cell: float, nodata: float = -9999.0) -> None:
+    """ESRI ASCII grid (.asc) writer for the DTM/DSM/CHM rasters.
+
+    ``grid`` rows are ascending world-z; world z = -(LAS northing) after the
+    load swizzle (io/las.py:9-10), so row 0 is already the northernmost row
+    the .asc layout wants — no flip.  ``xll``/``yll`` are the lower-left
+    corner in LAS map coordinates (easting/northing).
+    """
+    h, w = grid.shape
+    fh.write(f"ncols {w}\n")
+    fh.write(f"nrows {h}\n")
+    fh.write(f"xllcorner {xll:.6f}\n")
+    fh.write(f"yllcorner {yll:.6f}\n")
+    fh.write(f"cellsize {cell:.6f}\n")
+    fh.write(f"NODATA_value {nodata:g}\n")
+    np.savetxt(fh, grid, fmt="%.4f", delimiter=" ")

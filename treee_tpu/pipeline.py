@@ -559,6 +559,41 @@ class Session:
             )
         return int(keep.sum())
 
+    def rasters(self, cell: float = 0.5, cap: int = 4096):
+        """DTM / DSM / CHM height rasters over the live cloud (rasters.py).
+
+        Returns (grids dict, (xll, yll) LAS map corner, cell).  A treee-tpu
+        addition: the reference's only area product is the rendered frame.
+        """
+        from . import rasters as rs
+        from . import segmentation as seg
+
+        live = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+        lo, hi = (np.asarray(a) for a in seg.scene_bounds(self.cloud.pos, live))
+        grids, (rows, cols), cell = rs.compute_rasters(
+            self.cloud.pos, self.cloud.classification, live, lo, hi, cell,
+            cap=cap,
+        )
+        # lower-left corner in LAS map coords: easting = x + off_x; northing
+        # = -(z + off_z) (io/las.py load swizzle), so yll comes from the
+        # GRID's max-z edge, not the point bounds' (the grid over-covers by
+        # up to one cell)
+        xll = float(lo[0]) + float(self.world_offset[0])
+        yll = -(float(lo[2]) + rows * cell) - float(self.world_offset[2])
+        return grids, (xll, yll), cell
+
+    def export_raster(self, path, which: str = "chm", cell: float = 0.5,
+                      cap: int = 4096) -> tuple[int, int]:
+        """Write one raster as an ESRI ASCII grid; returns (rows, cols)."""
+        from .io import exports
+
+        grids, (xll, yll), cell = self.rasters(cell, cap=cap)
+        if which not in grids:
+            raise ValueError(f"unknown raster {which!r} (dtm|dsm|chm)")
+        with open(path, "w") as fh:
+            exports.save_ascii_grid(fh, grids[which], xll, yll, cell)
+        return grids[which].shape
+
     # ---- persistence ----------------------------------------------------------------
 
     def save(self, path, segment_id: int | None = None) -> None:

@@ -47,6 +47,8 @@ commands (reference widget/mouse equivalents in parens):
   classify ground|trunk|crown PX PY                focused reclassify brush
   export ply|crown|trunk|ground PATH               focused point export,
                           optionally class-filtered (mod.rs:629-660)
+  raster dtm|dsm|chm PATH [CELL]                   terrain/surface/canopy
+                          height .asc over the live cloud (rasters.py)
   lod on|off|adaptive [taupx]|level N   render from the octree LOD subset
                           (adaptive = screen-error cut at <= taupx pixels:
                           near field full detail, far field coarse — full-
@@ -248,6 +250,10 @@ class Repl:
             self._print(f"trunk axis algorithm: {self.axis_algo}")
         elif cmd == "export":
             self._export(args[0], args[1])
+        elif cmd == "raster":
+            cell = float(args[2]) if len(args) > 2 else 0.5
+            rows, cols = s.export_raster(args[1], args[0], cell=cell)
+            self._print(f"wrote {args[1]} ({rows}x{cols})")
         elif cmd == "lod":
             if args[0] in ("on", "off"):
                 self.use_lod = args[0] == "on"
