@@ -259,3 +259,34 @@ def test_sharded_edit_matches_single_device():
     assert int(np.asarray((out_s.segment != cloud_with(False).segment).sum())) > 0
     spec = out_s.segment.sharding.spec
     assert tuple(spec) and spec[0] == "data", spec
+
+
+def test_sharded_rasters_bit_exact():
+    """pmin/pmax height-grid compositing == the single-device scatters, so
+    every raster (including the jump-flood-filled DTM) is bit-identical."""
+    from treee_tpu import rasters as rs
+
+    pos, valid = _forest(n_pad=10240)
+    # synthetic classes: lowest quarter ground, rest crown
+    y = pos[:, 1]
+    cls = np.where(y < np.quantile(y[valid], 0.25), 0, 2).astype(np.int32)
+    lo = pos[valid].min(axis=0)
+    hi = pos[valid].max(axis=0)
+
+    ref, (rows, cols), cell = rs.compute_rasters(
+        jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(valid),
+        lo, hi, cell=1.0, cap=256,
+    )
+
+    mesh = sharding.make_mesh()
+    pos_s, valid_s = sharding.shard_points(mesh, jnp.asarray(pos), jnp.asarray(valid))
+    cls_s = jax.device_put(
+        jnp.asarray(cls),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    got, (rows2, cols2), cell2 = sharding.sharded_rasters(
+        mesh, pos_s, cls_s, valid_s, lo, hi, cell=1.0, cap=256,
+    )
+    assert (rows, cols, cell) == (rows2, cols2, cell2)
+    for k in ("dtm", "dsm", "chm"):
+        np.testing.assert_array_equal(got[k], ref[k])

@@ -209,3 +209,39 @@ def sharded_render(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data")
         out_specs=P(),
     )
     return jax.jit(fn)
+
+
+def sharded_rasters(mesh: Mesh, pos_s, classification_s, live_s, lo, hi,
+                    cell: float, cap: int = 4096, axis: str = "data"):
+    """DTM/DSM/CHM over a point-sharded cloud; bit-identical to the
+    single-device rasters.compute_rasters.
+
+    Each device scatter-min/maxes its local shard into the full [H, W]
+    height grid; ONE ``pmin`` (ground) + ``pmax`` (surface) over ICI
+    composite them — f32 min/max are exact, so the composited sentinel
+    grids equal the single-device scatters bit-for-bit.  Hole fill and
+    NODATA conversion then run replicated (O(grid), independent of N).
+    Returns (grids dict, (rows, cols), cell) like compute_rasters.
+    """
+    from .. import rasters as rs
+    from ..cloud import CLASS_GROUND
+
+    (rows, cols), (ph, pw), cell = rs.grid_dims(lo, hi, cell, cap=cap)
+    lo_x, lo_z = float(lo[0]), float(lo[2])
+    inv = 1.0 / cell
+
+    def local(pos, cls, live):
+        ground = live & (cls == CLASS_GROUND)
+        dtm, dsm = rs.height_grids(
+            pos, ground, live, jnp.float32(lo_x), jnp.float32(lo_z),
+            jnp.float32(inv), (ph, pw),
+        )
+        return jax.lax.pmin(dtm, axis), jax.lax.pmax(dsm, axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    dtm_raw, dsm_raw = jax.jit(fn)(pos_s, classification_s, live_s)
+    return rs.finalize_rasters(dtm_raw, dsm_raw, rows, cols), (rows, cols), cell

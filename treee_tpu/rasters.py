@@ -139,6 +139,13 @@ def compute_rasters(pos, classification, live, lo, hi, cell: float,
         jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell),
         (ph, pw),
     )
+    return finalize_rasters(dtm_raw, dsm_raw, rows, cols), (rows, cols), cell
+
+
+def finalize_rasters(dtm_raw, dsm_raw, rows: int, cols: int):
+    """Sentinel grids -> hole-filled / NODATA rasters dict (shared by the
+    single-device path above and parallel.sharding.sharded_rasters, whose
+    pmin/pmax-composited grids are bit-identical inputs)."""
     have_g = dtm_raw < _BIG
     dtm_filled, filled_ok = jfa_fill(dtm_raw, have_g)
     have_s = dsm_raw > -_BIG
@@ -149,9 +156,8 @@ def compute_rasters(pos, classification, live, lo, hi, cell: float,
     chm = np.where(
         np.asarray(have_s & filled_ok), np.asarray(chm), NODATA
     )
-    out = {
+    return {
         "dtm": dtm[:rows, :cols].astype(np.float32),
         "dsm": dsm[:rows, :cols].astype(np.float32),
         "chm": chm[:rows, :cols].astype(np.float32),
     }
-    return out, (rows, cols), cell
