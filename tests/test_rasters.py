@@ -152,3 +152,22 @@ def test_session_raster_export(tmp_path):
     assert len(live) > 0 and (live >= 0).all()
     # trees exist, so some canopy cells are well above the ground
     assert live.max() > 1.0
+
+
+def test_y_offset_shifts_dtm_dsm_not_chm():
+    """world_offset[1] restores absolute elevations on DTM/DSM; CHM is a
+    difference and NODATA cells must stay NODATA."""
+    pts, cls = _plane_scene(n_side=8, trees=[(3.5, 3.5, 2.0)])
+    live = np.ones(len(pts), bool)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    base, _, _ = rasters.compute_rasters(
+        pts, cls, live, lo, hi, cell=1.0, cap=16
+    )
+    off, _, _ = rasters.compute_rasters(
+        pts, cls, live, lo, hi, cell=1.0, cap=16, y_offset=100.0
+    )
+    for k in ("dtm", "dsm"):
+        m = base[k] != rasters.NODATA
+        np.testing.assert_allclose(off[k][m], base[k][m] + 100.0, atol=1e-4)
+        assert (off[k][~m] == rasters.NODATA).all()
+    np.testing.assert_array_equal(off["chm"], base["chm"])

@@ -25,6 +25,8 @@ independent of N, so ICI traffic does not grow with the survey size.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,7 +214,8 @@ def sharded_render(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data")
 
 
 def sharded_rasters(mesh: Mesh, pos_s, classification_s, live_s, lo, hi,
-                    cell: float, cap: int = 4096, axis: str = "data"):
+                    cell: float, cap: int = 4096, y_offset: float = 0.0,
+                    axis: str = "data"):
     """DTM/DSM/CHM over a point-sharded cloud; bit-identical to the
     single-device rasters.compute_rasters.
 
@@ -224,24 +227,37 @@ def sharded_rasters(mesh: Mesh, pos_s, classification_s, live_s, lo, hi,
     Returns (grids dict, (rows, cols), cell) like compute_rasters.
     """
     from .. import rasters as rs
-    from ..cloud import CLASS_GROUND
 
     (rows, cols), (ph, pw), cell = rs.grid_dims(lo, hi, cell, cap=cap)
-    lo_x, lo_z = float(lo[0]), float(lo[2])
-    inv = 1.0 / cell
+    fn = _sharded_height_fn(mesh, (ph, pw), (rows, cols), axis)
+    dtm_raw, dsm_raw = fn(
+        pos_s, classification_s, live_s,
+        jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell),
+    )
+    return (
+        rs.finalize_rasters(dtm_raw, dsm_raw, rows, cols, y_offset=y_offset),
+        (rows, cols), cell,
+    )
 
-    def local(pos, cls, live):
+
+@functools.lru_cache(maxsize=8)
+def _sharded_height_fn(mesh: Mesh, shape, live_dims, axis: str):
+    """Jitted pmin/pmax height-grid compositor, cached per (mesh, grid) so
+    repeated exports at the same cell size reuse the executable (grid
+    origin and scale stay traced arguments)."""
+    from .. import rasters as rs
+    from ..cloud import CLASS_GROUND
+
+    def local(pos, cls, live, lo_x, lo_z, inv_cell):
         ground = live & (cls == CLASS_GROUND)
         dtm, dsm = rs.height_grids(
-            pos, ground, live, jnp.float32(lo_x), jnp.float32(lo_z),
-            jnp.float32(inv), (ph, pw),
+            pos, ground, live, lo_x, lo_z, inv_cell, shape, live_dims
         )
         return jax.lax.pmin(dtm, axis), jax.lax.pmax(dsm, axis)
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis)),
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P()),
     )
-    dtm_raw, dsm_raw = jax.jit(fn)(pos_s, classification_s, live_s)
-    return rs.finalize_rasters(dtm_raw, dsm_raw, rows, cols), (rows, cols), cell
+    return jax.jit(fn)

@@ -568,11 +568,11 @@ class Session:
         from . import rasters as rs
         from . import segmentation as seg
 
-        live = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+        live = self.cloud.alive
         lo, hi = (np.asarray(a) for a in seg.scene_bounds(self.cloud.pos, live))
         grids, (rows, cols), cell = rs.compute_rasters(
             self.cloud.pos, self.cloud.classification, live, lo, hi, cell,
-            cap=cap,
+            cap=cap, y_offset=float(self.world_offset[1]),
         )
         # lower-left corner in LAS map coords: easting = x + off_x; northing
         # = -(z + off_z) (io/las.py load swizzle), so yll comes from the

@@ -50,17 +50,22 @@ def grid_dims(lo, hi, cell: float, cap: int = 4096, pad: int = 128):
     return (rows, cols), (pad_r, pad_c), cell
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
-def height_grids(pos, ground, live, lo_x, lo_z, inv_cell, shape):
+@functools.partial(jax.jit, static_argnames=("shape", "live_dims"))
+def height_grids(pos, ground, live, lo_x, lo_z, inv_cell, shape,
+                 live_dims=None):
     """(dtm, dsm) f32[H, W]: scatter-min ground y / scatter-max live y.
 
     Empty cells hold +/-_BIG sentinels.  Masked points route to the one
     extra tail slot instead of a predicated scatter (the moment_grids
     idiom, segmentation.py:599) — cheaper than mode="drop" row masking.
+    ``live_dims`` (rows, cols) bounds the index clip so f32 rounding at the
+    max-extent boundary can't push the extreme point into a padded cell
+    that callers slice off.
     """
     h, w = shape
-    ix = jnp.clip(((pos[:, 0] - lo_x) * inv_cell).astype(jnp.int32), 0, w - 1)
-    iz = jnp.clip(((pos[:, 2] - lo_z) * inv_cell).astype(jnp.int32), 0, h - 1)
+    lr, lc = live_dims if live_dims is not None else (h, w)
+    ix = jnp.clip(((pos[:, 0] - lo_x) * inv_cell).astype(jnp.int32), 0, lc - 1)
+    iz = jnp.clip(((pos[:, 2] - lo_z) * inv_cell).astype(jnp.int32), 0, lr - 1)
     flat = iz * w + ix
     tail = h * w
     dtm = (
@@ -96,7 +101,7 @@ def jfa_fill(grid, have):
         return (r - rows) ** 2 + (c - cols) ** 2
 
     steps = []
-    s = 1 << max(h, w).bit_length()
+    s = max(1, (1 << (max(h, w) - 1).bit_length()) // 2)  # next_pow2(dim)/2
     while s >= 1:
         steps.append(s)
         s //= 2
@@ -120,13 +125,14 @@ def jfa_fill(grid, have):
 
 
 def compute_rasters(pos, classification, live, lo, hi, cell: float,
-                    cap: int = 4096):
+                    cap: int = 4096, y_offset: float = 0.0):
     """DTM / DSM / CHM over live points; returns (dict of f32[rows, cols]
     numpy arrays with NODATA holes, (rows, cols), cell).
 
     - ``dtm``: min ground-return height per cell, holes filled from the
       nearest ground cell (jump flood); NODATA only when the scene has no
-      ground returns at all.
+      ground returns at all.  ``y_offset`` (the load-time recentering)
+      shifts DTM/DSM to absolute map elevations.
     - ``dsm``: max live-return height per cell; NODATA where no returns.
     - ``chm``: max(dsm - dtm, 0) where the DSM exists; NODATA elsewhere.
     """
@@ -137,27 +143,53 @@ def compute_rasters(pos, classification, live, lo, hi, cell: float,
     dtm_raw, dsm_raw = height_grids(
         pos, ground, live,
         jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell),
-        (ph, pw),
+        (ph, pw), (rows, cols),
     )
-    return finalize_rasters(dtm_raw, dsm_raw, rows, cols), (rows, cols), cell
+    return (
+        finalize_rasters(dtm_raw, dsm_raw, rows, cols, y_offset=y_offset),
+        (rows, cols), cell,
+    )
 
 
-def finalize_rasters(dtm_raw, dsm_raw, rows: int, cols: int):
-    """Sentinel grids -> hole-filled / NODATA rasters dict (shared by the
-    single-device path above and parallel.sharding.sharded_rasters, whose
-    pmin/pmax-composited grids are bit-identical inputs)."""
-    have_g = dtm_raw < _BIG
-    dtm_filled, filled_ok = jfa_fill(dtm_raw, have_g)
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _finalize_device(dtm_raw, dsm_raw, rows, cols, y_offset):
+    """Fill + NODATA select + live-window slice, all on device."""
+    dtm_filled, filled_ok = jfa_fill(dtm_raw, dtm_raw < _BIG)
     have_s = dsm_raw > -_BIG
     chm = jnp.maximum(dsm_raw - dtm_filled, 0.0)
+    win = lambda a: a[:rows, :cols]
+    return (
+        win(jnp.where(filled_ok, dtm_filled + y_offset, NODATA)),
+        win(jnp.where(have_s, dsm_raw + y_offset, NODATA)),
+        win(jnp.where(have_s & filled_ok, chm, NODATA)),
+    )
 
-    dtm = np.where(np.asarray(filled_ok), np.asarray(dtm_filled), NODATA)
-    dsm = np.where(np.asarray(have_s), np.asarray(dsm_raw), NODATA)
-    chm = np.where(
-        np.asarray(have_s & filled_ok), np.asarray(chm), NODATA
+
+def _fetch_chunked(dev2d, rows: int, cols: int) -> np.ndarray:
+    """Device -> host in ~8 MB row blocks into a preallocated store (the
+    axon-tunnel fetch rule, CLAUDE.md: one big fresh fetch is ~5x slower)."""
+    out = np.empty((rows, cols), np.float32)
+    step = max(1, (8 << 20) // max(cols * 4, 1))
+    for r0 in range(0, rows, step):
+        out[r0:r0 + step] = np.asarray(dev2d[r0:r0 + step])
+    return out
+
+
+def finalize_rasters(dtm_raw, dsm_raw, rows: int, cols: int,
+                     y_offset: float = 0.0):
+    """Sentinel grids -> hole-filled / NODATA rasters dict (shared by the
+    single-device path above and parallel.sharding.sharded_rasters, whose
+    pmin/pmax-composited grids are bit-identical inputs).
+
+    ``y_offset`` restores the load-time recentering (world_offset[1]) on
+    the absolute-elevation products DTM/DSM so .asc values are true map
+    elevations; CHM is a difference and takes no offset.
+    """
+    dtm, dsm, chm = _finalize_device(
+        dtm_raw, dsm_raw, rows, cols, jnp.float32(y_offset)
     )
     return {
-        "dtm": dtm[:rows, :cols].astype(np.float32),
-        "dsm": dsm[:rows, :cols].astype(np.float32),
-        "chm": chm[:rows, :cols].astype(np.float32),
+        "dtm": _fetch_chunked(dtm, rows, cols),
+        "dsm": _fetch_chunked(dsm, rows, cols),
+        "chm": _fetch_chunked(chm, rows, cols),
     }
