@@ -97,3 +97,28 @@ def test_tiled_three_tiles_ids_dense():
         t, local = info["owners"][int(g)]
         assert 0 <= t < info["n_tiles"] and local > 0
         assert bool(np.asarray(tables[t].present)[local])
+
+
+def test_tiled_rasters_match_single_shot():
+    """Slab-streamed min/max accumulation == one compute_rasters call,
+    bit-for-bit (scatter-min/max compose exactly across slabs)."""
+    from treee_tpu import rasters as rs
+    from treee_tpu.parallel import tiles
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pos = np.stack([
+        rng.uniform(0, 60, n), rng.uniform(0, 20, n), rng.uniform(0, 40, n),
+    ], axis=1).astype(np.float32)
+    cls = rng.integers(0, 3, n).astype(np.int32)
+
+    ref, dims, cell = rs.compute_rasters(
+        pos, cls, np.ones(n, bool), pos.min(0), pos.max(0),
+        cell=1.0, cap=128, y_offset=5.0,
+    )
+    got, dims2, cell2 = tiles.tiled_rasters(
+        pos, cls, cell=1.0, cap=128, slab=1200, y_offset=5.0,
+    )
+    assert dims == dims2 and cell == cell2
+    for k in ("dtm", "dsm", "chm"):
+        np.testing.assert_array_equal(got[k], ref[k])

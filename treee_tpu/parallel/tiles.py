@@ -24,6 +24,7 @@ and draws it brute-force (program.rs:309-311); its web build hard-caps at
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import numpy as np
@@ -288,3 +289,90 @@ def tiled_pipeline(
         "owners": owners,
     }
     return segment_out, class_out, tables, info
+
+
+def tiled_rasters(
+    pos: np.ndarray,
+    classification: np.ndarray,
+    cell: float = 0.5,
+    cap: int = 4096,
+    slab: int = 1 << 25,
+    y_offset: float = 0.0,
+    progress=None,
+):
+    """DTM/DSM/CHM for host-resident surveys larger than one chip's HBM.
+
+    Unlike segmentation, raster compositing needs no halos or sorting:
+    scatter-min/max compose exactly, so the survey streams through the chip
+    in plain ``slab``-point slices and two [H, W] accumulators stay device-
+    resident (jnp.minimum/maximum per slab — nothing big comes back down
+    the tunnel until the final hole-filled grids).  Bit-identical to
+    rasters.compute_rasters on the same points.
+
+    ``classification`` is the tiled_pipeline's per-point output (u8/i32);
+    returns (grids dict, (rows, cols), cell) like compute_rasters.
+    """
+    import jax.numpy as jnp
+
+    from .. import rasters as rs
+    from ..cloud import CLASS_GROUND
+
+    n = len(pos)
+    lo = pos.min(axis=0)
+    hi = pos.max(axis=0)
+    (rows, cols), (ph, pw), cell = rs.grid_dims(lo, hi, cell, cap=cap)
+
+    slab = max(1024, min(slab, n))
+    slab_cap = (slab + 1023) // 1024 * 1024
+    # preallocate + pre-touch the host staging buffers BEFORE device ops
+    # (the ~10 MB/s fresh-page rule, see tiled_pipeline above)
+    tpos = np.empty((slab_cap, 3), np.float32)
+    tpos.fill(0)
+    tcls = np.empty(slab_cap, np.int32)
+    tcls.fill(0)
+    row_idx = np.arange(slab_cap, dtype=np.int32)
+    tvalid = np.empty(slab_cap, np.bool_)
+    tvalid.fill(False)
+
+    step = _raster_slab_step((ph, pw), (rows, cols))
+    dtm_acc = jnp.full((ph, pw), 3.0e38, jnp.float32)
+    dsm_acc = jnp.full((ph, pw), -3.0e38, jnp.float32)
+    args = (jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell))
+    n_slabs = (n + slab - 1) // slab
+    for t in range(n_slabs):
+        if progress is not None:
+            progress(t, n_slabs)
+        a, b = t * slab, min((t + 1) * slab, n)
+        m = b - a
+        tpos[:m] = pos[a:b]
+        if m < slab_cap:
+            tpos[m:] = 0
+        tcls[:m] = classification[a:b]
+        np.less(row_idx, m, out=tvalid)
+        dtm_acc, dsm_acc = step(
+            jnp.asarray(tpos), jnp.asarray(tvalid), jnp.asarray(tcls),
+            dtm_acc, dsm_acc, *args,
+        )
+
+    grids = rs.finalize_rasters(dtm_acc, dsm_acc, rows, cols,
+                                y_offset=y_offset)
+    return grids, (rows, cols), cell
+
+
+@functools.lru_cache(maxsize=8)
+def _raster_slab_step(shape, live_dims):
+    """Jitted slab accumulator for tiled_rasters, cached per grid shape so
+    repeated surveys (and slabs) reuse one executable."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import rasters as rs
+    from ..cloud import CLASS_GROUND
+
+    def step(tp, tv, tc, dtm_acc, dsm_acc, lo_x, lo_z, inv):
+        ground = tv & (tc == CLASS_GROUND)
+        d, s = rs.height_grids(tp, ground, tv, lo_x, lo_z, inv,
+                               shape, live_dims)
+        return jnp.minimum(dtm_acc, d), jnp.maximum(dsm_acc, s)
+
+    return jax.jit(step)
