@@ -73,6 +73,22 @@ def main() -> None:
         round((n / n_tiles) * (n_tiles - 1) / steady_s / 1e6, 3)
         if steady_s else None
     )
+    # optional: CHM raster over the full survey (TILED_CHM=1) — exercises
+    # the slab-streamed raster path at 100M scale (device-resident min/max
+    # accumulators, parallel/tiles.tiled_rasters)
+    chm_s = chm_cells = None
+    if os.environ.get("TILED_CHM"):
+        from treee_tpu import rasters as rs
+
+        t0 = time.time()
+        grids, (r_rows, r_cols), r_cell = tiles.tiled_rasters(
+            pts, cls, cell=float(os.environ.get("TILED_CHM_CELL", "1.0")),
+        )
+        chm_s = round(time.time() - t0, 1)
+        chm_cells = int((grids["chm"] != rs.NODATA).sum())
+        print(f"# tiled: chm {r_rows}x{r_cols} @ {r_cell:.2f} m in {chm_s}s",
+              file=sys.stderr, flush=True)
+
     print(json.dumps({
         "metric": "tiled survey Mpts/s (one chip, halo tiles + reconcile)",
         "value": round(n / wall / 1e6, 3),
@@ -88,6 +104,8 @@ def main() -> None:
         "steady_mpts_s": steady,
         "n_segments": info["n_segments"],
         "labeled_frac": round(labeled, 4),
+        "chm_s": chm_s,
+        "chm_live_cells": chm_cells,
         "device": str(jax.devices()[0]),
     }), flush=True)
 
