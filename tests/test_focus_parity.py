@@ -189,3 +189,36 @@ def test_lod_snug_capacity(session):
         assert c % 4096 == 0
         assert c <= max(4096, int(m * 1.0711) + (1 << max(12, m.bit_length() - 4)))
     assert octree.snug_capacity(6_137_306, headroom=1.0) == 12 * (1 << 19)
+
+
+def test_full_table_recomputes_xz_bounds():
+    """segment() stores the fast table (full_bbox=False: zero x/z placeholder
+    extents); full_table() must hand back REAL per-segment boxes before any
+    consumer (export_info, segment_coords) reads them."""
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=11)
+    s = Session.from_points(pts, CFG)
+    s.segment(0.75)
+    fast = s.table
+    present = np.flatnonzero(np.asarray(fast.present))
+    # fast path: x/z columns are placeholders (y extent is real)
+    assert np.allclose(np.asarray(fast.lo)[present][:, [0, 2]], 0.0)
+    assert np.allclose(np.asarray(fast.hi)[present][:, [0, 2]], 0.0)
+
+    t = s.full_table()
+    pos = np.asarray(s.cloud.pos)
+    seg = np.asarray(s.cloud.segment)
+    valid = np.asarray(s.cloud.valid)
+    checked = 0
+    for sid in present[:4]:
+        m = valid & (seg == sid)
+        if not m.any():
+            continue
+        lo = np.asarray(t.lo[sid])
+        hi = np.asarray(t.hi[sid])
+        np.testing.assert_allclose(lo, pos[m].min(axis=0), atol=1e-3)
+        np.testing.assert_allclose(hi, pos[m].max(axis=0), atol=1e-3)
+        checked += 1
+    assert checked > 0
+    # a second call is cached (no recompute path flips the flag back)
+    assert s.full_table() is t

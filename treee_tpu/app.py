@@ -251,7 +251,9 @@ def main(argv=None) -> int:
         print(f"session saved: {args.save}")
 
     if args.export_info:
-        table = session.table if session.table is not None else session.characteristics()
+        # full_table, not session.table: the post-segment() table has zero
+        # x/z bounds placeholders (full_bbox=False fast path)
+        table = session.full_table()
         seg_ids = np.flatnonzero(np.asarray(table.present))
         lo_np, hi_np = np.asarray(table.lo), np.asarray(table.hi)
         out = {}

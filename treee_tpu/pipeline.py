@@ -79,6 +79,10 @@ class Session:
         self.table: ch.SegmentTable | None = None
         self._counts_np = None  # host mirror of table.count (curvature path)
         self._counts_stale = False  # set by edits; cleared when table rebuilt
+        # full_pipeline's table carries y-only extents (full_bbox=False:
+        # x/z lo/hi are zero placeholders); consumers of real boxes must go
+        # through full_table(), which recomputes when this is False
+        self._bbox_full = True
         self.camera = Camera.orbital()
         self.palette = palettes.get(config.render.palette)
         self.max_distance = config.segmentation.max_distance
@@ -138,6 +142,7 @@ class Session:
         self.table = table
         self._counts_np = None
         self._counts_stale = False  # table freshly derived from this cloud
+        self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
         if bool(res.occupied_overflow):
@@ -167,7 +172,21 @@ class Session:
         self.table = table
         self._counts_np = None
         self._counts_stale = False
+        self._bbox_full = True
         return table
+
+    def full_table(self) -> ch.SegmentTable:
+        """The table with REAL x/z bounds.
+
+        ``segment()`` stores full_pipeline's fast table whose x/z lo/hi are
+        zero placeholders (full_bbox=False saves four 15M-point scan columns
+        on the benched path); anything that reads segment boxes — info
+        exports, segment_coords — must come through here so the Calculations
+        phase recomputes them first (calculations.rs:136-147 min/max).
+        """
+        if self.table is None or not self._bbox_full:
+            self.characteristics()
+        return self.table
 
     def properties(self):
         """Per-point expansion/height (CalculationProperties, on demand)."""
@@ -224,13 +243,12 @@ class Session:
         proj string (mod.rs:235-243); None if the string doesn't parse."""
         from . import geo
 
-        if self.table is None:
-            self.characteristics()
+        table = self.full_table()
         try:
             return geo.segment_coords(
                 self.world_offset,
-                np.asarray(self.table.lo[segment_id]),
-                np.asarray(self.table.hi[segment_id]),
+                np.asarray(table.lo[segment_id]),
+                np.asarray(table.hi[segment_id]),
                 self.source_location,
             )
         except geo.ProjError:
