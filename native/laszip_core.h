@@ -13,6 +13,7 @@
 
 #pragma once
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -267,7 +268,11 @@ struct Decoder {
     if (m.table_size) {
       length >>= DM_LengthShift;
       const u32 dv = value / length;
-      const u32 t = dv >> m.table_shift;
+      // A valid stream keeps value < length, so dv < 2^DM_LengthShift and
+      // t <= table_size - 1; corrupt input can break that invariant and
+      // index past decoder_table (heap overread). Clamping never changes a
+      // valid decode.
+      const u32 t = std::min(dv >> m.table_shift, m.table_size - 1);
       sym = m.decoder_table[t];
       n = m.decoder_table[t + 1] + 1;
       while (n > sym + 1) {

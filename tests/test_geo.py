@@ -532,3 +532,55 @@ def test_lcc_needs_lat1():
         geo.transform_to_latlong("+proj=lcc +lat_0=40 +ellps=GRS80", 0.0, 0.0)
     with pytest.raises(geo.ProjError):  # equatorial single parallel: n = 0
         geo.transform_to_latlong("+proj=lcc +lat_1=0 +ellps=GRS80", 0.0, 0.0)
+
+
+def test_sterea_epsg_worked_example():
+    """EPSG guidance note 7-2, method 9809 (RD New / EPSG:28992):
+    53°N 6°E -> E 196,105.283  N 557,057.739.  Absolute anchor independent
+    of the roundtrip suite (which shares geo.py's series helpers)."""
+    s = ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+         "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    lon, lat = geo.transform_to_latlong(s, 196105.283, 557057.739)
+    assert abs(math.degrees(lat) - 53.0) < 1e-7
+    assert abs(math.degrees(lon) - 6.0) < 1e-7
+
+
+def test_aea_snyder_numeric_example():
+    """Snyder PP1395 Albers example: Clarke 1866, lat_1=29.5, lat_2=45.5,
+    origin (23N, 96W); (35N, 75W) -> x=1,885,472.7  y=1,535,925.0."""
+    s = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=clrk66"
+    lon, lat = geo.transform_to_latlong(s, 1885472.7, 1535925.0)
+    assert abs(math.degrees(lat) - 35.0) < 1e-5
+    assert abs(math.degrees(lon) - (-75.0)) < 1e-5
+
+
+def test_laea_snyder_numeric_example():
+    """Snyder PP1395 LAEA example: Clarke 1866, origin (40N, 100W);
+    (30N, 110W) -> x=-965,932.1  y=-1,056,814.9."""
+    s = "+proj=laea +lat_0=40 +lon_0=-100 +ellps=clrk66"
+    lon, lat = geo.transform_to_latlong(s, -965932.1, -1056814.9)
+    assert abs(math.degrees(lat) - 30.0) < 1e-5
+    assert abs(math.degrees(lon) - (-110.0)) < 1e-5
+
+
+def test_degenerate_proj_strings_raise_projerror():
+    """Parseable-but-degenerate strings must stay inside the ProjError
+    taxonomy (segment_coords -> None, the reference's silent no-coordinates
+    behavior) instead of leaking ValueError/ZeroDivisionError."""
+    for bad in [
+        "+proj=lcc +lat_1=91 +lat_2=95",   # math domain error
+        "+proj=lcc +lat_1=90",             # division by zero in the cone
+        "+proj=somerc +lat_0=90",          # polar Gauss sphere degenerates
+        "+proj=sterea +lat_0=90",
+        "+proj=lcc +lat_1=abc",            # non-numeric parameter
+        "+proj=webmerc +lon_0=abc",
+    ]:
+        with pytest.raises(geo.ProjError):
+            geo.transform_to_latlong(bad, 0.0, 0.0)
+
+
+def test_webmerc_ignores_k0():
+    # proj pins webmerc at k=1; +k_0 must not rescale the inverse
+    a1 = geo.transform_to_latlong("+proj=webmerc", 1e6, 2e6)
+    a2 = geo.transform_to_latlong("+proj=webmerc +k_0=0.5", 1e6, 2e6)
+    assert a1 == a2

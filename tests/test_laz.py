@@ -481,6 +481,27 @@ def test_v2_truncated_chunk_rejected(tmp_path):
         las.load(bytes(bad))
 
 
+def test_decoder_table_overread_regression(tmp_path):
+    """tools/fuzz_laz.py 500k-case campaign (seed=1, batch 457 case 397):
+    an 8-byte INT64_MAX fill at offset 15687 of a format-6 file corrupted an
+    arithmetic-coded layer so that the decoder's value/length invariant
+    broke and decode_symbol indexed past SymbolModel::decoder_table
+    (laszip_core.h heap overread -> SIGSEGV).  The table index is now
+    clamped; the mutated stream must decode (as garbage) or reject cleanly."""
+    from treee_tpu.utils.errors import CorruptFile, UnsupportedFormat
+
+    pos = np.random.default_rng(11).uniform(0, 30, (9_000, 3)).astype(np.float32)
+    path = str(tmp_path / "ovr.laz")
+    las.write_laz(path, pos, chunk_size=2_500, point_format=6)
+    buf = bytearray(open(path, "rb").read())
+    assert len(buf) > 15_695, "seed stream shrank; regenerate the offset"
+    buf[15_687:15_695] = (2**63 - 1).to_bytes(8, "little")
+    try:
+        las.load(bytes(buf))
+    except (CorruptFile, UnsupportedFormat, ValueError, MemoryError):
+        pass
+
+
 @pytest.mark.parametrize("fmt", [0, 6, 9])  # sequential, layered, wavepacket
 def test_corruption_fuzz_no_uncaught_errors(tmp_path, fmt):
     """Single-bit flips and 4-byte field fills anywhere in a .laz either

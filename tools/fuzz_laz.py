@@ -115,12 +115,10 @@ def transplant(a: bytes, b: bytes, rng: np.random.Generator) -> tuple[bytes, str
 
 
 def run_case(data: bytes) -> None:
+    """Raises on any non-CLEAN outcome; the child's loop owns the taxonomy."""
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
-        try:
-            las.load(data)
-        except CLEAN:
-            pass
+        las.load(data)
 
 
 def run_batch_forked(cases: list[tuple[bytes, str]]) -> tuple[bool, int, str]:
@@ -224,8 +222,10 @@ def main() -> int:
                 rp = f"/tmp/laz_fuzz_repro_{batch_no}_{idx}.laz"
                 open(rp, "wb").write(cases[idx][0])
                 print(f"  repro written: {rp}", flush=True)
-            # resume after the failing case
-            rest = cases[idx + 1:]
+            # resume after the failing case; a child that died before its
+            # first progress write (idx < 0) forfeits the whole batch —
+            # slicing from idx+1 == 0 would re-run it forever
+            rest = cases[idx + 1:] if idx >= 0 else []
             while rest:
                 ok2, idx2, msg2 = run_batch_forked(rest)
                 if ok2:
@@ -233,7 +233,7 @@ def main() -> int:
                 findings += 1
                 d2 = rest[idx2][1] if 0 <= idx2 < len(rest) else "?"
                 print(f"FINDING (cont) {d2} -> {msg2}", flush=True)
-                rest = rest[idx2 + 1:]
+                rest = rest[idx2 + 1:] if idx2 >= 0 else []
         done += len(cases)
         if batch_no % 10 == 0:
             rate = done / max(1e-9, time.time() - t0)

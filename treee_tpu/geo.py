@@ -518,7 +518,22 @@ def eqc_to_latlong(easting: float, northing: float, a: float,
 
 
 def transform_to_latlong(proj_string: str, x: float, y: float) -> tuple[float, float]:
-    """World (easting, northing) -> (long, lat) radians via a proj string."""
+    """World (easting, northing) -> (long, lat) radians via a proj string.
+
+    Degenerate-but-parseable strings (out-of-range latitudes, polar lcc/
+    sterea/somerc origins, non-numeric values) raise :class:`ProjError` like
+    unknown ones do — callers rely on that single taxonomy (pipeline.
+    segment_coords returns None on it, matching the reference's silent
+    no-coordinates behavior for bad proj text, mod.rs:470-488)."""
+    try:
+        return _transform_to_latlong(proj_string, x, y)
+    except ProjError:
+        raise
+    except (ValueError, ZeroDivisionError, OverflowError) as exc:
+        raise ProjError(f"proj string did not evaluate: {exc}") from exc
+
+
+def _transform_to_latlong(proj_string: str, x: float, y: float) -> tuple[float, float]:
     p = parse_proj(proj_string)
     proj = str(p["proj"])
     if proj in ("longlat", "latlong", "lonlat"):
@@ -552,7 +567,8 @@ def transform_to_latlong(proj_string: str, x: float, y: float) -> tuple[float, f
             k0 = _m_parallel(ts, _eccentricity(f))
         return merc_to_latlong(x, y, a, f, k0=k0, lon0=lon0, x0=x0, y0=y0)
     if proj == "webmerc":
-        return merc_to_latlong(x, y, a, 0.0, k0=k0, lon0=lon0, x0=x0, y0=y0)
+        # proj pins webmerc at k = 1 regardless of +k/+k_0
+        return merc_to_latlong(x, y, a, 0.0, k0=1.0, lon0=lon0, x0=x0, y0=y0)
     if proj in ("lcc", "aea"):
         if "lat_1" not in p:
             raise ProjError(f"{proj} needs +lat_1")
