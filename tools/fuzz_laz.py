@@ -50,8 +50,12 @@ CLEAN = (CorruptFile, UnsupportedFormat, ValueError, MemoryError)
 CASE_TIMEOUT_S = 20
 
 
+LAS_SEED = 99  # pseudo-format key for the uncompressed .las path
+
+
 def build_seeds(formats) -> dict[int, bytes]:
-    """One small valid .laz per format (multi-chunk so the table paths run)."""
+    """One small valid .laz per format (multi-chunk so the table paths run),
+    plus an uncompressed .las seed (native las_decode.cpp path)."""
     out = {}
     rng = np.random.default_rng(11)
     pos = rng.uniform(0, 30, (9_000, 3)).astype(np.float32)
@@ -60,6 +64,9 @@ def build_seeds(formats) -> dict[int, bytes]:
             path = os.path.join(td, f"s{fmt}.laz")
             las.write_laz(path, pos, chunk_size=2_500, point_format=fmt)
             out[fmt] = open(path, "rb").read()
+        path = os.path.join(td, "s.las")
+        las.write_las(path, pos)
+        out[LAS_SEED] = open(path, "rb").read()
     return out
 
 
