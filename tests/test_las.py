@@ -114,3 +114,75 @@ def test_write_las_does_not_mutate_caller_records(tmp_path):
     np.testing.assert_array_equal(records, before)
     las.write_laz(str(tmp_path / "a.laz"), pos, records=records)
     np.testing.assert_array_equal(records, before)
+
+
+def test_export_las_classified_roundtrip(tmp_path):
+    """Session.export_las writes a georeferenced, classified LAS 1.4/PDRF6
+    file: positions come back in the source CRS (load() recenters and
+    reports the offset), classification carries the ASPRS mapping
+    (ground=2, trunk=4, crown=5), point_source_id carries the tree id, and
+    the .laz flavor decodes identically through the native codec."""
+    import struct
+
+    from treee_tpu.config import (
+        CharacteristicsConfig, Config, SegmentationConfig, RenderConfig,
+    )
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=192, height=108),
+    )
+    pts = las.synthetic_forest(n_trees=3, points_per_tree=3000,
+                               ground_points=3000, seed=5)
+    s = Session.from_points(pts, cfg)
+    s.world_offset = np.array([700000.0, 0.0, -6600000.0])
+    s.segment(0.75)
+    s.characteristics()
+
+    path = str(tmp_path / "classified.las")
+    n = s.export_las(path)
+    live = np.asarray(s.cloud.valid & (s.cloud.segment != 0))
+    assert n == int(live.sum())
+
+    # reload: world_offset must round-trip (georeferencing) and positions
+    # must match the live subset to quantization
+    scan = las.load(path)
+    assert scan.pos.shape[0] == n
+    # scan recenters around its own bbox center; undo both recenterings
+    orig = np.asarray(s.cloud.pos)[live]
+    got = scan.pos + (scan.world_offset - np.array(
+        [s.world_offset[0], s.world_offset[1], s.world_offset[2]]))
+    assert np.allclose(np.sort(got[:, 1]), np.sort(orig[:, 1]), atol=2e-3)
+    assert np.allclose(np.sort(got[:, 0]), np.sort(orig[:, 0]), atol=2e-3)
+
+    # parse classification + point_source_id straight from the records
+    raw = open(path, "rb").read()
+    hdr = las.LasHeader.parse(raw)
+    rec = np.frombuffer(
+        raw[hdr.offset_to_point_data:
+            hdr.offset_to_point_data + n * hdr.point_length],
+        np.uint8).reshape(n, hdr.point_length)
+    asprs = rec[:, 16]
+    assert set(np.unique(asprs)) <= {1, 2, 4, 5}
+    cls = np.asarray(s.cloud.classification)[live]
+    counts = {code: int((asprs == code).sum()) for code in (2, 4, 5)}
+    assert counts[2] == int((cls == 0).sum())  # ground
+    assert counts[4] == int((cls == 1).sum())  # trunk
+    assert counts[5] == int((cls == 2).sum())  # crown
+    psid = rec[:, 20:22].copy().view("<u2").ravel()
+    seg = np.asarray(s.cloud.segment)[live]
+    assert set(np.unique(psid)) == set(np.unique(seg))
+
+    # the .laz flavor decodes to the same point set
+    zpath = str(tmp_path / "classified.laz")
+    nz = s.export_las(zpath)
+    assert nz == n
+    scan_z = las.load(zpath)
+    assert np.allclose(np.sort(scan_z.pos[:, 1]), np.sort(scan.pos[:, 1]),
+                       atol=1e-6)
+    assert np.allclose(scan_z.world_offset, scan.world_offset)

@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-ground-ply",
                    help="ground-only point export of --segment-id")
     p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
+    p.add_argument("--export-las",
+                   help="write the live cloud as classified LAS 1.4 "
+                        "(.laz compresses): ASPRS ground/vegetation codes, "
+                        "tree id in point_source_id, source-CRS header")
     p.add_argument("--export-dtm", help="write a ground-height ESRI ASCII "
                         "grid (.asc) — digital terrain model (rasters.py)")
     p.add_argument("--export-dsm", help="write a surface-height .asc — "
@@ -280,6 +284,10 @@ def main(argv=None) -> int:
         n = session.export_points_ply(args.export_ply,
                                       segment_id=args.segment_id)
         print(f"points ply: {args.export_ply} ({n} points)")
+
+    if args.export_las:
+        n = session.export_las(args.export_las, segment_id=args.segment_id)
+        print(f"classified las: {args.export_las} ({n} points)")
 
     for flag, include in (("export_crown_ply", "crown"),
                           ("export_trunk_ply", "trunk"),

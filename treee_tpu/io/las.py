@@ -317,15 +317,23 @@ def _records_from_positions(pos_up: np.ndarray, scale: float,
 
 def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001,
               point_format: int = 0,
-              records: np.ndarray | None = None) -> None:
+              records: np.ndarray | None = None,
+              las_offset: np.ndarray | None = None) -> None:
     """Write y-up positions to a LAS file (1.2 for formats 0-3, 1.4 for 6+).
 
     Inverse of the load swizzle: (x, y_up, z) -> LAS (x, -z, y_up).  Used by the
-    synthetic-scan generators and round-trip tests.  ``records`` optionally
-    supplies full raw records (xyz bytes are overwritten from ``pos_up``).
+    synthetic-scan generators, round-trip tests, and Session.export_las.
+    ``records`` optionally supplies full raw records (xyz bytes are
+    overwritten from ``pos_up``).  ``las_offset`` georeferences the header:
+    a LAS-space f64[3] added to the header offset/min/max only, so the
+    stored i32 coordinates stay small while the file reads back in the
+    original CRS (the inverse of load()'s recentering).
     """
     point_length = POINT_LENGTHS[point_format]
     rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
+    if las_offset is not None:
+        mins = mins + np.asarray(las_offset, np.float64)
+        maxs = maxs + np.asarray(las_offset, np.float64)
     if records is not None:
         # copy=True: patching the xyz bytes must not write through into the
         # caller's records buffer (an already-contiguous input would alias)
@@ -344,13 +352,18 @@ def write_las(path: str, pos_up: np.ndarray, scale: float = 0.001,
 
 def write_laz(path: str, pos_up: np.ndarray, scale: float = 0.001,
               chunk_size: int = 50_000, point_format: int = 0,
-              records: np.ndarray | None = None) -> None:
+              records: np.ndarray | None = None,
+              las_offset: np.ndarray | None = None) -> None:
     """Write a LASzip-compressed .laz via the native codec: chunked POINT10
-    (formats 0-3) or layered POINT14 (formats 6-8, LAS 1.4)."""
+    (formats 0-3) or layered POINT14 (formats 6-8, LAS 1.4).  ``las_offset``
+    georeferences the header exactly as in write_las."""
     from . import laz_native
 
     point_length = POINT_LENGTHS[point_format]
     rec, mins, maxs = _records_from_positions(pos_up, scale, point_length)
+    if las_offset is not None:
+        mins = mins + np.asarray(las_offset, np.float64)
+        maxs = maxs + np.asarray(las_offset, np.float64)
     if records is not None:
         # copy=True: see write_las — never write through the caller's buffer
         patched = np.array(records, np.uint8, copy=True).reshape(rec.shape)

@@ -577,6 +577,55 @@ class Session:
             )
         return int(keep.sum())
 
+    # ASPRS standard classification codes for export_las
+    _ASPRS_BY_CLASS = {0: 2, 1: 4, 2: 5}  # ground / trunk=medium / crown=high veg
+
+    def export_las(self, path: str, segment_id: int | None = None,
+                   include: str = "all") -> int:
+        """Write the live (edited) cloud as a georeferenced LAS 1.4 / PDRF 6
+        file — `.laz` extension compresses through the native codec.
+
+        The canonical forestry deliverable the reference lacks (its exports
+        stop at .ply/.json/.txt, mod.rs:629-660): per-point ASPRS
+        classification (ground=2, trunk=medium vegetation=4, crown=high
+        vegetation=5) and the tree id in point_source_id, positions restored
+        to the source CRS via the header offset (undoing load()'s
+        recentering).  ``segment_id``/``include`` filter like
+        export_points_ply.  Returns the number of points written.
+        """
+        from .cloud import include_mask
+
+        if segment_id is not None:
+            member = self.cloud.valid & (self.cloud.segment == segment_id)
+        else:
+            member = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
+        keep = np.asarray(member & include_mask(self.cloud.classification,
+                                                include))
+        n = int(keep.sum())
+        if n == 0:
+            raise ValueError("export_las: no points match the filter")
+        pos = np.asarray(self.cloud.pos)[keep]
+        cls = np.asarray(self.cloud.classification)[keep]
+        seg = np.asarray(self.cloud.segment)[keep]
+
+        point_length = las.POINT_LENGTHS[6]
+        rec = np.zeros((n, point_length), np.uint8)
+        rec[:, 14] = 0x11  # return 1 of 1
+        asprs = np.full(n, 1, np.uint8)  # unclassified fallback
+        for cval, code in self._ASPRS_BY_CLASS.items():
+            asprs[cls == cval] = code
+        rec[:, 16] = asprs
+        psid = np.minimum(seg, 0xFFFF).astype("<u2")
+        rec[:, 20:22] = psid.view(np.uint8).reshape(n, 2)
+
+        # world_offset is in the swizzled y-up frame; the writer swizzles
+        # positions back to LAS (x, -z, y), so the header shift follows suit
+        wo = self.world_offset
+        las_off = np.array([wo[0], -wo[2], wo[1]], np.float64)
+        writer = las.write_laz if path.lower().endswith(".laz") else las.write_las
+        writer(path, pos, point_format=6, records=rec, las_offset=las_off)
+        return n
+
     def rasters(self, cell: float = 0.5, cap: int = 4096):
         """DTM / DSM / CHM height rasters over the live cloud (rasters.py).
 

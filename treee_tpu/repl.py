@@ -47,6 +47,8 @@ commands (reference widget/mouse equivalents in parens):
   classify ground|trunk|crown PX PY                focused reclassify brush
   export ply|crown|trunk|ground PATH               focused point export,
                           optionally class-filtered (mod.rs:629-660)
+  export las PATH                                  whole live cloud as
+                          classified LAS/LAZ (ASPRS codes + tree ids)
   raster dtm|dsm|chm PATH [CELL]                   terrain/surface/canopy
                           height .asc over the live cloud (rasters.py)
   lod on|off|adaptive [taupx]|level N   render from the octree LOD subset
@@ -491,7 +493,13 @@ class Repl:
 
     def _export(self, what: str, path: str) -> None:
         """Focused point export, optionally class-filtered (the reference's
-        Crown/Trunk/Ground/Points buttons, mod.rs:629-660)."""
+        Crown/Trunk/Ground/Points buttons, mod.rs:629-660).  ``export las``
+        writes the whole live cloud as classified LAS/LAZ instead (a
+        treee-tpu addition: Session.export_las)."""
+        if what == "las":
+            n = self.s.export_las(path)
+            self._print(f"wrote {n} classified points to {path}")
+            return
         sid = self.selected
         if sid is None:
             raise ValueError("select a segment first (view-mode click)")
@@ -499,7 +507,7 @@ class Repl:
                    "ground": "ground"}.get(what)
         if include is None:
             raise ValueError(f"unknown export {what!r} "
-                             "(ply|crown|trunk|ground)")
+                             "(ply|crown|trunk|ground|las)")
         n = self.s.export_points_ply(path, segment_id=sid, include=include)
         self._print(f"wrote {n} points to {path}")
 
