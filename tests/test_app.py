@@ -491,3 +491,38 @@ def test_repl_adaptive_lod_rebuilds_after_camera_motion(tmp_path):
     assert r.handle(f"render {png}")
     assert len(calls) == 2          # clean again until the next motion
     assert "error:" not in out.getvalue(), out.getvalue()
+
+
+def test_repl_attribute_display(tmp_path):
+    """`display intensity`/`display rgb` render the forest view by source
+    attributes; an attribute the scan lacks errors without changing state."""
+    import io
+
+    import numpy as np
+
+    from treee_tpu.config import Config, RenderConfig
+    from treee_tpu.io import las
+    from treee_tpu.repl import Repl
+    from treee_tpu.pipeline import Session
+    from tests.test_las import _attr_records
+
+    rng = np.random.default_rng(35)
+    n = 600
+    pos = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    rec, _ = _attr_records(rng, n, 2)  # legacy + rgb, no gps
+    src = str(tmp_path / "rgb.las")
+    las.write_las(src, pos, point_format=2, records=rec)
+
+    s = Session.from_las(src, Config(render=RenderConfig(width=96, height=64)))
+    out = io.StringIO()
+    r = Repl(s, out=out)
+    png = str(tmp_path / "f.png")
+    assert r.handle("display intensity") is True
+    assert r.handle(f"render {png}") is True
+    assert r.display == "intensity"
+    assert r.handle("display rgb") is True
+    assert r.handle(f"render {png}") is True
+    # format 2 has no gps_time: the command errors, display stays rgb
+    assert r.handle("display gps_time") is True
+    assert "error" in out.getvalue()
+    assert r.display == "rgb"

@@ -186,3 +186,151 @@ def test_export_las_classified_roundtrip(tmp_path):
     assert np.allclose(np.sort(scan_z.pos[:, 1]), np.sort(scan.pos[:, 1]),
                        atol=1e-6)
     assert np.allclose(scan_z.world_offset, scan.world_offset)
+
+
+# ---------------------------------------------------------------------------
+# Source point-record attributes (io/las.decode_attributes) — the fields the
+# reference loader discards (laz.rs:202-213 keeps only xyz).
+# ---------------------------------------------------------------------------
+
+def _attr_records(rng, n, point_format):
+    """Raw records with known non-coordinate fields for a given format."""
+    pl = las.POINT_LENGTHS[point_format]
+    rec = np.zeros((n, pl), np.uint8)
+    intensity = rng.integers(0, 1 << 16, n, dtype=np.uint16)
+    rec[:, 12:14] = intensity.astype("<u2").view(np.uint8).reshape(n, 2)
+    if point_format >= 6:
+        ret = rng.integers(1, 16, n, dtype=np.uint8)
+        rec[:, 14] = ret
+        cls = rng.integers(0, 256, n, dtype=np.uint8)
+        rec[:, 16] = cls
+    else:
+        ret = rng.integers(1, 6, n, dtype=np.uint8)
+        rec[:, 14] = ret | (ret << 3)  # return k of k
+        cls = rng.integers(0, 32, n, dtype=np.uint8)
+        rec[:, 15] = cls
+    attrs = {"intensity": intensity, "return_number": ret,
+             "file_classification": cls}
+    if point_format in las.GPS_OFFSETS:
+        t = rng.uniform(3.0e8, 3.1e8, n)
+        o = las.GPS_OFFSETS[point_format]
+        rec[:, o:o + 8] = t.astype("<f8").view(np.uint8).reshape(n, 8)
+        attrs["gps_time"] = t
+    if point_format in las.RGB_OFFSETS:
+        rgb = rng.integers(0, 1 << 16, (n, 3), dtype=np.uint16)
+        o = las.RGB_OFFSETS[point_format]
+        rec[:, o:o + 6] = rgb.astype("<u2").view(np.uint8).reshape(n, 6)
+        attrs["rgb"] = rgb
+    return rec, attrs
+
+
+def test_attributes_format3_las(tmp_path):
+    """Format 3 (legacy + gps + rgb): every attribute survives load()."""
+    rng = np.random.default_rng(31)
+    n = 1200
+    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    rec, attrs = _attr_records(rng, n, 3)
+    path = str(tmp_path / "a3.las")
+    las.write_las(path, pos, point_format=3, records=rec)
+    scan = las.load(path)
+    assert set(scan.attributes) == {"intensity", "return_number",
+                                    "file_classification", "gps_time", "rgb"}
+    np.testing.assert_array_equal(scan.attributes["intensity"],
+                                  attrs["intensity"])
+    np.testing.assert_array_equal(scan.attributes["return_number"],
+                                  attrs["return_number"])
+    np.testing.assert_array_equal(scan.attributes["file_classification"],
+                                  attrs["file_classification"])
+    np.testing.assert_array_equal(scan.attributes["rgb"], attrs["rgb"])
+    np.testing.assert_allclose(scan.attributes["gps_time"], attrs["gps_time"])
+    # max_points truncates attributes alongside positions
+    part = las.load(path, max_points=100)
+    np.testing.assert_array_equal(part.attributes["intensity"],
+                                  attrs["intensity"][:100])
+
+
+def test_attributes_format7_laz_roundtrip(tmp_path):
+    """Format 7 (layered POINT14+RGB14): attributes survive the native LAZ
+    codec bit-exactly."""
+    rng = np.random.default_rng(32)
+    n = 900
+    pos = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    rec, attrs = _attr_records(rng, n, 7)
+    path = str(tmp_path / "a7.laz")
+    las.write_laz(path, pos, point_format=7, records=rec)
+    scan = las.load(path)
+    np.testing.assert_array_equal(scan.attributes["intensity"],
+                                  attrs["intensity"])
+    np.testing.assert_array_equal(scan.attributes["rgb"], attrs["rgb"])
+    np.testing.assert_array_equal(scan.attributes["file_classification"],
+                                  attrs["file_classification"])
+    np.testing.assert_allclose(scan.attributes["gps_time"], attrs["gps_time"])
+
+
+def test_attributes_short_record_header_is_safe(tmp_path):
+    """A lying header (format 3 layout, point_length 20) must not crash the
+    attribute decode; fields beyond the record end are simply absent."""
+    rng = np.random.default_rng(33)
+    raw = rng.integers(0, 256, 20 * 50, dtype=np.uint8)
+    attrs = las.decode_attributes(raw, 3, 20)
+    assert "rgb" not in attrs and "gps_time" not in attrs
+    assert "intensity" in attrs and len(attrs["intensity"]) == 50
+
+
+def test_session_attributes_display_export_checkpoint(tmp_path):
+    """Session flow for source attributes: display props, classified export
+    carrying intensity/RGB (PDRF 7), checkpoint round trip, and zero-filled
+    merge with an attribute-less scan."""
+    from treee_tpu.config import Config, RenderConfig
+    from treee_tpu.pipeline import Session
+
+    rng = np.random.default_rng(34)
+    n = 800
+    pos = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    rec, attrs = _attr_records(rng, n, 7)
+    src = str(tmp_path / "src.las")
+    las.write_las(src, pos, point_format=7, records=rec)
+
+    cfg = Config(render=RenderConfig(width=96, height=64))
+    s = Session.from_las(src, cfg)
+    # padded row alignment: attributes live at the first n rows
+    np.testing.assert_array_equal(
+        s.attributes["intensity"][:n], attrs["intensity"])
+    assert not s.attributes["intensity"][n:].any()
+
+    prop, pal = s.attribute_prop("intensity")
+    assert pal is None
+    p = np.asarray(prop)
+    assert p.min() >= 0.0 and p.max() <= 1.0 and p.shape[0] == s.cloud.capacity
+    prop_rgb, pal_rgb = s.attribute_prop("rgb")
+    assert pal_rgb is not None and pal_rgb.shape == (256, 3)
+    img = s.render(prop=prop_rgb, palette=pal_rgb)
+    assert img.shape == (64, 96, 3)
+
+    # classified export keeps the source color + intensity (PDRF 7)
+    out = str(tmp_path / "out.las")
+    s.export_las(out)
+    back = las.load(out)
+    assert back.header.point_format == 7
+    np.testing.assert_array_equal(back.attributes["intensity"],
+                                  attrs["intensity"])
+    np.testing.assert_array_equal(back.attributes["rgb"], attrs["rgb"])
+
+    # checkpoint: attributes survive save/open
+    ck = str(tmp_path / "sess.npz")
+    s.save(ck)
+    s2 = Session.open(ck, cfg)
+    np.testing.assert_array_equal(
+        s2.attributes["rgb"][:n], attrs["rgb"])
+
+    # merging an attribute-less scan zero-fills its rows
+    plain = str(tmp_path / "plain0.las")
+    las.write_las(plain, pos[:100] + 100.0, point_format=0)
+    s2.add_las(plain)
+    inten = s2.attributes["intensity"]
+    valid = np.asarray(s2.cloud.valid)
+    assert valid.sum() == n + 100
+    np.testing.assert_array_equal(inten[:n], attrs["intensity"])
+    # format 0 still has an intensity field (zeros from write_las) — rgb is
+    # what the plain scan lacks entirely
+    assert not s2.attributes["rgb"][n:n + 100].any()

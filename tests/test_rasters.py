@@ -171,3 +171,60 @@ def test_y_offset_shifts_dtm_dsm_not_chm():
         np.testing.assert_allclose(off[k][m], base[k][m] + 100.0, atol=1e-4)
         assert (off[k][~m] == rasters.NODATA).all()
     np.testing.assert_array_equal(off["chm"], base["chm"])
+
+
+def test_height_above_ground_per_point():
+    """Per-point HAG: ground samples read ~0, tree columns read their height
+    above the local plane (rasters.height_above_ground)."""
+    import jax.numpy as jnp
+
+    trees = [(10.5, 10.5, 7.0), (20.5, 5.5, 3.0)]
+    pts, cls = _plane_scene(trees=trees)
+    live = np.ones(len(pts), bool)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    (rows, cols), (ph, pw), cell = rasters.grid_dims(lo, hi, 1.0, cap=64)
+    hag = np.asarray(rasters.height_above_ground(
+        jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(live),
+        jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell),
+        (ph, pw), (rows, cols),
+    ))
+    ground = cls == CLASS_GROUND
+    np.testing.assert_allclose(hag[ground], 0.0, atol=1e-5)
+    np.testing.assert_allclose(hag[~ground], [7.0, 3.0], atol=1e-5)
+
+
+def test_session_hag_display(tmp_path):
+    """Session.hag_prop normalizes to [0,1]; the REPL `display hag` renders
+    the whole forest by it."""
+    import io as _io
+
+    from treee_tpu.config import Config, RenderConfig
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    pts, cls = _plane_scene(trees=[(10.5, 10.5, 7.0)])
+    s = Session.from_points(pts, Config(render=RenderConfig(width=96,
+                                                            height=64)))
+    s.cloud = s.cloud.replace(
+        classification=jnp_pad_classification(s.cloud, cls))
+    prop = np.asarray(s.hag_prop())
+    valid = np.asarray(s.cloud.valid)
+    assert prop[valid].max() == 1.0 and prop.min() >= 0.0
+    # the tree top is the max; ground points sit at ~0
+    assert prop[valid][cls == CLASS_GROUND].max() < 0.01
+
+    r = Repl(s, out=_io.StringIO())
+    png = str(tmp_path / "hag.png")
+    assert r.handle("display hag") is True
+    assert r.handle(f"render {png}") is True
+    import os
+
+    assert os.path.exists(png)
+
+
+def jnp_pad_classification(cloud, cls):
+    import jax.numpy as jnp
+
+    out = np.zeros(cloud.capacity, np.int32)
+    out[: len(cls)] = cls
+    return jnp.asarray(out)

@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "level (0-10, or 'adaptive' for finest-level voxel "
                         "dedup — near-pixel-exact full-scene frames)")
     p.add_argument("--out-dir", default="frames")
+    p.add_argument("--display", default="segment",
+                   choices=("segment", "intensity", "rgb",
+                            "file_classification", "return_number",
+                            "gps_time", "nir", "hag"),
+                   help="frame-sweep coloring: segment ids (default), a "
+                        "source point-record attribute the scan carries "
+                        "(io/las.decode_attributes — fields the reference "
+                        "loader discards), or height above the DTM (hag)")
     # exports / persistence
     p.add_argument("--save", help="write a session checkpoint (.npz)")
     p.add_argument("--export-info", help="write per-segment info JSON")
@@ -243,10 +251,16 @@ def main(argv=None) -> int:
         if use_lod:
             level = 10 if args.lod == "adaptive" else int(args.lod)
             session.build_lod(level=level)
+        prop, pal = (None, None)
+        if args.display == "hag":
+            prop = session.hag_prop()
+        elif args.display != "segment":
+            prop, pal = session.attribute_prop(args.display)
         for i in range(args.frames):
             cam = cam.rotate_orbital(2 * np.pi / args.frames / 0.002, 0.0)
             with phase_timer(f"frame[{i}]"):
-                img = session.render(cam, use_lod=use_lod)
+                img = session.render(cam, use_lod=use_lod, prop=prop,
+                                     palette=pal)
             Image.fromarray(img).save(os.path.join(args.out_dir, f"frame_{i:03d}.png"))
         print(f"wrote {args.frames} frames to {args.out_dir}/")
 

@@ -21,13 +21,27 @@ FORMAT_VERSION = 1
 
 
 def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
-         source_location: str) -> None:
-    """Checkpoint the full session state."""
+         source_location: str,
+         attributes: dict[str, np.ndarray] | None = None) -> None:
+    """Checkpoint the full session state.
+
+    ``attributes`` optionally adds source point-record fields (intensity,
+    rgb, ... — io/las.decode_attributes), stored as ``attr_<name>`` arrays
+    aligned with the pos rows; absent in older checkpoints, which still load.
+    """
     data = cloud.to_numpy()
     meta = {
         "format_version": FORMAT_VERSION,
         "source_location": source_location,
     }
+    extra = {}
+    for k, v in (attributes or {}).items():
+        if len(v) != len(data["pos"]):
+            raise ValueError(
+                f"attribute {k!r} has {len(v)} rows, cloud has "
+                f"{len(data['pos'])} valid points"
+            )
+        extra[f"attr_{k}"] = v
     np.savez_compressed(
         path_or_buf,
         pos=data["pos"],
@@ -35,6 +49,7 @@ def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
         classification=data["classification"],
         world_offset=np.asarray(world_offset, np.float64),
         meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+        **extra,
     )
 
 
@@ -62,6 +77,9 @@ def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
                 "segment": z["segment"].astype(np.int32),
                 "classification": z["classification"].astype(np.int32),
             }
+            for k in z.files:
+                if k.startswith("attr_"):
+                    arrays[k] = z[k]
             return arrays, z["world_offset"], meta["source_location"]
     except FileNotFoundError:
         raise
@@ -106,10 +124,22 @@ def merge(
     for old, new in remap.items():
         seg[other["segment"] == old] = new
 
-    return {
+    out = {
         "pos": np.concatenate([base["pos"], pos]),
         "segment": np.concatenate([base["segment"], seg]),
         "classification": np.concatenate(
             [base["classification"], other["classification"]]
         ),
     }
+    # source attributes: zero-fill whichever side lacks a key
+    attr_keys = {k for k in (*base, *other) if k.startswith("attr_")}
+    n_base, n_other = len(base["pos"]), len(other["pos"])
+    for k in sorted(attr_keys):
+        va, vb = base.get(k), other.get(k)
+        ref = va if va is not None else vb
+        if va is None:
+            va = np.zeros((n_base,) + ref.shape[1:], ref.dtype)
+        if vb is None:
+            vb = np.zeros((n_other,) + ref.shape[1:], ref.dtype)
+        out[k] = np.concatenate([va, vb])
+    return out

@@ -122,13 +122,18 @@ def _find_laszip_vlr(data: bytes, header: LasHeader) -> bytes | None:
 
 @dataclasses.dataclass
 class LoadedScan:
-    """Decoded scan: y-up centered f32 positions + world metadata."""
+    """Decoded scan: y-up centered f32 positions + world metadata.
+
+    ``attributes`` carries the non-coordinate point-record fields the format
+    defines (decode_attributes) — beyond the reference, whose loader keeps
+    only xyz (laz.rs:202-213, Point3 per point)."""
 
     pos: np.ndarray          # f32[N,3] (x, z_up, -y) - center
     world_offset: np.ndarray # f64[3] center in swizzled LAS space
     lo: np.ndarray           # f32[3] swizzled bounds (laz.rs:120-121)
     hi: np.ndarray
     header: LasHeader
+    attributes: dict = dataclasses.field(default_factory=dict)
 
 
 def swizzle_bounds(header: LasHeader) -> tuple[np.ndarray, np.ndarray]:
@@ -164,6 +169,64 @@ def decode_records(
     out[:, 1] = z - center[1]
     out[:, 2] = (-y) - center[2]
     return out
+
+
+# Byte offsets of the optional per-format record fields (ASPRS LAS 1.4 spec
+# §4.5-4.15): RGB u16 triples and GPS-time f64 per point format.
+RGB_OFFSETS = {2: 20, 3: 28, 5: 28, 7: 30, 8: 30, 10: 30}
+GPS_OFFSETS = {1: 20, 3: 20, 4: 20, 5: 20, 6: 22, 7: 22, 8: 22, 9: 22, 10: 22}
+NIR_OFFSETS = {8: 36, 10: 36}
+
+
+def decode_attributes(raw, point_format: int, point_length: int,
+                      n: int | None = None) -> dict:
+    """Non-coordinate per-point fields from raw LAS records, as a dict.
+
+    Always present: ``intensity`` u16, ``file_classification`` u8 (the
+    producer's ASPRS class: the 5-bit field of legacy formats 0-5, the full
+    byte of formats 6+), ``return_number`` u8.  Format-dependent: ``rgb``
+    u16[N,3], ``gps_time`` f64, ``nir`` u16.  The reference loader discards
+    all of these (laz.rs:202-213); a forestry user switching from it keeps
+    them here for display (Session.attribute_prop) and re-export
+    (Session.export_las).
+    """
+    buf = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    n_rec = buf.size // point_length
+    if n is not None:
+        n_rec = min(n_rec, n)
+    rec = buf[: n_rec * point_length].reshape(n_rec, point_length)
+
+    def field(offset, dtype, count=1):
+        # a lying header (point_length shorter than the format's layout)
+        # yields no attribute rather than an out-of-bounds view
+        w = np.dtype(dtype).itemsize * count
+        if offset + w > point_length:
+            return None
+        a = np.ascontiguousarray(rec[:, offset:offset + w]).view(dtype)
+        return a.reshape(n_rec, count) if count > 1 else a.reshape(n_rec)
+
+    attrs = {}
+    intensity = field(12, "<u2")
+    if intensity is not None:
+        attrs["intensity"] = intensity.copy()
+    if point_format >= 6:
+        if point_length > 16:
+            attrs["file_classification"] = rec[:, 16].copy()
+            attrs["return_number"] = rec[:, 14] & 0x0F
+    elif point_length > 15:
+        attrs["file_classification"] = rec[:, 15] & 0x1F
+        attrs["return_number"] = rec[:, 14] & 0x07
+    for name, offsets, dtype, count in (
+        ("rgb", RGB_OFFSETS, "<u2", 3),
+        ("gps_time", GPS_OFFSETS, "<f8", 1),
+        ("nir", NIR_OFFSETS, "<u2", 1),
+    ):
+        if point_format in offsets:
+            v = field(offsets[point_format], dtype, count)
+            if v is not None:
+                attrs[name] = v.copy()
+    return attrs
 
 
 def load(source, center: np.ndarray | None = None, max_points: int | None = None) -> LoadedScan:
@@ -217,6 +280,9 @@ def load(source, center: np.ndarray | None = None, max_points: int | None = None
         lo=(lo_w - center).astype(np.float32),
         hi=(hi_w - center).astype(np.float32),
         header=header,
+        attributes=decode_attributes(
+            raw, header.point_format, header.point_length, n
+        ),
     )
 
 

@@ -68,6 +68,35 @@ def _lod_frame(pos_c, idx, count, cloud, cam, palette, cfg):
     return splat.render_frame(pos_c, prop_c, mask_c, cam, palette, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lod_frame_prop(pos_c, idx, count, cloud, prop, cam, palette, cfg):
+    """LOD frame with a caller-supplied full-N property (attribute display):
+    same subset-sized refresh as _lod_frame, prop gathered through the cached
+    indices."""
+    seg_c = cloud.segment[idx]
+    mask_c = (
+        cloud.valid[idx]
+        & (seg_c != DELETED_SEGMENT)
+        & (jnp.arange(idx.shape[0]) < count)
+    )
+    return splat.render_frame(pos_c, prop[idx], mask_c, cam, palette, cfg)
+
+
+def _merge_attributes(a: dict, n_a: int, b: dict, n_b: int) -> dict:
+    """Concatenate two attribute dicts, zero-filling keys missing on a side
+    (e.g. merging an RGB scan into an intensity-only session)."""
+    out = {}
+    for k in sorted(set(a) | set(b)):
+        va, vb = a.get(k), b.get(k)
+        ref = va if va is not None else vb
+        if va is None:
+            va = np.zeros((n_a,) + ref.shape[1:], ref.dtype)
+        if vb is None:
+            vb = np.zeros((n_b,) + ref.shape[1:], ref.dtype)
+        out[k] = np.concatenate([va, vb])
+    return out
+
+
 class Session:
     """Host-side session: one device point cloud + analytics + edits."""
 
@@ -87,6 +116,11 @@ class Session:
         self.palette = palettes.get(config.render.palette)
         self.max_distance = config.segmentation.max_distance
         self._next_id = None  # host mirror of the id counter
+        # source point-record attributes (intensity/rgb/..., io/las.py
+        # decode_attributes), host arrays padded to cloud capacity and
+        # row-aligned with the SoA store; the reference keeps only xyz
+        self.attributes: dict[str, np.ndarray] = {}
+        self._attr_dev: dict[str, tuple] = {}  # device prop cache per name
 
     # ---- loading (the Loading phase, treee/src/loading.rs) --------------------
 
@@ -97,6 +131,7 @@ class Session:
         scan = las.load(source, max_points=max_points)
         s.world_offset = scan.world_offset
         s.cloud = PointCloud.from_numpy(scan.pos)
+        s._attach_attributes(scan.attributes)
         return s
 
     @classmethod
@@ -108,10 +143,57 @@ class Session:
             s.world_offset = np.asarray(world_offset, np.float64)
         return s
 
+    def _attach_attributes(self, attrs: dict) -> None:
+        """Pad source attributes to the cloud capacity, row-aligned with the
+        SoA store (edits never reorder rows, so alignment is permanent)."""
+        cap = self.cloud.capacity
+        out = {}
+        for k, v in attrs.items():
+            a = np.asarray(v)
+            padded = np.zeros((cap,) + a.shape[1:], a.dtype)
+            padded[: len(a)] = a[:cap]
+            out[k] = padded
+        self.attributes = out
+        self._attr_dev = {}
+
+    def attribute_prop(self, name: str):
+        """Source attribute as a normalized render property.
+
+        Returns ``(prop f32[N] in [0,1], palette override or None)`` for
+        Session.render — the display path for the point-record fields the
+        reference discards (io/las.decode_attributes).  ``rgb`` packs the
+        file color into the 3-3-2 cube index (palettes.rgb_cube) so true
+        color rides the 8 palette bits of the packed z-key; everything else
+        max-normalizes like the reference's u32 Lookup (lookup.rs:22-24).
+        """
+        if name not in self.attributes:
+            avail = ", ".join(sorted(self.attributes)) or "none in this scan"
+            raise ValueError(f"no attribute {name!r} (available: {avail})")
+        if name not in self._attr_dev:
+            a = self.attributes[name]
+            if name == "rgb":
+                # 8-bit-payload files store 0-255 in the u16 fields; detect
+                # and stretch so the top-3-bit quantizer sees full scale
+                shift = 8 if a.max(initial=0) <= 255 else 0
+                a32 = a.astype(np.int32) << shift
+                r, g, b = a32[:, 0] >> 13, a32[:, 1] >> 13, a32[:, 2] >> 14
+                idx = (r << 5) | (g << 2) | b
+                prop = (idx.astype(np.float32) + 0.5) / 256.0
+                pal = palettes.rgb_cube()
+            else:
+                v = a.astype(np.float32)
+                vlo = float(v.min(initial=0.0)) if name == "gps_time" else 0.0
+                ext = max(float(v.max(initial=0.0)) - vlo, 1e-12)
+                prop = (v - vlo) / ext
+                pal = None
+            self._attr_dev[name] = (jnp.asarray(prop), pal)
+        return self._attr_dev[name]
+
     def add_las(self, source) -> None:
         """Merge another scan, re-centered on this session's offset
         (Loading::add, loading.rs:79-88; Interactive::add_points mod.rs:340-371)."""
         scan = las.load(source, center=self.world_offset)
+        valid = np.asarray(self.cloud.valid)
         data = self.cloud.to_numpy()
         pos = np.concatenate([data["pos"], scan.pos])
         seg = np.concatenate(
@@ -121,7 +203,11 @@ class Session:
         cls_ = np.concatenate(
             [data["classification"], np.zeros(len(scan.pos), np.int32)]
         )
+        base_attrs = {k: v[valid] for k, v in self.attributes.items()}
         self.cloud = PointCloud.from_numpy(pos, segment=seg, classification=cls_)
+        self._attach_attributes(_merge_attributes(
+            base_attrs, len(data["pos"]), scan.attributes, len(scan.pos)
+        ))
         self.table = None
         self._counts_np = None
         self._tree = None
@@ -325,8 +411,10 @@ class Session:
         self._lod = (pos_c, idx, jnp.minimum(count, cap))
 
     def render(self, camera: Camera | None = None, prop: jax.Array | None = None,
-               show_deleted: bool = False, use_lod: bool = False) -> np.ndarray:
+               show_deleted: bool = False, use_lod: bool = False,
+               palette: jax.Array | None = None) -> np.ndarray:
         cam = camera if camera is not None else self.camera
+        pal = palette if palette is not None else self.palette
         if use_lod and show_deleted:
             # the LOD subset is built excluding deleted points; fall through
             # to the full-cloud path rather than silently dropping them
@@ -335,10 +423,16 @@ class Session:
             if getattr(self, "_lod", None) is None:
                 self.build_lod()
             pos_c, idx, count = self._lod
-            img = _lod_frame(
-                pos_c, idx, count, self.cloud, cam, self.palette,
-                self.config.render,
-            )
+            if prop is not None:
+                img = _lod_frame_prop(
+                    pos_c, idx, count, self.cloud, prop, cam, pal,
+                    self.config.render,
+                )
+            else:
+                img = _lod_frame(
+                    pos_c, idx, count, self.cloud, cam, pal,
+                    self.config.render,
+                )
             return np.asarray(splat.to_u8(img))
         if prop is None:
             prop = splat.prop_from_segment(self.cloud.segment)
@@ -346,7 +440,7 @@ class Session:
         if not show_deleted:
             mask &= self.cloud.segment != DELETED_SEGMENT
         img = splat.render_frame(
-            self.cloud.pos, prop, mask, cam, self.palette, self.config.render
+            self.cloud.pos, prop, mask, cam, pal, self.config.render
         )
         return np.asarray(splat.to_u8(img))
 
@@ -376,8 +470,16 @@ class Session:
         from .render import lines as lines_mod
 
         cam = camera if camera is not None else self.camera
+        pal = self.palette
         member = self.cloud.valid & (self.cloud.segment == segment_id)
-        if display == "classification":
+        if display in self.attributes:
+            # source-attribute view (intensity/rgb/..., attribute_prop)
+            prop, pal_over = self.attribute_prop(display)
+            if pal_over is not None:
+                pal = pal_over
+        elif display == "hag":
+            prop = self.hag_prop()
+        elif display == "classification":
             # Ground -> 1/8, Trunk -> 3/8, Crown -> 6/8 of the palette
             # (mod.rs:1031-1039)
             prop = jnp.take(
@@ -405,7 +507,7 @@ class Session:
             raise ValueError(f"unknown display {display!r}")
 
         color, z01, _ = splat.render_points(
-            self.cloud.pos, prop, member, cam, self.palette, self.config.render
+            self.cloud.pos, prop, member, cam, pal, self.config.render
         )
 
         overlays = []
@@ -583,7 +685,9 @@ class Session:
     def export_las(self, path: str, segment_id: int | None = None,
                    include: str = "all") -> int:
         """Write the live (edited) cloud as a georeferenced LAS 1.4 / PDRF 6
-        file — `.laz` extension compresses through the native codec.
+        (PDRF 7 when the source scan carried RGB) file — `.laz` extension
+        compresses through the native codec.  Source intensity/GPS-time/RGB
+        attributes survive the round trip.
 
         The canonical forestry deliverable the reference lacks (its exports
         stop at .ply/.json/.txt, mod.rs:629-660): per-point ASPRS
@@ -608,8 +712,15 @@ class Session:
         cls = np.asarray(self.cloud.classification)[keep]
         seg = np.asarray(self.cloud.segment)[keep]
 
-        point_length = las.POINT_LENGTHS[6]
+        # PDRF 7 (6 + RGB) when the source scan carried color; source
+        # intensity/GPS-time ride along in either format (attributes are
+        # padded row-aligned with the SoA store, so `keep` selects them)
+        fmt = 7 if "rgb" in self.attributes else 6
+        point_length = las.POINT_LENGTHS[fmt]
         rec = np.zeros((n, point_length), np.uint8)
+        if "intensity" in self.attributes:
+            inten = self.attributes["intensity"][keep].astype("<u2")
+            rec[:, 12:14] = inten.view(np.uint8).reshape(n, 2)
         rec[:, 14] = 0x11  # return 1 of 1
         asprs = np.full(n, 1, np.uint8)  # unclassified fallback
         for cval, code in self._ASPRS_BY_CLASS.items():
@@ -617,13 +728,19 @@ class Session:
         rec[:, 16] = asprs
         psid = np.minimum(seg, 0xFFFF).astype("<u2")
         rec[:, 20:22] = psid.view(np.uint8).reshape(n, 2)
+        if "gps_time" in self.attributes:
+            t = self.attributes["gps_time"][keep].astype("<f8")
+            rec[:, 22:30] = t.view(np.uint8).reshape(n, 8)
+        if fmt == 7:
+            rgb = self.attributes["rgb"][keep].astype("<u2")
+            rec[:, 30:36] = rgb.view(np.uint8).reshape(n, 6)
 
         # world_offset is in the swizzled y-up frame; the writer swizzles
         # positions back to LAS (x, -z, y), so the header shift follows suit
         wo = self.world_offset
         las_off = np.array([wo[0], -wo[2], wo[1]], np.float64)
         writer = las.write_laz if path.lower().endswith(".laz") else las.write_las
-        writer(path, pos, point_format=6, records=rec, las_offset=las_off)
+        writer(path, pos, point_format=fmt, records=rec, las_offset=las_off)
         return n
 
     def rasters(self, cell: float = 0.5, cap: int = 4096):
@@ -649,6 +766,29 @@ class Session:
         yll = -(float(lo[2]) + rows * cell) - float(self.world_offset[2])
         return grids, (xll, yll), cell
 
+    def height_above_ground(self, cell: float = 1.0, cap: int = 4096):
+        """Per-point height above the hole-filled DTM, f32[N] device array.
+
+        The whole-forest normalized-height view (rasters.height_above_ground)
+        — the reference's height property exists only inside one focused
+        segment (calculations.rs:323-326)."""
+        from . import rasters as rs
+        from . import segmentation as seg
+
+        live = self.cloud.alive
+        lo, hi = (np.asarray(a) for a in seg.scene_bounds(self.cloud.pos, live))
+        (rows, cols), (ph, pw), cell = rs.grid_dims(lo, hi, cell, cap=cap)
+        return rs.height_above_ground(
+            self.cloud.pos, self.cloud.classification, live,
+            jnp.float32(lo[0]), jnp.float32(lo[2]), jnp.float32(1.0 / cell),
+            (ph, pw), (rows, cols),
+        )
+
+    def hag_prop(self, cell: float = 1.0):
+        """height_above_ground max-normalized to [0,1] for Session.render."""
+        hag = self.height_above_ground(cell)
+        return hag / jnp.maximum(jnp.max(hag), 1e-6)
+
     def export_raster(self, path, which: str = "chm", cell: float = 0.5,
                       cap: int = 4096) -> tuple[int, int]:
         """Write one raster as an ESRI ASCII grid; returns (rows, cols)."""
@@ -667,9 +807,11 @@ class Session:
         """Checkpoint the session; ``segment_id`` saves just that segment
         (the focused view's "Segment" .ipc export button, mod.rs:655-668),
         reloadable/mergeable like any checkpoint."""
+        valid = np.asarray(self.cloud.valid)
+        attrs = {k: v[valid] for k, v in self.attributes.items()}
         if segment_id is None:
             ipc.save(path, self.cloud, self.world_offset,
-                     self.source_location)
+                     self.source_location, attributes=attrs)
             return
         data = self.cloud.to_numpy()  # valid rows only
         keep = data["segment"] == segment_id
@@ -678,7 +820,8 @@ class Session:
             segment=data["segment"][keep],
             classification=data["classification"][keep],
         )
-        ipc.save(path, sub, self.world_offset, self.source_location)
+        ipc.save(path, sub, self.world_offset, self.source_location,
+                 attributes={k: v[keep] for k, v in attrs.items()})
 
     @classmethod
     def open(cls, path, config: Config = DEFAULT_CONFIG) -> "Session":
@@ -690,17 +833,28 @@ class Session:
             arrays["pos"], segment=arrays["segment"],
             classification=arrays["classification"],
         )
+        s._attach_attributes({
+            k[len("attr_"):]: v for k, v in arrays.items()
+            if k.startswith("attr_")
+        })
         return s
 
     def add_session(self, path) -> None:
         """Additive merge of another checkpoint (mod.rs:300-338)."""
         arrays, offset, _ = ipc.load(path)
+        valid = np.asarray(self.cloud.valid)
         base = self.cloud.to_numpy()
+        for k, v in self.attributes.items():
+            base[f"attr_{k}"] = v[valid]
         merged = ipc.merge(base, self.world_offset, arrays, offset)
         self.cloud = PointCloud.from_numpy(
             merged["pos"], segment=merged["segment"],
             classification=merged["classification"],
         )
+        self._attach_attributes({
+            k[len("attr_"):]: v for k, v in merged.items()
+            if k.startswith("attr_")
+        })
         self._next_id = None
         self.table = None
         self._counts_np = None

@@ -151,6 +151,37 @@ def compute_rasters(pos, classification, live, lo, hi, cell: float,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "live_dims"))
+def height_above_ground(pos, classification, live, lo_x, lo_z, inv_cell,
+                        shape, live_dims):
+    """Per-point height above the hole-filled DTM, f32[N] >= 0.
+
+    The normalized-height forestry view over the WHOLE forest: the DTM is
+    rasterized from ground-classified returns (height_grids + jfa_fill,
+    exactly the --export-dtm product) and every live point gathers its
+    cell's ground elevation.  The reference's height property is per-segment
+    only (calculations.rs:323-326); this is the area-wide equivalent used by
+    the ``display hag`` mode.  Non-live points (and scenes with no ground
+    returns at all) read 0.
+    """
+    from .cloud import CLASS_GROUND
+
+    h, w = shape
+    lr, lc = live_dims
+    ground = live & (classification == CLASS_GROUND)
+    dtm_raw, _ = height_grids(
+        pos, ground, live, lo_x, lo_z, inv_cell, shape, live_dims
+    )
+    dtm, ok = jfa_fill(dtm_raw, dtm_raw < _BIG)
+    ix = jnp.clip(((pos[:, 0] - lo_x) * inv_cell).astype(jnp.int32), 0, lc - 1)
+    iz = jnp.clip(((pos[:, 2] - lo_z) * inv_cell).astype(jnp.int32), 0, lr - 1)
+    flat = iz * w + ix
+    dtm_pt = dtm.reshape(-1)[flat]
+    ok_pt = ok.reshape(-1)[flat]
+    hag = jnp.maximum(pos[:, 1] - dtm_pt, 0.0)
+    return jnp.where(live & ok_pt, hag, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "cols"))
 def _finalize_device(dtm_raw, dsm_raw, rows, cols, y_offset):
     """Fill + NODATA select + live-window slice, all on device."""

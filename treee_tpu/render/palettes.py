@@ -54,6 +54,22 @@ def white(size: int = PALETTE_SIZE):
     return jnp.ones((size, 3), jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def rgb_cube():
+    """256-entry 3-3-2 true-color cube for source-RGB display.
+
+    Index = (r3 << 5) | (g3 << 2) | b2 with channels quantized to 8/8/4
+    levels; ``Session.attribute_prop("rgb")`` packs file RGB into this index
+    so the per-point color rides the existing one-scatter rasterizer (the
+    packed z-key carries 8 palette bits, render/splat.py) instead of needing
+    a 24-bit color plane."""
+    idx = np.arange(256)
+    r = ((idx >> 5) & 0x7) / 7.0
+    g = ((idx >> 2) & 0x7) / 7.0
+    b = (idx & 0x3) / 3.0
+    return jnp.asarray(np.stack([r, g, b], -1).astype(np.float32))
+
+
 def get(name: str, size: int = PALETTE_SIZE):
     try:
         return {"turbo": turbo, "warm": warm, "white": white}[name](size)

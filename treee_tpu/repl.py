@@ -37,6 +37,11 @@ commands (reference widget/mouse equivalents in parens):
   key K [N]               WASD/QE movement, N ticks (program.rs:412-450)
   rotate DX DY | scroll V mouse-look / zoom
   display classification|expansion|height|curve|shaded   focused property view
+  display intensity|rgb|file_classification|return_number|gps_time|nir
+                          source-attribute view (forest AND focused renders;
+                          fields the reference loader discards, io/las.py)
+  display hag             height above the DTM ground surface (whole-forest
+                          normalized height, rasters.height_above_ground)
   overlay hull|rbv|axis on|off                     focused overlays
   hullinclude all|crown|trunk|ground|tree|nocrown  hull class filter
                           (IncludeMode combo, hull.rs:15-67)
@@ -64,6 +69,11 @@ commands (reference widget/mouse equivalents in parens):
   save PATH [SEG] | open PATH | add SCAN | addsession NPZ
   status | help | quit
 """
+
+
+# Source point-record attribute display modes (Session.attribute_prop keys).
+ATTR_DISPLAYS = ("intensity", "rgb", "file_classification", "return_number",
+                 "gps_time", "nir")
 
 
 class Repl:
@@ -218,8 +228,13 @@ class Repl:
             )
         elif cmd == "display":
             if args[0] not in ("classification", "expansion", "height",
-                               "curve", "shaded"):
+                               "curve", "shaded", "hag") + ATTR_DISPLAYS:
                 raise ValueError(f"unknown display {args[0]!r}")
+            if args[0] in ATTR_DISPLAYS and args[0] not in s.attributes:
+                avail = ", ".join(sorted(s.attributes)) or "none"
+                raise ValueError(
+                    f"scan has no {args[0]!r} attribute (available: {avail})"
+                )
             self.display = args[0]
         elif cmd == "overlay":
             self.overlays[args[0]] = args[1] == "on"
@@ -321,9 +336,15 @@ class Repl:
             if self.use_lod and self._lod_dirty and self._adaptive_tau is not None:
                 s.build_lod(camera=s.camera, adaptive_tau_px=self._adaptive_tau)
                 self._lod_dirty = False
+            prop, pal = (None, None)
+            if self.display in ATTR_DISPLAYS:
+                prop, pal = s.attribute_prop(self.display)
+            elif self.display == "hag":
+                prop = s.hag_prop()
             self._save_png(
                 s.render(use_lod=self.use_lod,
-                         show_deleted=self.show_deleted),
+                         show_deleted=self.show_deleted,
+                         prop=prop, palette=pal),
                 args[0] if args else None,
             )
         elif cmd == "focusrender":

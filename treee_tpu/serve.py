@@ -89,7 +89,10 @@ _PAGE = """<!doctype html>
   <label><input type=checkbox id=focus> focus</label>
   <select id=display>
    <option>classification</option><option>expansion</option>
-   <option>height</option><option>curve</option><option>shaded</option></select>
+   <option>height</option><option>curve</option><option>shaded</option>
+   <option>intensity</option><option>rgb</option>
+   <option>file_classification</option><option>return_number</option>
+   <option>gps_time</option><option>nir</option><option>hag</option></select>
  </div>
  <div class=row>
   <label><input type=checkbox id=hull> hull</label>
@@ -242,8 +245,16 @@ class ViewerServer:
                     axis_algo=r.axis_algo,
                 )
             else:
+                from .repl import ATTR_DISPLAYS
+
+                prop, pal = (None, None)
+                if r.display in ATTR_DISPLAYS:
+                    prop, pal = r.s.attribute_prop(r.display)
+                elif r.display == "hag":
+                    prop = r.s.hag_prop()
                 img = r.s.render(use_lod=r.use_lod,
-                                 show_deleted=r.show_deleted)
+                                 show_deleted=r.show_deleted,
+                                 prop=prop, palette=pal)
             return png_encode(np.asarray(img))
 
     def info(self) -> dict:
