@@ -334,3 +334,28 @@ def test_session_attributes_display_export_checkpoint(tmp_path):
     # format 0 still has an intensity field (zeros from write_las) — rgb is
     # what the plain scan lacks entirely
     assert not s2.attributes["rgb"][n:n + 100].any()
+
+
+def test_gps_time_display_keeps_its_span(tmp_path):
+    """Regression: adjusted-standard GPS times (~3e8 s base, small span)
+    must normalize in f64 over LIVE rows — the old f32-first path collapsed
+    a 2000 s survey to one palette slot (f32 quantum at 3e8 is ~16 s, and
+    the zero padding pinned the min)."""
+    from treee_tpu.pipeline import Session
+
+    rng = np.random.default_rng(35)
+    n = 800
+    pos = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    pl = las.POINT_LENGTHS[1]
+    rec = np.zeros((n, pl), np.uint8)
+    t = 3.0e8 + np.sort(rng.uniform(0.0, 2000.0, n))
+    rec[:, las.GPS_OFFSETS[1]:las.GPS_OFFSETS[1] + 8] = (
+        t.astype("<f8").view(np.uint8).reshape(n, 8))
+    path = str(tmp_path / "g1.las")
+    las.write_las(path, pos, point_format=1, records=rec)
+
+    s = Session.from_las(path)
+    prop = np.asarray(s.attribute_prop("gps_time")[0])[:n]
+    assert prop.min() < 0.01 and prop.max() > 0.99
+    # the span must survive quantization to the 256 palette slots
+    assert len(np.unique((prop * 255).astype(np.int32))) > 100

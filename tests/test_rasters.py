@@ -221,6 +221,16 @@ def test_session_hag_display(tmp_path):
 
     assert os.path.exists(png)
 
+    # per-frame consumers hit the cache (the DTM chain is hundreds of ms at
+    # scan scale); edits that change the live set or classes invalidate it
+    assert s.hag_prop() is s.hag_prop()
+    s.delete_sphere([10.5, 7.0, 10.5], radius=1.0)
+    assert not s._hag_cache
+    p2 = s.hag_prop()
+    assert s.hag_prop() is p2
+    s.reclassify_sphere([10.5, 7.0, 10.5], 1, 1, radius=1.0)
+    assert not s._hag_cache
+
 
 def jnp_pad_classification(cloud, cls):
     import jax.numpy as jnp

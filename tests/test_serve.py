@@ -92,6 +92,11 @@ def test_serve_page_and_info(server):
     status, ctype, body = _get(server, "/")
     assert status == 200 and ctype.startswith("text/html")
     assert b"/frame.png" in body and b"/cmd" in body
+    # the display dropdown offers only what this scan can show: synthetic
+    # points carry no source attributes, so no intensity/rgb/nir options
+    assert b"<option>classification</option>" in body
+    assert b"<option>hag</option>" in body
+    assert b"nir" not in body and b"intensity" not in body
 
     status, ctype, body = _get(server, "/info")
     info = json.loads(body)

@@ -20,6 +20,26 @@ from ..cloud import PointCloud
 FORMAT_VERSION = 1
 
 
+def merge_attributes(a: dict, n_a: int, b: dict, n_b: int) -> dict:
+    """Concatenate two per-point attribute dicts, zero-filling keys missing
+    on a side (e.g. merging an RGB scan into an intensity-only session).
+
+    Shared by BOTH merge entry points — checkpoint merge (:func:`merge`)
+    and live scan merge (pipeline.Session.add_las) — so the fill/union
+    semantics cannot diverge.  Key names pass through verbatim (the
+    checkpoint path carries its ``attr_`` prefix)."""
+    out = {}
+    for k in sorted(set(a) | set(b)):
+        va, vb = a.get(k), b.get(k)
+        ref = va if va is not None else vb
+        if va is None:
+            va = np.zeros((n_a,) + ref.shape[1:], ref.dtype)
+        if vb is None:
+            vb = np.zeros((n_b,) + ref.shape[1:], ref.dtype)
+        out[k] = np.concatenate([va, vb])
+    return out
+
+
 def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
          source_location: str,
          attributes: dict[str, np.ndarray] | None = None) -> None:
@@ -132,14 +152,10 @@ def merge(
         ),
     }
     # source attributes: zero-fill whichever side lacks a key
-    attr_keys = {k for k in (*base, *other) if k.startswith("attr_")}
-    n_base, n_other = len(base["pos"]), len(other["pos"])
-    for k in sorted(attr_keys):
-        va, vb = base.get(k), other.get(k)
-        ref = va if va is not None else vb
-        if va is None:
-            va = np.zeros((n_base,) + ref.shape[1:], ref.dtype)
-        if vb is None:
-            vb = np.zeros((n_other,) + ref.shape[1:], ref.dtype)
-        out[k] = np.concatenate([va, vb])
+    out.update(merge_attributes(
+        {k: v for k, v in base.items() if k.startswith("attr_")},
+        len(base["pos"]),
+        {k: v for k, v in other.items() if k.startswith("attr_")},
+        len(other["pos"]),
+    ))
     return out

@@ -199,7 +199,10 @@ def decode_attributes(raw, point_format: int, point_length: int,
 
     def field(offset, dtype, count=1):
         # a lying header (point_length shorter than the format's layout)
-        # yields no attribute rather than an out-of-bounds view
+        # yields no attribute rather than an out-of-bounds view; the
+        # ascontiguousarray already materializes a fresh owning copy (the
+        # column slice is always strided), so callers must not re-copy —
+        # this VM's host-memory path is ~10 MB/s post-device-init (CLAUDE.md)
         w = np.dtype(dtype).itemsize * count
         if offset + w > point_length:
             return None
@@ -209,7 +212,7 @@ def decode_attributes(raw, point_format: int, point_length: int,
     attrs = {}
     intensity = field(12, "<u2")
     if intensity is not None:
-        attrs["intensity"] = intensity.copy()
+        attrs["intensity"] = intensity
     if point_format >= 6:
         if point_length > 16:
             attrs["file_classification"] = rec[:, 16].copy()
@@ -225,7 +228,7 @@ def decode_attributes(raw, point_format: int, point_length: int,
         if point_format in offsets:
             v = field(offsets[point_format], dtype, count)
             if v is not None:
-                attrs[name] = v.copy()
+                attrs[name] = v
     return attrs
 
 

@@ -82,21 +82,6 @@ def _lod_frame_prop(pos_c, idx, count, cloud, prop, cam, palette, cfg):
     return splat.render_frame(pos_c, prop[idx], mask_c, cam, palette, cfg)
 
 
-def _merge_attributes(a: dict, n_a: int, b: dict, n_b: int) -> dict:
-    """Concatenate two attribute dicts, zero-filling keys missing on a side
-    (e.g. merging an RGB scan into an intensity-only session)."""
-    out = {}
-    for k in sorted(set(a) | set(b)):
-        va, vb = a.get(k), b.get(k)
-        ref = va if va is not None else vb
-        if va is None:
-            va = np.zeros((n_a,) + ref.shape[1:], ref.dtype)
-        if vb is None:
-            vb = np.zeros((n_b,) + ref.shape[1:], ref.dtype)
-        out[k] = np.concatenate([va, vb])
-    return out
-
-
 class Session:
     """Host-side session: one device point cloud + analytics + edits."""
 
@@ -121,6 +106,11 @@ class Session:
         # row-aligned with the SoA store; the reference keeps only xyz
         self.attributes: dict[str, np.ndarray] = {}
         self._attr_dev: dict[str, tuple] = {}  # device prop cache per name
+        # normalized height-above-ground per DTM cell size; the full-N
+        # scatter+JFA+gather chain behind it costs hundreds of ms at 15M
+        # (CLAUDE.md primitive costs) vs a ~7 ms LOD frame, so per-frame
+        # consumers (repl/serve `display hag`) must hit this cache
+        self._hag_cache: dict[float, jax.Array] = {}
 
     # ---- loading (the Loading phase, treee/src/loading.rs) --------------------
 
@@ -181,10 +171,19 @@ class Session:
                 prop = (idx.astype(np.float32) + 0.5) / 256.0
                 pal = palettes.rgb_cube()
             else:
-                v = a.astype(np.float32)
-                vlo = float(v.min(initial=0.0)) if name == "gps_time" else 0.0
-                ext = max(float(v.max(initial=0.0)) - vlo, 1e-12)
-                prop = (v - vlo) / ext
+                v64 = a.astype(np.float64)
+                if name == "gps_time":
+                    # range over LIVE rows in f64: the capacity padding is
+                    # zeros (which would pin the min), and adjusted-standard
+                    # GPS times (~3e8 s) lose their whole span to the f32
+                    # quantum unless the offset is removed BEFORE the cast
+                    live = v64[np.asarray(self.cloud.valid)]
+                    vlo = float(live.min()) if live.size else 0.0
+                    vhi = float(live.max()) if live.size else 0.0
+                else:
+                    vlo, vhi = 0.0, float(v64.max(initial=0.0))
+                ext = max(vhi - vlo, 1e-12)
+                prop = ((v64 - vlo) / ext).astype(np.float32)
                 pal = None
             self._attr_dev[name] = (jnp.asarray(prop), pal)
         return self._attr_dev[name]
@@ -205,13 +204,14 @@ class Session:
         )
         base_attrs = {k: v[valid] for k, v in self.attributes.items()}
         self.cloud = PointCloud.from_numpy(pos, segment=seg, classification=cls_)
-        self._attach_attributes(_merge_attributes(
+        self._attach_attributes(ipc.merge_attributes(
             base_attrs, len(data["pos"]), scan.attributes, len(scan.pos)
         ))
         self.table = None
         self._counts_np = None
         self._tree = None
         self._lod = None
+        self._hag_cache = {}
 
     # ---- phases ----------------------------------------------------------------
 
@@ -228,6 +228,7 @@ class Session:
         self.table = table
         self._counts_np = None
         self._counts_stale = False  # table freshly derived from this cloud
+        self._hag_cache = {}  # ground classification re-derived
         self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
@@ -258,6 +259,7 @@ class Session:
         self.table = table
         self._counts_np = None
         self._counts_stale = False
+        self._hag_cache = {}  # ground classification re-derived
         self._bbox_full = True
         return table
 
@@ -574,6 +576,7 @@ class Session:
         # brute-force k-NN).  characteristics() clears the flag.
         self._counts_np = None
         self._counts_stale = True
+        self._hag_cache = {}  # live set changed -> DTM changes
 
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -597,6 +600,7 @@ class Session:
         self.cloud = edit.change_classification(
             self.cloud, jnp.asarray(center, jnp.float32), r, classification, segment
         )
+        self._hag_cache = {}  # ground membership drives the DTM
         # the reference re-derives the separators from the edited class
         # extents after every focused-view stroke (mod.rs:182-221)
         if self.table is not None:
@@ -785,9 +789,15 @@ class Session:
         )
 
     def hag_prop(self, cell: float = 1.0):
-        """height_above_ground max-normalized to [0,1] for Session.render."""
-        hag = self.height_above_ground(cell)
-        return hag / jnp.maximum(jnp.max(hag), 1e-6)
+        """height_above_ground max-normalized to [0,1] for Session.render.
+
+        Cached per cell size (invalidated by edits/rephases): the REPL and
+        browser viewer call this every frame, and recomputing the DTM chain
+        would swamp the frame budget (CLAUDE.md scatter/gather costs)."""
+        if cell not in self._hag_cache:
+            hag = self.height_above_ground(cell)
+            self._hag_cache[cell] = hag / jnp.maximum(jnp.max(hag), 1e-6)
+        return self._hag_cache[cell]
 
     def export_raster(self, path, which: str = "chm", cell: float = 0.5,
                       cap: int = 4096) -> tuple[int, int]:
@@ -860,6 +870,7 @@ class Session:
         self._counts_np = None
         self._tree = None
         self._lod = None
+        self._hag_cache = {}
 
 
 def _demo():  # pragma: no cover

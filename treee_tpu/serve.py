@@ -87,12 +87,7 @@ _PAGE = """<!doctype html>
   <label><input type=checkbox id=lod> lod</label>
   <label><input type=checkbox id=deleted> deleted</label>
   <label><input type=checkbox id=focus> focus</label>
-  <select id=display>
-   <option>classification</option><option>expansion</option>
-   <option>height</option><option>curve</option><option>shaded</option>
-   <option>intensity</option><option>rgb</option>
-   <option>file_classification</option><option>return_number</option>
-   <option>gps_time</option><option>nir</option><option>hag</option></select>
+  <select id=display><!--DISPLAY_OPTIONS--></select>
  </div>
  <div class=row>
   <label><input type=checkbox id=hull> hull</label>
@@ -192,7 +187,7 @@ class ViewerServer:
             def do_GET(self):
                 url = urlparse(self.path)
                 if url.path == "/":
-                    self._send(200, "text/html", _PAGE.encode())
+                    self._send(200, "text/html", viewer.page().encode())
                 elif url.path == "/frame.png":
                     q = parse_qs(url.query)
                     focus = q.get("focus", ["0"])[0] == "1"
@@ -220,6 +215,17 @@ class ViewerServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
 
     # ---- session access (all under the lock) ------------------------------
+
+    def page(self) -> str:
+        """Viewer page with the display selector limited to what this scan
+        can actually show (the REPL rejects absent attributes, repl.py
+        `display`; offering them in the dropdown would just no-op)."""
+        opts = ["classification", "expansion", "height", "curve", "shaded",
+                *sorted(self.repl.s.attributes), "hag"]
+        return _PAGE.replace(
+            "<!--DISPLAY_OPTIONS-->",
+            "".join(f"<option>{o}</option>" for o in opts),
+        )
 
     def command(self, line: str) -> dict:
         with self.lock:
