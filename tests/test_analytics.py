@@ -114,6 +114,136 @@ def test_traits_known_cylinder_tree():
     assert abs(float(t.stem_volume) - expected_stem) / expected_stem < 0.25
 
 
+def _forest_arrays(seed=5):
+    """Three trees (trunk+crown cylinders, distinct leans/offsets) with a
+    segment-id gap: pos f32[N,3], cls i32[N], segment i32[N], S."""
+    rng = np.random.default_rng(seed)
+    pos, cls, seg = [], [], []
+    for sid, (ox, oz, lean) in zip((1, 2, 4), ((0, 0, 0.0), (12, 3, 0.25),
+                                               (-8, 9, -0.15))):
+        trunk = _cylinder(n=1200, radius=0.25, height=4.0, lean=lean,
+                          seed=seed + sid)
+        crown = _cylinder(n=2400, radius=2.0, height=5.0, lean=lean,
+                          seed=seed + sid + 10)
+        crown[:, 1] += 4.0
+        ground = np.stack([rng.uniform(-3, 3, 300), rng.uniform(0, 0.2, 300),
+                           rng.uniform(-3, 3, 300)], -1).astype(np.float32)
+        for p, c in ((trunk, 1), (crown, 2), (ground, 0)):
+            p = p + np.array([ox, 0.0, oz], np.float32)
+            pos.append(p)
+            cls.append(np.full(len(p), c, np.int32))
+            seg.append(np.full(len(p), sid, np.int32))
+    return (np.concatenate(pos), np.concatenate(cls), np.concatenate(seg), 6)
+
+
+def test_batched_trunk_axis_matches_loop():
+    """batched_average_direction / batched_low_high_layer row i ==
+    the focused-segment algorithms on segment i (empty rows: found=False)."""
+    pos, cls, seg, S = _forest_arrays()
+    posj, clsj, segj = jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(seg)
+    trunk_mask = clsj == 1
+
+    for batched, single, kw in (
+        (trunk_axis.batched_average_direction, trunk_axis.average_direction, {}),
+        (trunk_axis.batched_low_high_layer, trunk_axis.low_high_layer, {}),
+    ):
+        axes = batched(posj, trunk_mask, segj, S, **kw)
+        for sid in range(S):
+            ref = single(posj, trunk_mask & (segj == sid), **kw)
+            assert bool(axes.found[sid]) == bool(ref.found)
+            np.testing.assert_allclose(
+                np.asarray(axes.origin[sid]), np.asarray(ref.origin),
+                atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(axes.direction[sid]), np.asarray(ref.direction),
+                atol=1e-4)
+
+
+def test_batched_split_rbv_and_traits_match_loop():
+    """batched_split_rbv + batched_traits == per-segment split_rbv/traits
+    through each segment's own axis frame, for max AND mean/symmetric."""
+    pos, cls, seg, S = _forest_arrays()
+    posj, clsj, segj = jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(seg)
+    valid = jnp.ones(len(pos), bool)
+
+    axes = trunk_axis.batched_average_direction(posj, clsj == 1, segj, S)
+    tfs = trunk_axis.batched_axis_transform(axes)
+
+    for method, symmetric in ((rbv.METHOD_MAX, False), (rbv.METHOD_MEAN, True)):
+        crown_b, trunk_b = rbv.batched_split_rbv(
+            posj, clsj, valid, segj, S, tfs,
+            crown_slices=6, crown_sectors=8, trunk_slices=4, trunk_sectors=8,
+            method=method, symmetric=symmetric)
+        tr_b = rbv.batched_traits(crown_b, trunk_b)
+        for sid in (1, 2, 4):
+            member = segj == sid
+            ref_axis = trunk_axis.average_direction(
+                posj, member & (clsj == 1))
+            crown_r, trunk_r = rbv.split_rbv(
+                posj, clsj, member,
+                transform=trunk_axis.axis_transform(ref_axis),
+                crown_slices=6, crown_sectors=8,
+                trunk_slices=4, trunk_sectors=8,
+                method=method, symmetric=symmetric)
+            np.testing.assert_allclose(
+                np.asarray(crown_b.distances[sid]),
+                np.asarray(crown_r.distances), atol=2e-4)
+            np.testing.assert_allclose(
+                np.asarray(trunk_b.distances[sid]),
+                np.asarray(trunk_r.distances), atol=2e-4)
+            np.testing.assert_allclose(
+                float(crown_b.min_y[sid]), float(crown_r.min_y), atol=1e-4)
+            np.testing.assert_allclose(
+                float(crown_b.slice_height[sid]), float(crown_r.slice_height),
+                atol=1e-5)
+            tr_r = rbv.traits(crown_r, trunk_r)
+            for f in ("diameter_breast_height", "trunk_cross_area",
+                      "crown_diameter", "crown_projected_area",
+                      "crown_volume", "crown_surface", "stem_volume",
+                      "wood_volume"):
+                np.testing.assert_allclose(
+                    float(getattr(tr_b, f)[sid]), float(getattr(tr_r, f)),
+                    rtol=2e-3, atol=1e-5)
+
+
+def test_session_inventory_end_to_end(tmp_path):
+    """Session.inventory over a segmented synthetic forest: one row per
+    tree, counts add up, DBH positive where a trunk axis was found; the CSV
+    export round-trips the row count."""
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import exports, las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(segmentation=SegmentationConfig(
+        grid_size=128, max_bands=16, max_segments=64, max_trees_per_band=16))
+    pts = las.synthetic_forest(n_trees=5, points_per_tree=3000,
+                               ground_points=3000, seed=11)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    inv = s.inventory()
+
+    n = len(inv["segment"])
+    assert n >= 1
+    for col in inv.values():
+        assert len(col) == n
+    np.testing.assert_array_equal(
+        inv["n_points"], inv["n_ground"] + inv["n_trunk"] + inv["n_crown"])
+    live = int(np.asarray(
+        s.cloud.valid & (s.cloud.segment != 0)).sum())
+    assert int(inv["n_points"].sum()) == live
+    has_axis = inv["axis_found"] & (inv["n_trunk"] > 0)
+    assert has_axis.any()
+    assert (inv["diameter_breast_height"][has_axis] > 0).all()
+    assert (inv["tree_height"][has_axis] > 0).all()
+
+    out = tmp_path / "inv.csv"
+    with open(out, "w") as fh:
+        rows = exports.save_inventory_csv(fh, inv)
+    lines = out.read_text().strip().splitlines()
+    assert rows == n and len(lines) == n + 1
+    assert lines[0].startswith("segment,n_points,")
+
+
 def test_hull_sphere_area_volume():
     rng = np.random.default_rng(4)
     u = rng.normal(size=(20000, 3))

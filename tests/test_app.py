@@ -44,8 +44,18 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "--brush-radius", "1.5",
         "--export-chm", out("chm.asc"),
         "--raster-cell", "2.0",
+        "--export-inventory", out("inv.csv"),
     ]
     assert app.main(argv) == 0
+
+    # whole-forest inventory CSV: header + one row per tree, trait columns
+    # populated under the same rbv widgets (mean/symmetric/6x8, lowhigh axis)
+    inv_lines = open(out("inv.csv")).read().strip().splitlines()
+    inv_cols = inv_lines[0].split(",")
+    assert inv_cols[0] == "segment" and "diameter_breast_height" in inv_cols
+    assert len(inv_lines) >= 2
+    dbh_i = inv_cols.index("diameter_breast_height")
+    assert any(float(l.split(",")[dbh_i]) > 0 for l in inv_lines[1:])
 
     # canopy-height raster: valid .asc header, some canopy above ground
     asc = open(out("chm.asc")).read().splitlines()

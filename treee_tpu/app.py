@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-ground-ply",
                    help="ground-only point export of --segment-id")
     p.add_argument("--export-traits", help="write per-segment forestry traits JSON")
+    p.add_argument("--export-inventory",
+                   help="write the whole-forest per-tree inventory table "
+                        "(.csv, or .json by extension): counts, position, "
+                        "heights, and all trait fields for every segment in "
+                        "one batched device pass (Session.inventory)")
     p.add_argument("--export-las",
                    help="write the live cloud as classified LAS 1.4 "
                         "(.laz compresses): ASPRS ground/vegetation codes, "
@@ -355,29 +360,78 @@ def main(argv=None) -> int:
         axis_fn = (trunk_axis.low_high_layer
                    if args.trunk_axis_algorithm == "lowhigh"
                    else trunk_axis.average_direction)
-        ids = (
-            [args.segment_id]
-            if args.segment_id is not None
-            else np.flatnonzero(np.asarray(table.present)).tolist()
+        trait_fields = (
+            "diameter_breast_height", "trunk_cross_area", "crown_diameter",
+            "crown_projected_area", "crown_volume", "crown_surface",
+            "stem_volume", "wood_volume",
         )
-        out = {}
-        for sid in ids:
+        if args.segment_id is None:
+            # all segments: one batched pass (Session.inventory) instead of
+            # S full-N loops — same JSON shape as the per-segment path
+            inv = session.inventory(
+                method=args.rbv_method, symmetric=args.rbv_symmetric,
+                axis_algo=("lowhigh"
+                           if args.trunk_axis_algorithm == "lowhigh"
+                           else "average"),
+                **{k: v for k, v in (
+                    ("crown_slices", args.rbv_slices),
+                    ("crown_sectors", args.rbv_sectors),
+                    ("trunk_slices", args.rbv_slices),
+                    ("trunk_sectors", args.rbv_sectors),
+                ) if v is not None},
+            )
+            out = {
+                int(sid): {f: float(inv[f][i]) for f in trait_fields}
+                for i, sid in enumerate(inv["segment"])
+            }
+        else:
+            out = {}
+            sid = args.segment_id
             member = session.cloud.valid & (session.cloud.segment == int(sid))
-            if not bool(np.asarray(member).any()):
-                continue
-            axis = axis_fn(
-                session.cloud.pos,
-                member & (session.cloud.classification == 1),
-            )
-            crown, trunk = rbv_mod.split_rbv(
-                session.cloud.pos, session.cloud.classification, member,
-                transform=trunk_axis.axis_transform(axis),
-                **rbv_kw,
-            )
-            out[int(sid)] = json.loads(rbv_mod.traits(crown, trunk).to_json())
+            if bool(np.asarray(member).any()):
+                axis = axis_fn(
+                    session.cloud.pos,
+                    member & (session.cloud.classification == 1),
+                )
+                crown, trunk = rbv_mod.split_rbv(
+                    session.cloud.pos, session.cloud.classification, member,
+                    transform=trunk_axis.axis_transform(axis),
+                    **rbv_kw,
+                )
+                out[int(sid)] = json.loads(
+                    rbv_mod.traits(crown, trunk).to_json())
         with open(args.export_traits, "w") as fh:
             json.dump(out, fh, indent=2)
         print(f"traits: {args.export_traits} ({len(out)} segments)")
+
+    if args.export_inventory:
+        from .io import exports as exports_mod
+
+        inv = session.inventory(
+            method=args.rbv_method, symmetric=args.rbv_symmetric,
+            axis_algo=("lowhigh" if args.trunk_axis_algorithm == "lowhigh"
+                       else "average"),
+            **{k: v for k, v in (
+                ("crown_slices", args.rbv_slices),
+                ("crown_sectors", args.rbv_sectors),
+                ("trunk_slices", args.rbv_slices),
+                ("trunk_sectors", args.rbv_sectors),
+            ) if v is not None},
+        )
+        if args.export_inventory.lower().endswith(".json"):
+            rows = {
+                int(sid): {c: (inv[c][i].item() if hasattr(inv[c][i], "item")
+                               else inv[c][i])
+                           for c in inv if c != "segment"}
+                for i, sid in enumerate(inv["segment"])
+            }
+            with open(args.export_inventory, "w") as fh:
+                json.dump(rows, fh, indent=2)
+            n_rows = len(rows)
+        else:
+            with open(args.export_inventory, "w") as fh:
+                n_rows = exports_mod.save_inventory_csv(fh, inv)
+        print(f"inventory: {args.export_inventory} ({n_rows} trees)")
 
     if args.export_hull_ply or args.export_landmarks or args.export_rbv:
         if args.segment_id is None:

@@ -117,6 +117,30 @@ def rbv_distances_json(
     )
 
 
+def save_inventory_csv(fh, inv: dict) -> int:
+    """Whole-forest inventory table (Session.inventory columns) as CSV.
+
+    One row per tree; column order follows the dict (segment id first).
+    CSV is the lingua franca of forestry inventory tools — the reference
+    has no forest-level product at all (traits are one focused tree's JSON,
+    hull.rs:293-306).  Returns the row count."""
+    cols = list(inv)
+    n = len(inv[cols[0]]) if cols else 0
+    fh.write(",".join(cols) + "\n")
+    for i in range(n):
+        row = []
+        for c in cols:
+            v = inv[c][i]
+            if isinstance(v, (bool, np.bool_)):
+                row.append("1" if v else "0")
+            elif isinstance(v, (int, np.integer)):
+                row.append(str(int(v)))
+            else:
+                row.append(f"{float(v):.6g}")
+        fh.write(",".join(row) + "\n")
+    return n
+
+
 def save_ascii_grid(fh, grid: np.ndarray, xll: float, yll: float,
                     cell: float, nodata: float = -9999.0) -> None:
     """ESRI ASCII grid (.asc) writer for the DTM/DSM/CHM rasters.

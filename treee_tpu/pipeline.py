@@ -82,6 +82,18 @@ def _lod_frame_prop(pos_c, idx, count, cloud, prop, cam, palette, cfg):
     return splat.render_frame(pos_c, prop[idx], mask_c, cam, palette, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("n_segments",))
+def _segment_class_counts(segment, classification, mask, n_segments):
+    """i32[S,3] point counts per (segment, ground/trunk/crown class)."""
+    t = jnp.where(
+        mask, segment * 3 + jnp.clip(classification, 0, 2), n_segments * 3
+    )
+    return (
+        jnp.zeros(n_segments * 3 + 1, jnp.int32).at[t].add(1)[:-1]
+        .reshape(n_segments, 3)
+    )
+
+
 class Session:
     """Host-side session: one device point cloud + analytics + edits."""
 
@@ -746,6 +758,97 @@ class Session:
         writer = las.write_laz if path.lower().endswith(".laz") else las.write_las
         writer(path, pos, point_format=fmt, records=rec, las_offset=las_off)
         return n
+
+    def inventory(
+        self,
+        method: str = "max",
+        symmetric: bool = False,
+        crown_slices: int = 26,
+        crown_sectors: int = 32,
+        trunk_slices: int = 5,
+        trunk_sectors: int = 32,
+        axis_algo: str = "average",
+    ) -> dict[str, np.ndarray]:
+        """Whole-forest per-tree inventory: every segment's trunk axis, split
+        RBV, and forestry traits in ONE batched device pass.
+
+        The reference computes traits one focused tree at a time
+        (hull.rs:926-995 behind the per-segment UI); a forest survey wants
+        the table for every tree.  Per-segment loops cost S full-N passes —
+        here each reduction is one scatter keyed by segment id
+        (trunk_axis.batched_*, rbv.batched_split_rbv), so the whole forest
+        costs a fixed number of [N] passes regardless of tree count.
+
+        Returns a dict of equal-length numpy columns (a table): segment id,
+        per-class point counts, bbox-center position (local x/z and LAS map
+        easting/northing), heights/separators from the characteristics
+        table, axis_found, and the eight hull.rs trait fields.
+        """
+        from . import rbv as rbv_mod
+        from . import trunk_axis
+        from .cloud import CLASS_TRUNK
+
+        table = self.full_table()
+        S = int(table.present.shape[0])
+        seg = self.cloud.segment
+        cls = self.cloud.classification
+        live = (
+            self.cloud.valid & (seg != DELETED_SEGMENT) & (seg >= 0) & (seg < S)
+        )
+
+        axis_fn = (
+            trunk_axis.batched_low_high_layer
+            if axis_algo == "lowhigh"
+            else trunk_axis.batched_average_direction
+        )
+        axes = axis_fn(self.cloud.pos, live & (cls == CLASS_TRUNK), seg, S)
+        transforms = trunk_axis.batched_axis_transform(axes)
+        crown, trunk = rbv_mod.batched_split_rbv(
+            self.cloud.pos, cls, live, seg, S, transforms,
+            crown_slices=crown_slices, crown_sectors=crown_sectors,
+            trunk_slices=trunk_slices, trunk_sectors=trunk_sectors,
+            method=(rbv_mod.METHOD_MEAN if method == "mean"
+                    else rbv_mod.METHOD_MAX),
+            symmetric=symmetric,
+        )
+        tr = rbv_mod.batched_traits(crown, trunk)
+        counts = _segment_class_counts(seg, cls, live, S)
+
+        cnts = np.asarray(counts)
+        present = np.asarray(table.present)
+        total = cnts.sum(axis=1)
+        ids = np.flatnonzero(
+            present & (total > 0) & (np.arange(S) != DELETED_SEGMENT)
+        )
+        lo, hi = np.asarray(table.lo), np.asarray(table.hi)
+        cx = (lo[ids, 0] + hi[ids, 0]) / 2.0
+        cz = (lo[ids, 2] + hi[ids, 2]) / 2.0
+        out = {
+            "segment": ids.astype(np.int32),
+            "n_points": total[ids].astype(np.int32),
+            "n_ground": cnts[ids, 0],
+            "n_trunk": cnts[ids, 1],
+            "n_crown": cnts[ids, 2],
+            "x": cx.astype(np.float64),
+            "z": cz.astype(np.float64),
+            # LAS map frame: easting = x + off_x, northing = -(z + off_z)
+            # (io/las.py load swizzle; same convention as export_las)
+            "easting": cx + self.world_offset[0],
+            "northing": -(cz + self.world_offset[2]),
+            "tree_height": (hi[ids, 1] - lo[ids, 1]).astype(np.float64),
+            "ground_sep": np.asarray(table.ground_sep)[ids],
+            "crown_sep": np.asarray(table.crown_sep)[ids],
+            "trunk_height": np.asarray(table.trunk_height)[ids],
+            "crown_height": np.asarray(table.crown_height)[ids],
+            "axis_found": np.asarray(axes.found)[ids],
+        }
+        for name in (
+            "diameter_breast_height", "trunk_cross_area", "crown_diameter",
+            "crown_projected_area", "crown_volume", "crown_surface",
+            "stem_volume", "wood_volume",
+        ):
+            out[name] = np.asarray(getattr(tr, name))[ids].astype(np.float64)
+        return out
 
     def rasters(self, cell: float = 0.5, cap: int = 4096):
         """DTM / DSM / CHM height rasters over the live cloud (rasters.py).

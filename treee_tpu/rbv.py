@@ -240,6 +240,156 @@ def split_rbv(
     return crown, trunk
 
 
+class BatchedRBV(flax.struct.PyTreeNode):
+    """RBVs of EVERY segment at once, [S]-leading (axis-space, center = 0).
+
+    Row i carries the same quantities as build_rbv(transform=axes[i]) on
+    segment i; the whole-forest inventory builds all S in one scatter pass
+    instead of the reference's one-focused-tree-at-a-time loop."""
+
+    min_y: jax.Array        # f32[S]
+    slice_height: jax.Array # f32[S]
+    distances: jax.Array    # f32[S, slices*sectors]
+    slices: int = flax.struct.field(pytree_node=False)
+    sectors: int = flax.struct.field(pytree_node=False)
+
+
+def _batched_rbv_grid(x, z, y, mask, segment, n_segments, slices, sectors,
+                      method, symmetric):
+    """One [S, slices*sectors] distance grid via segmented scatters
+    (hull.rs:729-764 per-point loop -> one keyed reduction)."""
+    seg_t = jnp.where(mask, segment, n_segments)
+    min_y = jnp.full(n_segments + 1, INF).at[seg_t].min(
+        jnp.where(mask, y, INF))[:n_segments]
+    max_y = jnp.full(n_segments + 1, -INF).at[seg_t].max(
+        jnp.where(mask, y, -INF))[:n_segments]
+    any_pt = min_y < INF
+    min_y = jnp.where(any_pt, min_y, 0.0)
+    max_y = jnp.where(any_pt, max_y, 1.0)
+    slice_h = jnp.maximum((max_y - min_y) / slices, 1e-6)
+
+    si = jnp.clip(
+        ((y - jnp.take(min_y, segment)) / jnp.take(slice_h, segment))
+        .astype(jnp.int32),
+        0, slices - 1,
+    )
+    dist = jnp.sqrt(x * x + z * z)
+    sector_angle = 2.0 * math.pi / sectors
+    ang = jnp.arctan2(z, x) + 2.0 * math.pi
+    sec = jnp.clip(((ang / sector_angle) % sectors).astype(jnp.int32),
+                   0, sectors - 1)
+    cells = slices * sectors
+    bucket = jnp.where(mask, segment * cells + si * sectors + sec,
+                       n_segments * cells)
+
+    if method == METHOD_MAX:
+        d = jnp.zeros(n_segments * cells + 1).at[bucket].max(
+            jnp.where(mask, dist, 0.0))[:-1]
+    else:
+        s = jnp.zeros(n_segments * cells + 1).at[bucket].add(
+            jnp.where(mask, dist, 0.0))[:-1]
+        c = jnp.zeros(n_segments * cells + 1).at[bucket].add(
+            mask.astype(jnp.float32))[:-1]
+        d = s / jnp.maximum(c, 1.0)
+
+    if symmetric and sectors % 2 == 0:
+        dg = d.reshape(n_segments, slices, sectors)
+        half = sectors // 2
+        avg = (dg[:, :, :half] + dg[:, :, half:]) / 2.0
+        d = jnp.concatenate([avg, avg], axis=2)
+
+    return BatchedRBV(
+        min_y=min_y, slice_height=slice_h,
+        distances=d.reshape(n_segments, cells),
+        slices=slices, sectors=sectors,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_segments", "crown_slices", "crown_sectors", "trunk_slices",
+    "trunk_sectors", "method", "symmetric"))
+def batched_split_rbv(
+    pos: jax.Array,
+    classification: jax.Array,
+    mask: jax.Array,
+    segment: jax.Array,
+    n_segments: int,
+    transforms: jax.Array,  # f32[S,4,4] per-segment axis frames
+    crown_slices: int = 26,
+    crown_sectors: int = 32,
+    trunk_slices: int = 5,
+    trunk_sectors: int = 32,
+    method: int = METHOD_MAX,
+    symmetric: bool = False,
+) -> tuple[BatchedRBV, BatchedRBV]:
+    """Crown + trunk RBVs for every segment in one pass (hull.rs:185-208
+    split, batched).  Each point moves into ITS segment's axis frame —
+    twelve flat [S]->[N] component gathers instead of a gathered [N,3,3]
+    matrix (small-minor-dim gather outputs take 64x lane-padded layouts on
+    v5e; CLAUDE.md round-2 OOM note)."""
+    from .cloud import CLASS_CROWN, CLASS_TRUNK
+
+    def g(i, j):
+        return jnp.take(transforms[:, i, j], segment)
+
+    px = pos[:, 0] - g(0, 3)
+    py = pos[:, 1] - g(1, 3)
+    pz = pos[:, 2] - g(2, 3)
+    # (pos - t) @ R, R orthonormal (axis_transform): column j of R per point
+    x = px * g(0, 0) + py * g(1, 0) + pz * g(2, 0)
+    y = px * g(0, 1) + py * g(1, 1) + pz * g(2, 1)
+    z = px * g(0, 2) + py * g(1, 2) + pz * g(2, 2)
+
+    crown = _batched_rbv_grid(
+        x, z, y, mask & (classification == CLASS_CROWN), segment, n_segments,
+        crown_slices, crown_sectors, method, symmetric)
+    trunk = _batched_rbv_grid(
+        x, z, y, mask & (classification == CLASS_TRUNK), segment, n_segments,
+        trunk_slices, trunk_sectors, method, symmetric)
+    return crown, trunk
+
+
+@jax.jit
+def batched_traits(crown: BatchedRBV, trunk: BatchedRBV) -> Traits:
+    """Traits for every segment at once: [S]-leading Traits matching
+    traits() row-for-row (hull.rs:926-995 formulas)."""
+    t_s, t_k = trunk.slices, trunk.sectors
+    c_s, c_k = crown.slices, crown.sectors
+    n = crown.min_y.shape[0]
+    trunk_height = trunk.slice_height * t_s
+    height = crown.min_y + crown.slice_height * c_s - trunk.min_y
+
+    sl = jnp.clip((1.3 / trunk.slice_height).astype(jnp.int32), 0, t_s - 1)
+    td = trunk.distances.reshape(n, t_s, t_k)
+    dbh_slice = jnp.take_along_axis(td, sl[:, None, None], axis=1)[:, 0, :]
+    dbh = jnp.sum(dbh_slice, axis=-1) * 2.0 / t_k
+    trunk_cross_area = math.pi * (dbh / 2.0) ** 2
+
+    cd = crown.distances.reshape(n, c_s, c_k)
+    sector_max = jnp.max(cd, axis=1)                      # [S, sectors]
+    crown_sum = jnp.sum(cd, axis=(1, 2))
+    crown_diameter = jnp.sum(sector_max, axis=-1) * 2.0 / c_k
+    crown_projected_area = jnp.sum(sector_max**2, axis=-1) * math.pi / c_k
+    crown_volume = jnp.sum(cd**2, axis=(1, 2)) * math.pi * crown.slice_height / c_k
+    crown_surface = (
+        2.0 * crown_projected_area
+        + 2.0 * math.pi * crown.slice_height / c_k * crown_sum
+    )
+    stem_volume = trunk_cross_area * (trunk_height + (height - trunk_height) / 3.0)
+    wood_volume = stem_volume + trunk_cross_area / (c_s * c_k) * crown_sum
+
+    return Traits(
+        diameter_breast_height=dbh,
+        trunk_cross_area=trunk_cross_area,
+        crown_diameter=crown_diameter,
+        crown_projected_area=crown_projected_area,
+        crown_volume=crown_volume,
+        crown_surface=crown_surface,
+        stem_volume=stem_volume,
+        wood_volume=wood_volume,
+    )
+
+
 def rbv_lines(rbv: RadialBoundingVolume, arc_detail: int = 4) -> np.ndarray:
     """Wireframe cage endpoints f32[L,2,3] (hull.rs:780-841 geometry).
 

@@ -54,6 +54,9 @@ commands (reference widget/mouse equivalents in parens):
                           optionally class-filtered (mod.rs:629-660)
   export las PATH                                  whole live cloud as
                           classified LAS/LAZ (ASPRS codes + tree ids)
+  export inventory PATH   whole-forest per-tree CSV: counts, position,
+                          heights, DBH + all traits, one batched pass
+                          (Session.inventory; uses the rbv/axis settings)
   raster dtm|dsm|chm PATH [CELL]                   terrain/surface/canopy
                           height .asc over the live cloud (rasters.py)
   lod on|off|adaptive [taupx]|level N   render from the octree LOD subset
@@ -521,6 +524,18 @@ class Repl:
             n = self.s.export_las(path)
             self._print(f"wrote {n} classified points to {path}")
             return
+        if what == "inventory":
+            from .io import exports
+
+            inv = self.s.inventory(
+                method=self.rbv_opts["method"],
+                symmetric=self.rbv_opts["symmetric"],
+                axis_algo=self.axis_algo,
+            )
+            with open(path, "w") as fh:
+                n = exports.save_inventory_csv(fh, inv)
+            self._print(f"wrote {n} trees to {path}")
+            return
         sid = self.selected
         if sid is None:
             raise ValueError("select a segment first (view-mode click)")
@@ -528,7 +543,7 @@ class Repl:
                    "ground": "ground"}.get(what)
         if include is None:
             raise ValueError(f"unknown export {what!r} "
-                             "(ply|crown|trunk|ground|las)")
+                             "(ply|crown|trunk|ground|las|inventory)")
         n = self.s.export_points_ply(path, segment_id=sid, include=include)
         self._print(f"wrote {n} points to {path}")
 

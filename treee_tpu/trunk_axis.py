@@ -115,6 +115,121 @@ def low_high_layer(pos: jax.Array, mask: jax.Array, layer_width=1.0) -> TrunkAxi
     return TrunkAxis(origin=origin, direction=direction, found=found)
 
 
+def _segment_minmax_y(y, mask, seg_t, n_segments):
+    """Per-segment (lo, hi, found) over masked y via scatter reductions."""
+    lo = jnp.full(n_segments + 1, INF).at[seg_t].min(
+        jnp.where(mask, y, INF))[:n_segments]
+    hi = jnp.full(n_segments + 1, -INF).at[seg_t].max(
+        jnp.where(mask, y, -INF))[:n_segments]
+    found = lo < INF
+    return jnp.where(found, lo, 0.0), jnp.where(found, hi, 0.0), found
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "layers"))
+def batched_average_direction(
+    pos: jax.Array, mask: jax.Array, segment: jax.Array,
+    n_segments: int, layers: int = 10,
+) -> TrunkAxis:
+    """AverageDirection for EVERY segment at once (trunk_axis.rs:108-178).
+
+    The reference runs its per-tree loop one focused segment at a time; the
+    whole-forest inventory needs all S axes, so each per-tree reduction
+    becomes one scatter keyed by ``segment`` (or ``segment * layers + layer``)
+    — the same sort-free segmented-reduction pattern as characteristics.py.
+    Fields are [S]-leading; row i matches average_direction on segment i.
+    """
+    y = pos[:, 1]
+    seg_t = jnp.where(mask, segment, n_segments)
+    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments)
+
+    lo_p = jnp.take(lo, segment)  # per-point base height of ITS segment
+    band = mask & (y >= lo_p + 0.4) & (y < lo_p + 0.6)
+    band_t = jnp.where(band, segment, n_segments)
+    band_n = jnp.zeros(n_segments + 1).at[band_t].add(
+        band.astype(jnp.float32))[:n_segments]
+    band_x = jnp.zeros(n_segments + 1).at[band_t].add(
+        jnp.where(band, pos[:, 0], 0.0))[:n_segments]
+    band_z = jnp.zeros(n_segments + 1).at[band_t].add(
+        jnp.where(band, pos[:, 2], 0.0))[:n_segments]
+
+    layer_h = jnp.maximum((hi - lo) / layers, 1e-6)  # [S]
+    li = jnp.clip(
+        ((y - lo_p) / jnp.take(layer_h, segment)).astype(jnp.int32),
+        0, layers - 1,
+    )
+    tgt = jnp.where(mask, segment * layers + li, n_segments * layers)
+    lsum_x = jnp.zeros(n_segments * layers + 1).at[tgt].add(
+        jnp.where(mask, pos[:, 0], 0.0))[:-1].reshape(n_segments, layers)
+    lsum_z = jnp.zeros(n_segments * layers + 1).at[tgt].add(
+        jnp.where(mask, pos[:, 2], 0.0))[:-1].reshape(n_segments, layers)
+    lcnt = jnp.zeros(n_segments * layers + 1).at[tgt].add(
+        mask.astype(jnp.float32))[:-1].reshape(n_segments, layers)
+    lmean_x = lsum_x / jnp.maximum(lcnt, 1.0)
+    lmean_z = lsum_z / jnp.maximum(lcnt, 1.0)
+
+    origin_x = jnp.where(band_n > 0, band_x / jnp.maximum(band_n, 1.0),
+                         lmean_x[:, 0])
+    origin_z = jnp.where(band_n > 0, band_z / jnp.maximum(band_n, 1.0),
+                         lmean_z[:, 0])
+    origin = jnp.stack([origin_x, lo, origin_z], axis=-1)  # [S,3]
+
+    heights = lo[:, None] + (
+        jnp.arange(layers, dtype=jnp.float32)[None, :] + 0.5
+    ) * layer_h[:, None]
+    means3 = jnp.stack([lmean_x, heights, lmean_z], axis=-1)  # [S,layers,3]
+    vecs = means3 - origin[:, None, :]
+    norms = jnp.linalg.norm(vecs, axis=-1, keepdims=True)
+    unit = jnp.where((lcnt > 0)[:, :, None], vecs / jnp.maximum(norms, 1e-6), 0.0)
+    direction = jnp.sum(unit, axis=1)
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-6)
+    up = jnp.array([0.0, 1.0, 0.0])
+    direction = jnp.where(found[:, None], direction, up)
+    origin = jnp.where(found[:, None], origin, 0.0)
+    return TrunkAxis(origin=origin, direction=direction, found=found)
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments",))
+def batched_low_high_layer(
+    pos: jax.Array, mask: jax.Array, segment: jax.Array,
+    n_segments: int, layer_width=1.0,
+) -> TrunkAxis:
+    """LowHighLayer for every segment at once (trunk_axis.rs:181-232);
+    [S]-leading TrunkAxis, row i == low_high_layer on segment i."""
+    y = pos[:, 1]
+    seg_t = jnp.where(mask, segment, n_segments)
+    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments)
+    layer = jnp.maximum(
+        jnp.minimum(jnp.asarray(layer_width, jnp.float32), (hi - lo) / 2.0),
+        1e-3,
+    )  # [S]
+    lo_p, hi_p = jnp.take(lo, segment), jnp.take(hi, segment)
+    layer_p = jnp.take(layer, segment)
+    low = mask & (y - lo_p < layer_p)
+    high = mask & (hi_p - y < layer_p)
+
+    def mean_xz(m):
+        t = jnp.where(m, segment, n_segments)
+        n = jnp.maximum(jnp.zeros(n_segments + 1).at[t].add(
+            m.astype(jnp.float32))[:n_segments], 1.0)
+        sx = jnp.zeros(n_segments + 1).at[t].add(
+            jnp.where(m, pos[:, 0], 0.0))[:n_segments]
+        sz = jnp.zeros(n_segments + 1).at[t].add(
+            jnp.where(m, pos[:, 2], 0.0))[:n_segments]
+        return sx / n, sz / n
+
+    (lmx, lmz), (hmx, hmz) = mean_xz(low), mean_xz(high)
+    origin = jnp.stack([lmx, lo, lmz], axis=-1)
+    target = jnp.stack([hmx, hi, hmz], axis=-1)
+    direction = target - origin
+    norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    up = jnp.array([0.0, 1.0, 0.0])
+    direction = jnp.where(norm > 1e-6, direction / jnp.maximum(norm, 1e-6), up)
+    direction = jnp.where(found[:, None], direction, up)
+    origin = jnp.where(found[:, None], origin, 0.0)
+    return TrunkAxis(origin=origin, direction=direction, found=found)
+
+
 @jax.jit
 def axis_transform(axis: TrunkAxis) -> jax.Array:
     """4x4 affine with y = trunk direction at the origin (trunk_axis.rs:56-70)."""
@@ -126,6 +241,12 @@ def axis_transform(axis: TrunkAxis) -> jax.Array:
     m = m.at[:3, 0].set(xv).at[:3, 1].set(yv).at[:3, 2].set(zv)
     m = m.at[:3, 3].set(axis.origin)
     return m
+
+
+@jax.jit
+def batched_axis_transform(axes: TrunkAxis) -> jax.Array:
+    """[S,4,4] axis frames for [S]-leading axes (vmap of axis_transform)."""
+    return jax.vmap(axis_transform)(axes)
 
 
 def axis_lines(axis: TrunkAxis, scale) -> jax.Array:
