@@ -348,6 +348,43 @@ def main() -> None:
     print(f"# bench: screen-adaptive frame {sc_ms:.1f} ms, "
           f"{match_s:.1%} pixels == full", file=sys.stderr, flush=True)
 
+    # --- whole-forest inventory: trunk axis + split RBV + all trait fields
+    # for EVERY segment in one batched pass (Session.inventory's device
+    # core).  The reference computes traits one focused tree at a time; the
+    # cost here is a fixed number of [N] gathers/scatters, tree-count-free.
+    try:
+        from treee_tpu import rbv as rbv_mod
+        from treee_tpu import trunk_axis as ta_mod
+        from treee_tpu.cloud import CLASS_TRUNK
+        from treee_tpu.pipeline import _segment_class_counts
+
+        S = cfg.segmentation.max_segments + 1
+
+        @jax.jit
+        def inventory_pass(pos, segment, classification, valid):
+            live = valid & (segment > 0) & (segment < S)
+            axes = ta_mod.batched_average_direction(
+                pos, live & (classification == CLASS_TRUNK), segment, S)
+            tfs = ta_mod.batched_axis_transform(axes)
+            crown, trunk = rbv_mod.batched_split_rbv(
+                pos, classification, live, segment, S, tfs)
+            tr = rbv_mod.batched_traits(crown, trunk)
+            counts = _segment_class_counts(segment, classification, live, S)
+            return tr.diameter_breast_height, tr.crown_volume, counts
+
+        sync(inventory_pass(pos, segment, out[2], valid))  # compile
+        touch()
+        t0 = time.time()
+        dbh, _, counts = sync(inventory_pass(pos, segment, out[2], valid))
+        inv_s = time.time() - t0
+        n_trees = int((np.asarray(counts).sum(axis=1) > 0).sum())
+        RESULT.update(inventory_s=round(inv_s, 3), inventory_trees=n_trees)
+        touch()
+        print(f"# bench: whole-forest inventory {inv_s:.2f}s "
+              f"({n_trees} trees)", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover — aux metric, never fatal
+        print(f"# bench: inventory skipped: {e}", file=sys.stderr, flush=True)
+
     # --- interactive edit latency (BASELINE config 3: incremental octree/LOD
     # update).  The reference re-uploads the whole edited segment to the GPU
     # per brush stroke (interactive/mod.rs:182-221); here the edit is a pure

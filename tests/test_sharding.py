@@ -73,6 +73,51 @@ def test_sharded_1m_points_exact():
     np.testing.assert_array_equal(np.asarray(seg_sharded), ref)
 
 
+def test_sharded_inventory_matches_single_device():
+    """sharded_inventory == the single-device batched inventory: integer
+    counts and max-method distance grids compose EXACTLY (psum of ints,
+    pmax of maxes); the axis directions ride float psums, so traits agree
+    to float tolerance."""
+    from treee_tpu import rbv as rbv_mod
+    from treee_tpu import trunk_axis as ta
+    from treee_tpu.pipeline import _segment_class_counts
+
+    pos, valid = _forest(n_pad=10240)
+    posj, validj = jnp.asarray(pos), jnp.asarray(valid)
+    res = segment_points(posj, validj, 0.75, CFG.segmentation)
+    seg = res.segment
+    from treee_tpu.characteristics import compute_segments
+    S = CFG.segmentation.max_segments + 1
+    _, cls = compute_segments(posj, seg, validj, S, CFG.characteristics)
+
+    # single-device reference (Session.inventory's device core)
+    live = validj & (seg > 0) & (seg < S)
+    axes = ta.batched_average_direction(posj, live & (cls == 1), seg, S)
+    tfs = ta.batched_axis_transform(axes)
+    crown, trunk = rbv_mod.batched_split_rbv(posj, cls, live, seg, S, tfs)
+    tr_ref = rbv_mod.batched_traits(crown, trunk)
+    counts_ref = np.asarray(_segment_class_counts(seg, cls, live, S))
+
+    mesh = sharding.make_mesh()
+    fn = sharding.sharded_inventory(mesh, CFG)
+    pos_s, valid_s = sharding.shard_points(mesh, posj, validj)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    shard1 = lambda a: jax.device_put(
+        a, NamedSharding(mesh, PartitionSpec("data")))
+    tr_sh, counts_sh, found_sh = fn(pos_s, shard1(seg), shard1(cls),
+                                    valid_s)
+
+    np.testing.assert_array_equal(np.asarray(counts_sh), counts_ref)
+    np.testing.assert_array_equal(np.asarray(found_sh),
+                                  np.asarray(axes.found))
+    for f in ("diameter_breast_height", "crown_volume", "stem_volume",
+              "wood_volume", "crown_diameter", "crown_surface"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tr_sh, f)), np.asarray(getattr(tr_ref, f)),
+            rtol=1e-4, atol=1e-5)
+
+
 def test_morton_range_sharding_compact():
     """shard_points_morton gives each device a spatially compact range: the
     mean per-shard xz bbox area is far below the scene bbox area (a random

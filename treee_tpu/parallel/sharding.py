@@ -181,6 +181,54 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
     return jax.jit(fn)
 
 
+def sharded_inventory(mesh: Mesh, cfg: Config = DEFAULT_CONFIG,
+                      axis: str = "data", method: int = 0,
+                      symmetric: bool = False, axis_algo: str = "average",
+                      **rbv_kw):
+    """Whole-forest inventory over point shards: (pos, segment,
+    classification, valid) -> (Traits [S], counts i32[S,3], found bool[S]).
+
+    The batched inventory reductions (trunk_axis.batched_*,
+    rbv.batched_split_rbv, Session.inventory's device core) are all
+    per-segment scatter tables, so the sharded form is shard-local scatters
+    + one collective per table: pmin/pmax for extents and max-method
+    distance grids (EXACT), psum for the axis means and mean-method grids
+    (float sums in shard order).  Collective volume is O(S * slices *
+    sectors), independent of the per-shard point count — same scaling shape
+    as the segmentation grid psum.  The per-segment [S]-math (directions,
+    frames, trait formulas) then runs replicated.
+    """
+    from .. import rbv as rbv_mod
+    from .. import trunk_axis as ta
+    from ..cloud import CLASS_TRUNK
+    from ..pipeline import _segment_class_counts
+
+    S = cfg.segmentation.max_segments + 1
+    axis_fn = (ta.batched_low_high_layer if axis_algo == "lowhigh"
+               else ta.batched_average_direction)
+
+    def local(pos, segment, classification, valid):
+        live = valid & (segment > 0) & (segment < S)
+        axes = axis_fn(pos, live & (classification == CLASS_TRUNK), segment,
+                       S, axis_name=axis)
+        tfs = ta.batched_axis_transform(axes)  # replicated [S,4,4]
+        crown, trunk = rbv_mod.batched_split_rbv(
+            pos, classification, live, segment, S, tfs,
+            method=method, symmetric=symmetric, axis_name=axis, **rbv_kw)
+        tr = rbv_mod.batched_traits(crown, trunk)
+        counts = _segment_class_counts(segment, classification, live, S,
+                                       axis_name=axis)
+        return tr, counts, axes.found
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(fn)
+
+
 def sharded_render(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
     """Sharded splat frame: (pos, prop, mask, cam, palette) -> f32[H,W,3].
 

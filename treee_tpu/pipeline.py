@@ -82,16 +82,21 @@ def _lod_frame_prop(pos_c, idx, count, cloud, prop, cam, palette, cfg):
     return splat.render_frame(pos_c, prop[idx], mask_c, cam, palette, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments",))
-def _segment_class_counts(segment, classification, mask, n_segments):
-    """i32[S,3] point counts per (segment, ground/trunk/crown class)."""
+@functools.partial(jax.jit, static_argnames=("n_segments", "axis_name"))
+def _segment_class_counts(segment, classification, mask, n_segments,
+                          axis_name=None):
+    """i32[S,3] point counts per (segment, ground/trunk/crown class);
+    ``axis_name`` psums shard-local counts (integer adds — exact)."""
     t = jnp.where(
         mask, segment * 3 + jnp.clip(classification, 0, 2), n_segments * 3
     )
-    return (
+    counts = (
         jnp.zeros(n_segments * 3 + 1, jnp.int32).at[t].add(1)[:-1]
         .reshape(n_segments, 3)
     )
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+    return counts
 
 
 class Session:

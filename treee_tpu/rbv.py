@@ -255,14 +255,19 @@ class BatchedRBV(flax.struct.PyTreeNode):
 
 
 def _batched_rbv_grid(x, z, y, mask, segment, n_segments, slices, sectors,
-                      method, symmetric):
+                      method, symmetric, axis_name=None):
     """One [S, slices*sectors] distance grid via segmented scatters
-    (hull.rs:729-764 per-point loop -> one keyed reduction)."""
+    (hull.rs:729-764 per-point loop -> one keyed reduction).  ``axis_name``
+    composes point shards: pmin/pmax for extents and max grids (exact),
+    psum for the mean grids' sums/counts."""
     seg_t = jnp.where(mask, segment, n_segments)
     min_y = jnp.full(n_segments + 1, INF).at[seg_t].min(
         jnp.where(mask, y, INF))[:n_segments]
     max_y = jnp.full(n_segments + 1, -INF).at[seg_t].max(
         jnp.where(mask, y, -INF))[:n_segments]
+    if axis_name is not None:
+        min_y = jax.lax.pmin(min_y, axis_name)
+        max_y = jax.lax.pmax(max_y, axis_name)
     any_pt = min_y < INF
     min_y = jnp.where(any_pt, min_y, 0.0)
     max_y = jnp.where(any_pt, max_y, 1.0)
@@ -285,11 +290,16 @@ def _batched_rbv_grid(x, z, y, mask, segment, n_segments, slices, sectors,
     if method == METHOD_MAX:
         d = jnp.zeros(n_segments * cells + 1).at[bucket].max(
             jnp.where(mask, dist, 0.0))[:-1]
+        if axis_name is not None:
+            d = jax.lax.pmax(d, axis_name)
     else:
         s = jnp.zeros(n_segments * cells + 1).at[bucket].add(
             jnp.where(mask, dist, 0.0))[:-1]
         c = jnp.zeros(n_segments * cells + 1).at[bucket].add(
             mask.astype(jnp.float32))[:-1]
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            c = jax.lax.psum(c, axis_name)
         d = s / jnp.maximum(c, 1.0)
 
     if symmetric and sectors % 2 == 0:
@@ -307,7 +317,7 @@ def _batched_rbv_grid(x, z, y, mask, segment, n_segments, slices, sectors,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_segments", "crown_slices", "crown_sectors", "trunk_slices",
-    "trunk_sectors", "method", "symmetric"))
+    "trunk_sectors", "method", "symmetric", "axis_name"))
 def batched_split_rbv(
     pos: jax.Array,
     classification: jax.Array,
@@ -321,12 +331,14 @@ def batched_split_rbv(
     trunk_sectors: int = 32,
     method: int = METHOD_MAX,
     symmetric: bool = False,
+    axis_name: str | None = None,
 ) -> tuple[BatchedRBV, BatchedRBV]:
     """Crown + trunk RBVs for every segment in one pass (hull.rs:185-208
     split, batched).  Each point moves into ITS segment's axis frame —
     twelve flat [S]->[N] component gathers instead of a gathered [N,3,3]
     matrix (small-minor-dim gather outputs take 64x lane-padded layouts on
-    v5e; CLAUDE.md round-2 OOM note)."""
+    v5e; CLAUDE.md round-2 OOM note).  ``axis_name`` composes point shards
+    (transforms must be replicated)."""
     from .cloud import CLASS_CROWN, CLASS_TRUNK
 
     def g(i, j):
@@ -342,10 +354,10 @@ def batched_split_rbv(
 
     crown = _batched_rbv_grid(
         x, z, y, mask & (classification == CLASS_CROWN), segment, n_segments,
-        crown_slices, crown_sectors, method, symmetric)
+        crown_slices, crown_sectors, method, symmetric, axis_name)
     trunk = _batched_rbv_grid(
         x, z, y, mask & (classification == CLASS_TRUNK), segment, n_segments,
-        trunk_slices, trunk_sectors, method, symmetric)
+        trunk_slices, trunk_sectors, method, symmetric, axis_name)
     return crown, trunk
 
 

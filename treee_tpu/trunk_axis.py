@@ -115,20 +115,25 @@ def low_high_layer(pos: jax.Array, mask: jax.Array, layer_width=1.0) -> TrunkAxi
     return TrunkAxis(origin=origin, direction=direction, found=found)
 
 
-def _segment_minmax_y(y, mask, seg_t, n_segments):
-    """Per-segment (lo, hi, found) over masked y via scatter reductions."""
+def _segment_minmax_y(y, mask, seg_t, n_segments, axis_name=None):
+    """Per-segment (lo, hi, found) over masked y via scatter reductions;
+    ``axis_name`` composes shard-local tables exactly (min/max commute)."""
     lo = jnp.full(n_segments + 1, INF).at[seg_t].min(
         jnp.where(mask, y, INF))[:n_segments]
     hi = jnp.full(n_segments + 1, -INF).at[seg_t].max(
         jnp.where(mask, y, -INF))[:n_segments]
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
     found = lo < INF
     return jnp.where(found, lo, 0.0), jnp.where(found, hi, 0.0), found
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments", "layers"))
+@functools.partial(jax.jit, static_argnames=("n_segments", "layers",
+                                             "axis_name"))
 def batched_average_direction(
     pos: jax.Array, mask: jax.Array, segment: jax.Array,
-    n_segments: int, layers: int = 10,
+    n_segments: int, layers: int = 10, axis_name: str | None = None,
 ) -> TrunkAxis:
     """AverageDirection for EVERY segment at once (trunk_axis.rs:108-178).
 
@@ -137,10 +142,14 @@ def batched_average_direction(
     becomes one scatter keyed by ``segment`` (or ``segment * layers + layer``)
     — the same sort-free segmented-reduction pattern as characteristics.py.
     Fields are [S]-leading; row i matches average_direction on segment i.
+
+    ``axis_name``: set inside ``shard_map`` over point shards; the per-
+    segment tables then compose with pmin/pmax (exact) and psum (float sums,
+    shard-order instead of scatter-order accumulation).
     """
     y = pos[:, 1]
     seg_t = jnp.where(mask, segment, n_segments)
-    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments)
+    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments, axis_name)
 
     lo_p = jnp.take(lo, segment)  # per-point base height of ITS segment
     band = mask & (y >= lo_p + 0.4) & (y < lo_p + 0.6)
@@ -164,6 +173,13 @@ def batched_average_direction(
         jnp.where(mask, pos[:, 2], 0.0))[:-1].reshape(n_segments, layers)
     lcnt = jnp.zeros(n_segments * layers + 1).at[tgt].add(
         mask.astype(jnp.float32))[:-1].reshape(n_segments, layers)
+    if axis_name is not None:
+        band_n = jax.lax.psum(band_n, axis_name)
+        band_x = jax.lax.psum(band_x, axis_name)
+        band_z = jax.lax.psum(band_z, axis_name)
+        lsum_x = jax.lax.psum(lsum_x, axis_name)
+        lsum_z = jax.lax.psum(lsum_z, axis_name)
+        lcnt = jax.lax.psum(lcnt, axis_name)
     lmean_x = lsum_x / jnp.maximum(lcnt, 1.0)
     lmean_z = lsum_z / jnp.maximum(lcnt, 1.0)
 
@@ -189,16 +205,17 @@ def batched_average_direction(
     return TrunkAxis(origin=origin, direction=direction, found=found)
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments",))
+@functools.partial(jax.jit, static_argnames=("n_segments", "axis_name"))
 def batched_low_high_layer(
     pos: jax.Array, mask: jax.Array, segment: jax.Array,
-    n_segments: int, layer_width=1.0,
+    n_segments: int, layer_width=1.0, axis_name: str | None = None,
 ) -> TrunkAxis:
     """LowHighLayer for every segment at once (trunk_axis.rs:181-232);
-    [S]-leading TrunkAxis, row i == low_high_layer on segment i."""
+    [S]-leading TrunkAxis, row i == low_high_layer on segment i.
+    ``axis_name`` composes point shards (see batched_average_direction)."""
     y = pos[:, 1]
     seg_t = jnp.where(mask, segment, n_segments)
-    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments)
+    lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments, axis_name)
     layer = jnp.maximum(
         jnp.minimum(jnp.asarray(layer_width, jnp.float32), (hi - lo) / 2.0),
         1e-3,
@@ -210,12 +227,17 @@ def batched_low_high_layer(
 
     def mean_xz(m):
         t = jnp.where(m, segment, n_segments)
-        n = jnp.maximum(jnp.zeros(n_segments + 1).at[t].add(
-            m.astype(jnp.float32))[:n_segments], 1.0)
+        n = jnp.zeros(n_segments + 1).at[t].add(
+            m.astype(jnp.float32))[:n_segments]
         sx = jnp.zeros(n_segments + 1).at[t].add(
             jnp.where(m, pos[:, 0], 0.0))[:n_segments]
         sz = jnp.zeros(n_segments + 1).at[t].add(
             jnp.where(m, pos[:, 2], 0.0))[:n_segments]
+        if axis_name is not None:
+            n = jax.lax.psum(n, axis_name)
+            sx = jax.lax.psum(sx, axis_name)
+            sz = jax.lax.psum(sz, axis_name)
+        n = jnp.maximum(n, 1.0)
         return sx / n, sz / n
 
     (lmx, lmz), (hmx, hmz) = mean_xz(low), mean_xz(high)
