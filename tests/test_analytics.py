@@ -243,6 +243,27 @@ def test_session_inventory_end_to_end(tmp_path):
     assert rows == n and len(lines) == n + 1
     assert lines[0].startswith("segment,n_points,")
 
+    # forest-level aggregates ride the same inventory
+    summ = s.forest_summary(inventory=inv)
+    assert summ["n_trees"] == int((inv["n_trunk"] > 0).sum()) > 0
+    assert summ["stems_per_ha"] > 0 and summ["area_ha"] > 0
+    assert 0.0 <= summ["canopy_cover"] <= 1.0
+    # QMD >= arithmetic mean DBH (Jensen), equal only for uniform stands
+    assert summ["quadratic_mean_dbh"] >= summ["mean_dbh"] - 1e-9
+    assert summ["basal_area_per_ha"] > 0
+    assert summ["max_height"] >= summ["mean_height"] > 0
+
+    # the REPL surfaces it as one command
+    import io as _io
+    import json as _json
+
+    from treee_tpu.repl import Repl
+
+    r = Repl(s, out=_io.StringIO())
+    assert r.handle("summary") is True
+    printed = _json.loads(r.out.getvalue())
+    assert printed["n_trees"] == summ["n_trees"]
+
 
 def test_hull_sphere_area_volume():
     rng = np.random.default_rng(4)

@@ -45,8 +45,14 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "--export-chm", out("chm.asc"),
         "--raster-cell", "2.0",
         "--export-inventory", out("inv.csv"),
+        "--export-summary", out("summary.json"),
     ]
     assert app.main(argv) == 0
+
+    # forest-level stand summary
+    summ = json.load(open(out("summary.json")))
+    assert summ["n_trees"] >= 1 and summ["stems_per_ha"] > 0
+    assert 0.0 <= summ["canopy_cover"] <= 1.0
 
     # whole-forest inventory CSV: header + one row per tree, trait columns
     # populated under the same rbv widgets (mean/symmetric/6x8, lowhigh axis)

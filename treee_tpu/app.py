@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(.csv, or .json by extension): counts, position, "
                         "heights, and all trait fields for every segment in "
                         "one batched device pass (Session.inventory)")
+    p.add_argument("--export-summary",
+                   help="write forest-level stand aggregates JSON: stems/ha, "
+                        "basal area/ha, canopy cover, quadratic mean "
+                        "diameter, volume totals (Session.forest_summary)")
     p.add_argument("--export-las",
                    help="write the live cloud as classified LAS 1.4 "
                         "(.laz compresses): ASPRS ground/vegetation codes, "
@@ -432,6 +436,14 @@ def main(argv=None) -> int:
             with open(args.export_inventory, "w") as fh:
                 n_rows = exports_mod.save_inventory_csv(fh, inv)
         print(f"inventory: {args.export_inventory} ({n_rows} trees)")
+
+    if args.export_summary:
+        summary = session.forest_summary()
+        with open(args.export_summary, "w") as fh:
+            json.dump(summary, fh, indent=2)
+        print(f"summary: {args.export_summary} "
+              f"({summary['n_trees']} trees, "
+              f"{summary['stems_per_ha']:.1f} stems/ha)")
 
     if args.export_hull_ply or args.export_landmarks or args.export_rbv:
         if args.segment_id is None:

@@ -855,6 +855,63 @@ class Session:
             out[name] = np.asarray(getattr(tr, name))[ids].astype(np.float64)
         return out
 
+    def forest_summary(
+        self,
+        inventory: dict | None = None,
+        chm_cell: float = 0.5,
+        cover_threshold: float = 2.0,
+    ) -> dict:
+        """Forest-level aggregates from the per-tree inventory + CHM.
+
+        The standard stand-inventory numbers (stems/ha, basal area/ha,
+        canopy cover, quadratic mean diameter) — a treee-tpu addition; the
+        reference has no forest-level product.  A "tree" is a segment with
+        trunk-classified points; ``area_ha`` is the live-point bounding
+        rectangle (documented approximation for irregular stand shapes).
+        Canopy cover = fraction of CHM cells at least ``cover_threshold``
+        m above the hole-filled DTM.
+        """
+        from . import segmentation as seg
+
+        inv = inventory if inventory is not None else self.inventory()
+        live = self.cloud.alive
+        lo, hi = (np.asarray(a) for a in seg.scene_bounds(self.cloud.pos, live))
+        area_m2 = float(hi[0] - lo[0]) * float(hi[2] - lo[2])
+        area_ha = max(area_m2 / 1e4, 1e-12)
+
+        tree = inv["n_trunk"] > 0
+        n_trees = int(tree.sum())
+        dbh = inv["diameter_breast_height"][tree]
+        heights = inv["tree_height"][tree]
+        basal = float(inv["trunk_cross_area"][tree].sum())
+
+        grids, _, cell = self.rasters(chm_cell)
+        chm = grids["chm"]
+        valid_cells = chm != -9999.0
+        cover = (
+            float((chm[valid_cells] >= cover_threshold).mean())
+            if valid_cells.any() else 0.0
+        )
+
+        return {
+            "n_trees": n_trees,
+            "area_ha": area_ha,
+            "stems_per_ha": n_trees / area_ha,
+            "mean_dbh": float(dbh.mean()) if n_trees else 0.0,
+            # quadratic mean diameter: the DBH of the tree of mean basal
+            # area — the standard stand summary alongside basal area
+            "quadratic_mean_dbh": (
+                float(np.sqrt((dbh**2).mean())) if n_trees else 0.0
+            ),
+            "mean_height": float(heights.mean()) if n_trees else 0.0,
+            "max_height": float(heights.max()) if n_trees else 0.0,
+            "basal_area_per_ha": basal / area_ha,
+            "canopy_cover": cover,
+            "total_crown_volume": float(inv["crown_volume"][tree].sum()),
+            "total_stem_volume": float(inv["stem_volume"][tree].sum()),
+            "total_wood_volume": float(inv["wood_volume"][tree].sum()),
+        }
+
     def rasters(self, cell: float = 0.5, cap: int = 4096):
         """DTM / DSM / CHM height rasters over the live cloud (rasters.py).
 

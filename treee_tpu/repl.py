@@ -69,6 +69,8 @@ commands (reference widget/mouse equivalents in parens):
   pointsize V | palette turbo|warm|white | eyedome S | range MIN MAX
   render [PATH] | focusrender [PATH]               write a frame PNG
   info [SEG] | traits [SEG] | coords [SEG]         analytics (egui panels)
+  summary                 forest-level stand aggregates: stems/ha, basal
+                          area, canopy cover, QMD (Session.forest_summary)
   save PATH [SEG] | open PATH | add SCAN | addsession NPZ
   status | help | quit
 """
@@ -385,6 +387,19 @@ class Repl:
             sid = self._resolve_seg(args)
             if sid is not None:
                 self._traits(sid)
+        elif cmd == "summary":
+            import json as _json
+
+            self._print(_json.dumps(
+                s.forest_summary(
+                    inventory=s.inventory(
+                        method=self.rbv_opts["method"],
+                        symmetric=self.rbv_opts["symmetric"],
+                        axis_algo=self.axis_algo,
+                    )
+                ),
+                indent=2,
+            ))
         elif cmd == "coords":
             sid = self._resolve_seg(args)
             if sid is not None:
