@@ -264,6 +264,14 @@ def test_session_inventory_end_to_end(tmp_path):
     printed = _json.loads(r.out.getvalue())
     assert printed["n_trees"] == summ["n_trees"]
 
+    # membership edits surface in the NEXT inventory (full_table recomputes
+    # when counts are stale): a spawned segment gets its own row
+    top = np.asarray(s.cloud.pos)[np.asarray(s.cloud.valid)]
+    center = top[np.argmax(top[:, 1])]
+    nid = s.spawn(center, radius=1.5)
+    inv2 = s.inventory()
+    assert nid in inv2["segment"]
+
 
 def test_hull_sphere_area_volume():
     rng = np.random.default_rng(4)

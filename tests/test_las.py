@@ -359,3 +359,12 @@ def test_gps_time_display_keeps_its_span(tmp_path):
     assert prop.min() < 0.01 and prop.max() > 0.99
     # the span must survive quantization to the 256 palette slots
     assert len(np.unique((prop * 255).astype(np.int32))) > 100
+
+    # ... and survive merging a scan WITHOUT gps_time: merge_attributes
+    # zero-fills the new rows, which must not re-pin the range to 0
+    plain = str(tmp_path / "plain.las")
+    las.write_las(plain, pos[:50] + 200.0, point_format=0)
+    s.add_las(plain)
+    prop2 = np.asarray(s.attribute_prop("gps_time")[0])[:n]
+    assert prop2.min() < 0.01 and prop2.max() > 0.99
+    assert len(np.unique((prop2 * 255).astype(np.int32))) > 100

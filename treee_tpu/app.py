@@ -150,6 +150,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _inventory_kwargs(args) -> dict:
+    """CLI rbv/axis flags -> Session.inventory keyword arguments (the one
+    place the mapping lives; traits/inventory/summary exports all share it)."""
+    kw = dict(
+        method=args.rbv_method,
+        symmetric=args.rbv_symmetric,
+        axis_algo=("lowhigh" if args.trunk_axis_algorithm == "lowhigh"
+                   else "average"),
+    )
+    if args.rbv_slices is not None:
+        kw.update(crown_slices=args.rbv_slices, trunk_slices=args.rbv_slices)
+    if args.rbv_sectors is not None:
+        kw.update(crown_sectors=args.rbv_sectors,
+                  trunk_sectors=args.rbv_sectors)
+    return kw
+
+
+def _get_inventory(session, args) -> dict:
+    """One batched inventory pass per CLI run, shared by --export-traits,
+    --export-inventory and --export-summary (same settings, same numbers)."""
+    if getattr(session, "_cli_inventory", None) is None:
+        session._cli_inventory = session.inventory(**_inventory_kwargs(args))
+    return session._cli_inventory
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -372,18 +397,7 @@ def main(argv=None) -> int:
         if args.segment_id is None:
             # all segments: one batched pass (Session.inventory) instead of
             # S full-N loops — same JSON shape as the per-segment path
-            inv = session.inventory(
-                method=args.rbv_method, symmetric=args.rbv_symmetric,
-                axis_algo=("lowhigh"
-                           if args.trunk_axis_algorithm == "lowhigh"
-                           else "average"),
-                **{k: v for k, v in (
-                    ("crown_slices", args.rbv_slices),
-                    ("crown_sectors", args.rbv_sectors),
-                    ("trunk_slices", args.rbv_slices),
-                    ("trunk_sectors", args.rbv_sectors),
-                ) if v is not None},
-            )
+            inv = _get_inventory(session, args)
             out = {
                 int(sid): {f: float(inv[f][i]) for f in trait_fields}
                 for i, sid in enumerate(inv["segment"])
@@ -411,17 +425,7 @@ def main(argv=None) -> int:
     if args.export_inventory:
         from .io import exports as exports_mod
 
-        inv = session.inventory(
-            method=args.rbv_method, symmetric=args.rbv_symmetric,
-            axis_algo=("lowhigh" if args.trunk_axis_algorithm == "lowhigh"
-                       else "average"),
-            **{k: v for k, v in (
-                ("crown_slices", args.rbv_slices),
-                ("crown_sectors", args.rbv_sectors),
-                ("trunk_slices", args.rbv_slices),
-                ("trunk_sectors", args.rbv_sectors),
-            ) if v is not None},
-        )
+        inv = _get_inventory(session, args)
         if args.export_inventory.lower().endswith(".json"):
             rows = {
                 int(sid): {c: (inv[c][i].item() if hasattr(inv[c][i], "item")
@@ -438,7 +442,11 @@ def main(argv=None) -> int:
         print(f"inventory: {args.export_inventory} ({n_rows} trees)")
 
     if args.export_summary:
-        summary = session.forest_summary()
+        # same rbv/axis settings (and the same computed pass) as the sibling
+        # inventory/traits exports — a summary from a different volume
+        # method than inv.csv's columns would not sum up
+        summary = session.forest_summary(
+            inventory=_get_inventory(session, args))
         with open(args.export_summary, "w") as fh:
             json.dump(summary, fh, indent=2)
         print(f"summary: {args.export_summary} "

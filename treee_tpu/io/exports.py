@@ -126,6 +126,9 @@ def save_inventory_csv(fh, inv: dict) -> int:
     hull.rs:293-306).  Returns the row count."""
     cols = list(inv)
     n = len(inv[cols[0]]) if cols else 0
+    # map coordinates need fixed-point: %.6g would quantize UTM-scale
+    # northings (~5.4e6 m) to 10 m and eastings to 1 m
+    fixed = {"x", "z", "easting", "northing"}
     fh.write(",".join(cols) + "\n")
     for i in range(n):
         row = []
@@ -135,6 +138,8 @@ def save_inventory_csv(fh, inv: dict) -> int:
                 row.append("1" if v else "0")
             elif isinstance(v, (int, np.integer)):
                 row.append(str(int(v)))
+            elif c in fixed:
+                row.append(f"{float(v):.3f}")
             else:
                 row.append(f"{float(v):.6g}")
         fh.write(",".join(row) + "\n")

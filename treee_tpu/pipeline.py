@@ -187,20 +187,38 @@ class Session:
                 idx = (r << 5) | (g << 2) | b
                 prop = (idx.astype(np.float32) + 0.5) / 256.0
                 pal = palettes.rgb_cube()
-            else:
-                v64 = a.astype(np.float64)
-                if name == "gps_time":
-                    # range over LIVE rows in f64: the capacity padding is
-                    # zeros (which would pin the min), and adjusted-standard
-                    # GPS times (~3e8 s) lose their whole span to the f32
-                    # quantum unless the offset is removed BEFORE the cast
-                    live = v64[np.asarray(self.cloud.valid)]
-                    vlo = float(live.min()) if live.size else 0.0
-                    vhi = float(live.max()) if live.size else 0.0
-                else:
-                    vlo, vhi = 0.0, float(v64.max(initial=0.0))
+            elif name == "gps_time":
+                # range in f64 over LIVE NONZERO rows: the capacity padding
+                # AND the zero-fill merge_attributes writes for merged scans
+                # lacking the field would pin the min, and adjusted-standard
+                # times (~3e8 s) lose their whole span to the f32 quantum
+                # unless the offset is removed BEFORE the cast.  Chunked
+                # masked min/max + chunked normalize: no [N]-sized f64
+                # temps on the ~10 MB/s post-device-init host path
+                # (CLAUDE.md memory rules).  Zero-filled rows land below
+                # the range (clamped to the palette start) — "missing".
+                a64 = np.asarray(a, np.float64)  # no copy: decoded as <f8
+                valid = np.asarray(self.cloud.valid)
+                step = 1 << 22
+                vlo, vhi = np.inf, -np.inf
+                for i in range(0, len(a64), step):
+                    c = a64[i:i + step]
+                    m = valid[i:i + step] & (c != 0.0)
+                    if m.any():
+                        sel = c[m]
+                        vlo = min(vlo, float(sel.min()))
+                        vhi = max(vhi, float(sel.max()))
+                if not np.isfinite(vlo):
+                    vlo = 0.0
                 ext = max(vhi - vlo, 1e-12)
-                prop = ((v64 - vlo) / ext).astype(np.float32)
+                prop = np.empty(len(a64), np.float32)
+                for i in range(0, len(a64), step):
+                    prop[i:i + step] = (a64[i:i + step] - vlo) / ext
+                pal = None
+            else:
+                v = a.astype(np.float32)
+                ext = max(float(v.max(initial=0.0)), 1e-12)
+                prop = v / ext
                 pal = None
             self._attr_dev[name] = (jnp.asarray(prop), pal)
         return self._attr_dev[name]
@@ -286,10 +304,14 @@ class Session:
         ``segment()`` stores full_pipeline's fast table whose x/z lo/hi are
         zero placeholders (full_bbox=False saves four 15M-point scan columns
         on the benched path); anything that reads segment boxes — info
-        exports, segment_coords — must come through here so the Calculations
-        phase recomputes them first (calculations.rs:136-147 min/max).
+        exports, segment_coords, inventory — must come through here so the
+        Calculations phase recomputes them first (calculations.rs:136-147
+        min/max).  Membership edits (spawn/combine/delete/draw) also force
+        a recompute: the table's present/count/extent rows would otherwise
+        describe the pre-edit forest (a spawned segment would be invisible
+        to the inventory, a combined one would keep stale geometry).
         """
-        if self.table is None or not self._bbox_full:
+        if self.table is None or not self._bbox_full or self._counts_stale:
             self.characteristics()
         return self.table
 

@@ -220,8 +220,9 @@ class ViewerServer:
         """Viewer page with the display selector limited to what this scan
         can actually show (the REPL rejects absent attributes, repl.py
         `display`; offering them in the dropdown would just no-op)."""
-        opts = ["classification", "expansion", "height", "curve", "shaded",
-                *sorted(self.repl.s.attributes), "hag"]
+        with self.lock:  # 'add scan.las' replaces session.attributes
+            opts = ["classification", "expansion", "height", "curve",
+                    "shaded", *sorted(self.repl.s.attributes), "hag"]
         return _PAGE.replace(
             "<!--DISPLAY_OPTIONS-->",
             "".join(f"<option>{o}</option>" for o in opts),
