@@ -273,6 +273,40 @@ def test_session_inventory_end_to_end(tmp_path):
     assert nid in inv2["segment"]
 
 
+def test_inventory_degenerate_sessions():
+    """Inventory/summary edge cases: an unsegmented all-ground session
+    yields a trunkless row and a zero-tree summary; a fully deleted cloud
+    yields an empty table, a header-only CSV, and zeroed aggregates."""
+    import io as _io
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import exports
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(segmentation=SegmentationConfig(
+        grid_size=64, max_bands=8, max_segments=32, max_trees_per_band=8))
+    rng = np.random.default_rng(21)
+    pts = np.stack([rng.uniform(-5, 5, 2000), rng.uniform(0, 0.3, 2000),
+                    rng.uniform(-5, 5, 2000)], -1).astype(np.float32)
+    s = Session.from_points(pts, cfg)  # default: one segment, all ground
+
+    inv = s.inventory()
+    assert len(inv["segment"]) == 1
+    assert inv["n_trunk"][0] == 0 and not inv["axis_found"][0]
+    summ = s.forest_summary(inventory=inv)
+    assert summ["n_trees"] == 0 and summ["mean_dbh"] == 0.0
+    assert summ["stems_per_ha"] == 0.0
+
+    s.delete_sphere([0.0, 0.0, 0.0], radius=1e6)  # wipe the cloud
+    inv2 = s.inventory()
+    assert len(inv2["segment"]) == 0
+    buf = _io.StringIO()
+    assert exports.save_inventory_csv(buf, inv2) == 0
+    assert buf.getvalue().startswith("segment,")
+    summ2 = s.forest_summary(inventory=inv2)
+    assert summ2["n_trees"] == 0 and summ2["canopy_cover"] == 0.0
+
+
 def test_hull_sphere_area_volume():
     rng = np.random.default_rng(4)
     u = rng.normal(size=(20000, 3))
