@@ -100,6 +100,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write forest-level stand aggregates JSON: stems/ha, "
                         "basal area/ha, canopy cover, quadratic mean "
                         "diameter, volume totals (Session.forest_summary)")
+    p.add_argument("--compare", metavar="NPZ",
+                   help="earlier-epoch session checkpoint to diff the "
+                        "current scan against: mutual-NN stem matching, "
+                        "per-tree growth deltas, stand-level change "
+                        "(change.py; no reference analogue)")
+    p.add_argument("--match-dist", type=float, default=2.0,
+                   help="max stem-position distance (m) for cross-epoch "
+                        "tree matching (--compare)")
+    p.add_argument("--export-changes",
+                   help="with --compare: write the per-tree change table "
+                        "(.csv = matched growth rows; .json adds "
+                        "lost/new trees and the stand-level deltas)")
+    p.add_argument("--export-chm-change",
+                   help="with --compare: write the canopy-height change "
+                        "raster (epoch-b CHM minus epoch-a, shared map "
+                        "grid) as an ESRI ASCII .asc")
     p.add_argument("--export-las",
                    help="write the live cloud as classified LAS 1.4 "
                         "(.laz compresses): ASPRS ground/vegetation codes, "
@@ -181,6 +197,10 @@ def main(argv=None) -> int:
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s",
     )
+    if (args.export_changes or args.export_chm_change) and not args.compare:
+        print("error: --export-changes/--export-chm-change require "
+              "--compare", file=sys.stderr)
+        return 2
     if args.cpu:
         import jax
 
@@ -452,6 +472,54 @@ def main(argv=None) -> int:
         print(f"summary: {args.export_summary} "
               f"({summary['n_trees']} trees, "
               f"{summary['stems_per_ha']:.1f} stems/ha)")
+
+    if args.compare:
+        from . import change as change_mod
+        from .io import exports as exports_mod
+
+        with phase_timer("compare"):
+            # epoch A = the earlier --compare checkpoint; epoch B = the
+            # session built above (current scan, post-REPL edits)
+            prev = Session.open(args.compare, cfg)
+            inv_a = prev.inventory(**_inventory_kwargs(args))
+            inv_b = _get_inventory(session, args)
+            ch = change_mod.tree_changes(inv_a, inv_b, args.match_dist)
+            stand = change_mod.stand_changes(
+                prev.forest_summary(inventory=inv_a),
+                session.forest_summary(inventory=inv_b),
+            )
+        n_match = len(ch["matched"]["segment_b"])
+        dh = ch["matched"]["delta_tree_height"]
+        print(f"compare: {n_match} matched trees "
+              f"({len(ch['lost']['segment'])} lost, "
+              f"{len(ch['new']['segment'])} new); "
+              f"mean height change "
+              f"{float(dh.mean()) if n_match else 0.0:+.2f} m; "
+              f"stem volume {stand['total_stem_volume']['delta']:+.1f} m3")
+        if args.export_changes:
+            if args.export_changes.lower().endswith(".json"):
+                def rows(tab):
+                    cols = list(tab)
+                    return [{c: (tab[c][i].item()
+                                 if hasattr(tab[c][i], "item")
+                                 else tab[c][i]) for c in cols}
+                            for i in range(len(tab[cols[0]]) if cols else 0)]
+                with open(args.export_changes, "w") as fh:
+                    json.dump({"matched": rows(ch["matched"]),
+                               "lost": rows(ch["lost"]),
+                               "new": rows(ch["new"]),
+                               "stand": stand}, fh, indent=2)
+            else:
+                with open(args.export_changes, "w") as fh:
+                    exports_mod.save_inventory_csv(fh, ch["matched"])
+            print(f"changes: {args.export_changes} ({n_match} rows)")
+        if args.export_chm_change:
+            diff, (xll, yll), out_cell = change_mod.chm_change(
+                prev, session, cell=args.raster_cell)
+            with open(args.export_chm_change, "w") as fh:
+                exports_mod.save_ascii_grid(fh, diff, xll, yll, out_cell)
+            print(f"chm-change: {args.export_chm_change} "
+                  f"({diff.shape[0]}x{diff.shape[1]} @ {out_cell} m)")
 
     if args.export_hull_ply or args.export_landmarks or args.export_rbv:
         if args.segment_id is None:

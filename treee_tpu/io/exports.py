@@ -128,7 +128,8 @@ def save_inventory_csv(fh, inv: dict) -> int:
     n = len(inv[cols[0]]) if cols else 0
     # map coordinates need fixed-point: %.6g would quantize UTM-scale
     # northings (~5.4e6 m) to 10 m and eastings to 1 m
-    fixed = {"x", "z", "easting", "northing"}
+    fixed = {"x", "z", "easting", "northing", "stem_easting",
+             "stem_northing"}
     fh.write(",".join(cols) + "\n")
     for i in range(n):
         row = []

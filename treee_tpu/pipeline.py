@@ -862,6 +862,18 @@ class Session:
             # (io/las.py load swizzle; same convention as export_las)
             "easting": cx + self.world_offset[0],
             "northing": -(cz + self.world_offset[2]),
+            # stem position = trunk-axis origin (the trunk base), falling
+            # back to the bbox center when no axis was found.  The bbox
+            # center drifts with the Voronoi-assigned ground area around
+            # the tree, so cross-epoch matching (change.py) keys on this
+            "stem_easting": np.where(
+                np.asarray(axes.found)[ids],
+                np.asarray(axes.origin)[ids, 0], cx,
+            ) + self.world_offset[0],
+            "stem_northing": -(np.where(
+                np.asarray(axes.found)[ids],
+                np.asarray(axes.origin)[ids, 2], cz,
+            ) + self.world_offset[2]),
             "tree_height": (hi[ids, 1] - lo[ids, 1]).astype(np.float64),
             "ground_sep": np.asarray(table.ground_sep)[ids],
             "crown_sep": np.asarray(table.crown_sep)[ids],

@@ -71,6 +71,10 @@ commands (reference widget/mouse equivalents in parens):
   info [SEG] | traits [SEG] | coords [SEG]         analytics (egui panels)
   summary                 forest-level stand aggregates: stems/ha, basal
                           area, canopy cover, QMD (Session.forest_summary)
+  compare NPZ [DIST]      change report vs an earlier epoch's checkpoint:
+                          matched/lost/new trees by stem position (within
+                          DIST m, default 2), growth, stand deltas
+                          (change.py)
   save PATH [SEG] | open PATH | add SCAN | addsession NPZ
   status | help | quit
 """
@@ -400,6 +404,35 @@ class Repl:
                 ),
                 indent=2,
             ))
+        elif cmd == "compare":
+            # multi-epoch change report against an earlier session
+            # checkpoint (change.py; no reference analogue)
+            import json as _json
+
+            from . import change as change_mod
+            from .pipeline import Session
+
+            if not args:
+                raise ValueError("compare needs a session .npz path")
+            prev = Session.open(args[0], s.config)
+            kw = dict(method=self.rbv_opts["method"],
+                      symmetric=self.rbv_opts["symmetric"],
+                      axis_algo=self.axis_algo)
+            dist = float(args[1]) if len(args) > 1 else 2.0
+            inv_a, inv_b = prev.inventory(**kw), s.inventory(**kw)
+            ch = change_mod.tree_changes(inv_a, inv_b, dist)
+            m = ch["matched"]
+            n = len(m["segment_b"])
+            self._print(_json.dumps({
+                "matched": n,
+                "lost": len(ch["lost"]["segment"]),
+                "new": len(ch["new"]["segment"]),
+                "mean_delta_height": (
+                    float(m["delta_tree_height"].mean()) if n else 0.0),
+                "stand": change_mod.stand_changes(
+                    prev.forest_summary(inventory=inv_a),
+                    s.forest_summary(inventory=inv_b)),
+            }, indent=2))
         elif cmd == "coords":
             sid = self._resolve_seg(args)
             if sid is not None:
