@@ -335,3 +335,147 @@ def test_sharded_rasters_bit_exact():
     assert (rows, cols, cell) == (rows2, cols2, cell2)
     for k in ("dtm", "dsm", "chm"):
         np.testing.assert_array_equal(got[k], ref[k])
+
+
+# --- sharded interactive path: octree masks + pick (round 3) --------------
+
+
+def _morton_spanning_cloud(n_pad=4096, seed=3):
+    """Cloud with long runs of IDENTICAL positions so leaf-node runs span
+    shard boundaries under Morton-range sharding — the hard case for the
+    cross-shard rank/count carries."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0, 40, (50, 3)).astype(np.float32)
+    pos = np.repeat(centers, 60, axis=0)  # 3000 pts, runs of 60
+    extra = rng.uniform(0, 40, (500, 3)).astype(np.float32)
+    pos = np.concatenate([pos, extra])
+    n = len(pos)
+    out = np.zeros((n_pad, 3), np.float32)
+    out[:n] = pos
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    live = valid.copy()
+    live[::3] = False  # exercise live-aware ranks (deleted points)
+    return out, valid, live
+
+
+def test_sharded_lod_mask_bit_exact():
+    from treee_tpu.ops import octree
+
+    pos, valid, live = _morton_spanning_cloud()
+    mesh = sharding.make_mesh()
+    pos_s, valid_s, order = sharding.shard_points_morton(
+        mesh, jnp.asarray(pos), jnp.asarray(valid))
+    pos_p, valid_p, live_p = pos[order], valid[order], live[order]
+
+    planes = jnp.zeros((6, 4), jnp.float32)
+    for level, ppn in [(3, 1), (6, 2), (9, 1)]:
+        ref = np.asarray(octree.lod_mask(
+            octree.build(jnp.asarray(pos_p), jnp.asarray(valid_p)),
+            level=level, points_per_node=ppn, live=jnp.asarray(live_p)))
+        fn = sharding.sharded_lod_mask(mesh, level, ppn)
+        got = np.asarray(fn(
+            pos_s, valid_s,
+            jax.device_put(jnp.asarray(live_p),
+                           jax.sharding.NamedSharding(
+                               mesh, jax.sharding.PartitionSpec("data"))),
+            planes))
+        np.testing.assert_array_equal(got, ref, err_msg=f"level={level}")
+
+
+def test_sharded_lod_mask_frustum_bit_exact():
+    from treee_tpu.ops import octree
+    from treee_tpu.render import Camera
+
+    pos, valid, live = _morton_spanning_cloud(seed=5)
+    mesh = sharding.make_mesh()
+    pos_s, valid_s, order = sharding.shard_points_morton(
+        mesh, jnp.asarray(pos), jnp.asarray(valid))
+    pos_p, valid_p, live_p = pos[order], valid[order], live[order]
+    cam = Camera.orbital(distance=60.0)
+    planes = cam.frustum_planes(16 / 9)
+
+    ref = np.asarray(octree.lod_mask(
+        octree.build(jnp.asarray(pos_p), jnp.asarray(valid_p)),
+        level=6, points_per_node=1, live=jnp.asarray(live_p),
+        frustum=planes))
+    assert 0 < ref.sum() < live_p.sum()  # the cull actually cut something
+    fn = sharding.sharded_lod_mask(mesh, 6, 1, use_frustum=True)
+    got = np.asarray(fn(
+        pos_s, valid_s,
+        jax.device_put(jnp.asarray(live_p),
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec("data"))),
+        planes))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_adaptive_mask_bit_exact():
+    from treee_tpu.ops import octree
+
+    pos, valid, live = _morton_spanning_cloud(seed=11)
+    mesh = sharding.make_mesh()
+    pos_s, valid_s, order = sharding.shard_points_morton(
+        mesh, jnp.asarray(pos), jnp.asarray(valid))
+    pos_p, valid_p, live_p = pos[order], valid[order], live[order]
+    cam_pos = jnp.asarray([25.0, 30.0, 25.0], jnp.float32)
+    px_scale = 870.0
+
+    ref = np.asarray(octree.adaptive_mask(
+        octree.build(jnp.asarray(pos_p), jnp.asarray(valid_p)),
+        cam_pos, px_scale, tau_px=2.0, live=jnp.asarray(live_p)))
+    assert 0 < ref.sum() < live_p.sum()
+    fn = sharding.sharded_adaptive_mask(mesh, px_scale, tau_px=2.0)
+    got = np.asarray(fn(
+        pos_s, valid_s,
+        jax.device_put(jnp.asarray(live_p),
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec("data"))),
+        cam_pos, jnp.zeros((6, 4), jnp.float32)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_pick_matches_single_device():
+    from treee_tpu import interactive as edit
+    from treee_tpu.cloud import PointCloud
+
+    pos, valid, _ = _morton_spanning_cloud(seed=13)
+    seg = (np.arange(len(pos)) % 7).astype(np.int32)
+    mesh = sharding.make_mesh()
+    pos_s, valid_s, order = sharding.shard_points_morton(
+        mesh, jnp.asarray(pos), jnp.asarray(valid))
+    seg_p = seg[order]
+    cloud = PointCloud(
+        pos=jnp.asarray(pos[order]), segment=jnp.asarray(seg_p),
+        classification=jnp.zeros(len(pos), jnp.int32),
+        valid=jnp.asarray(valid[order]))
+
+    origin = jnp.asarray([20.0, 50.0, 20.0], jnp.float32)
+    direction = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
+    ref_seg, ref_dist, ref_found = edit.pick(cloud, origin, direction, 1.5)
+
+    fn = sharding.sharded_pick(mesh)
+    seg_sh = jax.device_put(
+        jnp.asarray(seg_p),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    got_seg, got_dist, got_found = fn(
+        pos_s, seg_sh, valid_s, origin, direction, jnp.float32(1.5))
+    assert bool(got_found) == bool(ref_found)
+    assert int(got_seg) == int(ref_seg)
+    np.testing.assert_allclose(float(got_dist), float(ref_dist), rtol=1e-6)
+
+
+def test_sharded_pick_miss():
+    pos, valid, _ = _morton_spanning_cloud(seed=17)
+    mesh = sharding.make_mesh()
+    pos_s, valid_s, order = sharding.shard_points_morton(
+        mesh, jnp.asarray(pos), jnp.asarray(valid))
+    seg_sh = jax.device_put(
+        jnp.ones(len(pos), jnp.int32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    fn = sharding.sharded_pick(mesh)
+    got_seg, _, got_found = fn(
+        pos_s, seg_sh, valid_s,
+        jnp.asarray([500.0, 500.0, 500.0], jnp.float32),
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32), jnp.float32(0.5))
+    assert not bool(got_found) and int(got_seg) == -1

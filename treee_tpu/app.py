@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
 import sys
 
@@ -498,17 +499,29 @@ def main(argv=None) -> int:
               f"stem volume {stand['total_stem_volume']['delta']:+.1f} m3")
         if args.export_changes:
             if args.export_changes.lower().endswith(".json"):
+                def scalar(v):
+                    # strict-JSON safe: degenerate trees (e.g. DBH on a
+                    # sparse trunk) can carry NaN/inf traits, which
+                    # json.dump would emit as non-strict NaN tokens
+                    v = v.item() if hasattr(v, "item") else v
+                    if isinstance(v, float) and not math.isfinite(v):
+                        return None
+                    return v
+
                 def rows(tab):
                     cols = list(tab)
-                    return [{c: (tab[c][i].item()
-                                 if hasattr(tab[c][i], "item")
-                                 else tab[c][i]) for c in cols}
+                    return [{c: scalar(tab[c][i]) for c in cols}
                             for i in range(len(tab[cols[0]]) if cols else 0)]
+                def clean(v):
+                    if isinstance(v, dict):
+                        return {k: clean(x) for k, x in v.items()}
+                    return scalar(v)
+
                 with open(args.export_changes, "w") as fh:
                     json.dump({"matched": rows(ch["matched"]),
                                "lost": rows(ch["lost"]),
                                "new": rows(ch["new"]),
-                               "stand": stand}, fh, indent=2)
+                               "stand": clean(stand)}, fh, indent=2)
             else:
                 with open(args.export_changes, "w") as fh:
                     exports_mod.save_inventory_csv(fh, ch["matched"])

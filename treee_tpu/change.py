@@ -34,7 +34,7 @@ DELTA_TRAITS = (
     "n_points",
 )
 
-NODATA = -9999.0
+from .rasters import NODATA  # single source of truth for raster holes
 
 
 def _positions(inv: dict) -> np.ndarray:
@@ -188,7 +188,13 @@ def chm_change(session_a, session_b, cell: float = 0.5, cap: int = 4096):
             lo, hi, cell, cap=cap,
         )
         # identical box + cell + cap on both passes => identical dims/cell
-        assert shape is None or shape == (rows, cols, out_cell)
+        # (hard error, not assert: -O must not turn a future divergence
+        # into a silently misaligned subtraction)
+        if shape is not None and shape != (rows, cols, out_cell):
+            raise RuntimeError(
+                f"chm_change: raster dims diverged between epochs: "
+                f"{shape} vs {(rows, cols, out_cell)}"
+            )
         shape = (rows, cols, out_cell)
         grids.append(g["chm"])
     rows, cols, out_cell = shape

@@ -288,6 +288,246 @@ def sharded_rasters(mesh: Mesh, pos_s, classification_s, live_s, lo, hi,
     )
 
 
+# --- sharded interactive path: octree masks + pick (VERDICT r2 task 2) ----
+#
+# Requires MORTON-RANGE sharding (shard_points_morton): each shard holds a
+# contiguous ascending run of Morton keys, so the concatenation of the
+# shard-local stable sorts equals the global stable sort restricted to real
+# keys (each local sort pushes its own INVALID padding to the shard's end;
+# the single-device build pushes all padding to the global end — the mask
+# math below counts only real/live slots, so the padding interleave is
+# unobservable).  Cross-shard node runs are handled with scalar carries:
+# every scan used by the masks is a running max/min/sum of values that are
+# MONOTONE in slot order, so a shard's carry folds in with one elementwise
+# max/min against the prefix — the same shifted-doubling trick as
+# ops/octree._cummax, lifted one level to the mesh.  Each carry is one
+# all_gather of a per-shard scalar over ICI.
+
+
+def _prev_max(x, axis: str, sentinel):
+    """max of scalar ``x`` over shards with LOWER mesh index (else sentinel)."""
+    g = jax.lax.all_gather(x, axis)
+    i = jax.lax.axis_index(axis)
+    return jnp.max(jnp.where(jnp.arange(g.shape[0]) < i, g, sentinel))
+
+
+def _prev_sum(x, axis: str):
+    g = jax.lax.all_gather(x, axis)
+    i = jax.lax.axis_index(axis)
+    return jnp.sum(jnp.where(jnp.arange(g.shape[0]) < i, g, 0))
+
+
+def _next_min(x, axis: str, sentinel):
+    g = jax.lax.all_gather(x, axis)
+    i = jax.lax.axis_index(axis)
+    return jnp.min(jnp.where(jnp.arange(g.shape[0]) > i, g, sentinel))
+
+
+def _local_octree(pos, valid, axis: str):
+    """Shard-local linear octree with GLOBAL quantization bounds.
+
+    Mirrors ops/octree.build except the bounding cube reduces over the mesh
+    (pmin/pmax), so every shard's Morton keys live on the same grid."""
+    from ..ops import morton, octree
+
+    n = pos.shape[0]
+    big = jnp.float32(3.0e38)
+    lo_l = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    hi_l = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    lo = jax.lax.pmin(lo_l, axis)
+    hi = jax.lax.pmax(hi_l, axis)
+    any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
+    lo = jnp.where(any_v, lo, 0.0)
+    hi = jnp.where(any_v, hi, 1.0)
+    keys = morton.encode_positions(pos, lo, hi)
+    keys = jnp.where(valid, keys, octree.INVALID_KEY)
+    keys_sorted, order = morton.sort_by_key(
+        keys, jnp.arange(n, dtype=jnp.int32))
+    zero = jnp.zeros(n, jnp.int32)
+    return octree.Octree(keys=keys_sorted, order=order, rank=zero, inv=zero,
+                         lo=lo, hi=hi)
+
+
+def sharded_lod_mask(mesh: Mesh, level: int, points_per_node: int = 1,
+                     axis: str = "data", use_frustum: bool = False):
+    """Sharded ops/octree.lod_mask: (pos, valid, live, planes) -> keep mask.
+
+    Bit-exact with the single-device ``lod_mask(build(pos, valid), level,
+    points_per_node, live, frustum)`` on the same (Morton-preordered) rows;
+    the keep mask comes back in sharded row order.  ``planes`` f32[6,4] is
+    ignored unless ``use_frustum``.
+    """
+    from ..ops import morton, octree
+
+    shift = 3 * (morton.MORTON_BITS - level)
+    IBIG = jnp.int32(0x7FFFFFFF)
+
+    def local(pos, valid, live, planes):
+        tree = _local_octree(pos, valid, axis)
+        n = pos.shape[0]
+        keys_sorted, order = tree.keys, tree.order
+        real = keys_sorted != octree.INVALID_KEY
+        coarse = keys_sorted >> shift
+        live_sorted = live[order] & real
+        if use_frustum:
+            lo_c, hi_c = octree._cell_bounds(tree, coarse, level)
+            live_sorted &= octree.aabb_in_frustum(lo_c, hi_c, planes)
+
+        # cross-shard carries (all monotone in global slot order)
+        last_real_key = jnp.max(jnp.where(real, keys_sorted, -1))
+        prev_real_coarse = _prev_max(last_real_key, axis, jnp.int32(-1)) >> shift
+        first_real_key = jnp.min(jnp.where(real, keys_sorted, IBIG))
+        next_real_coarse = _next_min(first_real_key, axis, IBIG) >> shift
+
+        # global live cumsum: local + sum of earlier shards
+        cum_local = jnp.cumsum(live_sorted.astype(jnp.int32))
+        cum = cum_local + _prev_sum(cum_local[-1], axis)
+
+        # node starts among REAL slots only (padding must not poison the
+        # forward carry; single-device padding sits at the global end)
+        new_node = real & jnp.concatenate([
+            (coarse[:1] != prev_real_coarse),
+            coarse[1:] != coarse[:-1],
+        ])
+        start_vals = jnp.where(new_node, cum - live_sorted, 0)
+        start_local = octree._cummax(start_vals)
+        start_excl = jnp.maximum(
+            start_local, _prev_max(start_local[-1], axis, jnp.int32(0)))
+
+        # node ends among REAL slots: the shard's last real slot compares
+        # against the NEXT shard's first real coarse (its local neighbor is
+        # padding, which would falsely end a node that spans shards)
+        n_real = jnp.sum(real.astype(jnp.int32))
+        next_c = jnp.concatenate([coarse[1:], jnp.full((1,), IBIG)])
+        next_c = jnp.where(
+            jnp.arange(n) == n_real - 1, next_real_coarse, next_c)
+        is_end = real & (next_c != coarse)
+        end_local = octree._revcummin(jnp.where(is_end, cum, IBIG))
+        end_incl = jnp.minimum(end_local, _next_min(end_local[0], axis, IBIG))
+
+        rank = cum - 1 - start_excl
+        count = end_incl - start_excl
+        stride = jnp.maximum(
+            (count + points_per_node - 1) // points_per_node, 1)
+        keep_sorted = live_sorted & (rank % stride == 0)
+        return jnp.zeros(n, bool).at[order].set(keep_sorted)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)
+
+
+def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
+                          level_min: int = 4, level_max: int = 10,
+                          axis: str = "data", use_frustum: bool = False):
+    """Sharded ops/octree.adaptive_mask: (pos, valid, live, cam_pos, planes)
+    -> keep mask, bit-exact with the single-device screen-error cut on the
+    same Morton-preordered rows.
+
+    The only scan is the previous-live-key running max; its carry is the
+    last live key of the earlier shards (keys ascend across Morton-range
+    shards).  Everything else is elementwise per slot.
+    """
+    from ..ops import morton, octree
+
+    def local(pos, valid, live, cam_pos, planes):
+        tree = _local_octree(pos, valid, axis)
+        n = pos.shape[0]
+        keys_sorted, order = tree.keys, tree.order
+        live_sorted = live[order] & (keys_sorted != octree.INVALID_KEY)
+
+        last_live_key = jnp.max(jnp.where(live_sorted, keys_sorted, -1))
+        carry = _prev_max(last_live_key, axis, jnp.int32(-1))
+        run_key = jnp.maximum(
+            octree._cummax(jnp.where(live_sorted, keys_sorted, -1)), carry)
+        prev_key = jnp.concatenate([carry[None], run_key[:-1]])
+
+        ps = jnp.asarray(px_scale, jnp.float32)
+        keep_sorted = jnp.zeros(n, bool)
+        for lvl in range(level_min, level_max + 1):
+            shift = 3 * (morton.MORTON_BITS - lvl)
+            coarse = keys_sorted >> shift
+            lo_c, hi_c = octree._cell_bounds(tree, coarse, lvl)
+            center = 0.5 * (lo_c + hi_c)
+            dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
+            extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+            cell = extent / jnp.float32(1 << lvl)
+            proj = cell * ps / jnp.maximum(dist, 1e-3)
+            if lvl == level_min:
+                ring = proj <= tau_px
+            else:
+                ring = (proj <= tau_px) & (2.0 * proj > tau_px)
+            if lvl == level_max:
+                ring = ring | (proj > tau_px)
+                sel = live_sorted & ring
+                near_all = proj > tau_px
+            else:
+                sel = live_sorted & ring
+                near_all = jnp.zeros(n, bool)
+            if use_frustum:
+                sel &= octree.aabb_in_frustum(lo_c, hi_c, planes)
+            first_live = live_sorted & ((prev_key >> shift) < coarse)
+            keep_sorted |= sel & (near_all | first_live)
+        return jnp.zeros(n, bool).at[order].set(keep_sorted)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)
+
+
+def sharded_pick(mesh: Mesh, axis: str = "data",
+                 include_deleted: bool = False):
+    """Sharded interactive.pick: local ray test + two pmin composites.
+
+    (pos, segment, valid, origin, direction, point_scale) ->
+    (segment id, along-ray distance, hit?) replicated — identical winner to
+    the single-device pick (ties break to the lowest global row, matching
+    argmin's first-match rule).
+    """
+    from ..cloud import DELETED_SEGMENT
+    from ..interactive import INF
+
+    IBIG = jnp.int32(0x7FFFFFFF)
+
+    def local(pos, segment, valid, origin, direction, point_scale):
+        n = pos.shape[0]
+        eligible = valid
+        if not include_deleted:
+            eligible &= segment != DELETED_SEGMENT
+        diff = pos - origin
+        along = jnp.dot(diff, direction,
+                        precision=jax.lax.Precision.HIGHEST)
+        perp2 = jnp.sum(diff * diff, axis=-1) - along * along
+        ok = eligible & (along >= 0.0) & (perp2 <= point_scale * point_scale)
+        dist = jnp.where(ok, along, INF)
+        best = jnp.argmin(dist)
+        best_dist = dist[best]
+        gmin = jax.lax.pmin(best_dist, axis)
+        my_row = jax.lax.axis_index(axis) * n + best
+        gidx = jax.lax.pmin(
+            jnp.where(best_dist == gmin, my_row.astype(jnp.int32), IBIG),
+            axis)
+        seg_best = jax.lax.pmin(
+            jnp.where(my_row.astype(jnp.int32) == gidx, segment[best], IBIG),
+            axis)
+        found = gmin < INF
+        seg = jnp.where(found, seg_best, -1)
+        return seg, gmin, found
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=8)
 def _sharded_height_fn(mesh: Mesh, shape, live_dims, axis: str):
     """Jitted pmin/pmax height-grid compositor, cached per (mesh, grid) so

@@ -1018,9 +1018,22 @@ class Session:
         reloadable/mergeable like any checkpoint."""
         valid = np.asarray(self.cloud.valid)
         attrs = {k: v[valid] for k, v in self.attributes.items()}
+        info = None
+        if self.table is not None and str(path).lower().endswith(".ipc"):
+            # fill the reference's SegmentInformation from our table so
+            # upstream treee's focused-view sliders open pre-populated
+            t = self.table
+            cols = [np.asarray(c) for c in
+                    (t.trunk_height, t.crown_height, t.ground_sep,
+                     t.crown_sep)]
+            present = np.asarray(t.present)
+            info = {
+                int(s): tuple(float(c[s]) for c in cols)
+                for s in np.nonzero(present)[0]
+            }
         if segment_id is None:
             ipc.save(path, self.cloud, self.world_offset,
-                     self.source_location, attributes=attrs)
+                     self.source_location, attributes=attrs, info=info)
             return
         data = self.cloud.to_numpy()  # valid rows only
         keep = data["segment"] == segment_id
@@ -1030,7 +1043,8 @@ class Session:
             classification=data["classification"][keep],
         )
         ipc.save(path, sub, self.world_offset, self.source_location,
-                 attributes={k: v[keep] for k, v in attrs.items()})
+                 attributes={k: v[keep] for k, v in attrs.items()},
+                 info=info)
 
     @classmethod
     def open(cls, path, config: Config = DEFAULT_CONFIG) -> "Session":
