@@ -265,11 +265,29 @@ def main() -> None:
     # pixels identical to the full render as the quality evidence.
     f_proj = cam0.projection_matrix(cfg.render.width / cfg.render.height)[1, 1]
     px_scale = float(f_proj) * (cfg.render.height / 2.0)
+    # AUTO-TAU: solve the screen-error cut from a row budget (n/2) over the
+    # candidate ladder in ONE dispatch (octree.adaptive_counts) instead of
+    # hand-picking tau per scale; the chosen tau is recorded below.  At 15M
+    # this picks the same tau=2 as round 2's hand pick (7.1M rows <= 7.5M).
+    from treee_tpu.pipeline import Session as _S
+
+    tau_budget = n // 2
+    counts_ladder = np.asarray(sync(jax.jit(
+        lambda pos, valid: octree.adaptive_counts(
+            octree.build(pos, valid), cam0.position, px_scale, _S.TAU_LADDER,
+            live=valid,
+        )
+    )(pos, valid)))
+    fits = np.nonzero(counts_ladder <= tau_budget)[0]
+    tau = _S.TAU_LADDER[int(fits[0])] if len(fits) else _S.TAU_LADDER[-1]
+    touch()
+    print(f"# bench: auto tau = {tau} px (budget {tau_budget:,} rows)",
+          file=sys.stderr, flush=True)
     count_a, idx_a_big = sync(jax.jit(
         lambda pos, valid: octree.compact_indices(
             octree.adaptive_mask(
                 octree.build(pos, valid), cam0.position, px_scale,
-                tau_px=2.0,
+                tau_px=tau,
             ) & valid,
             pos.shape[0],
         )
@@ -305,6 +323,7 @@ def main() -> None:
         adaptive_fps=round(1000.0 / ad_ms, 1),
         adaptive_points=ad_n,
         adaptive_pixel_match=round(match, 4),
+        adaptive_tau=tau,
     )
     print(f"# bench: adaptive frame {ad_ms:.1f} ms, {match:.1%} pixels == full",
           file=sys.stderr, flush=True)

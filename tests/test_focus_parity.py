@@ -222,3 +222,86 @@ def test_full_table_recomputes_xz_bounds():
     assert checked > 0
     # a second call is cached (no recompute path flips the flag back)
     assert s.full_table() is t
+
+
+def test_adaptive_counts_match_mask_sums(session):
+    """adaptive_counts' ladder counts are EXACTLY adaptive_mask(tau).sum()
+    per tau — the two implementations share the ring/first-live semantics
+    (solve_adaptive_tau bisects this curve)."""
+    from treee_tpu.ops import octree
+
+    s = session
+    cam = Camera.orbital(distance=60.0)
+    rcfg = s.config.render
+    live = np.asarray(s.cloud.valid) & (np.asarray(s.cloud.segment) != 0)
+    live = jnp.asarray(live)
+    tree = octree.build(s.cloud.pos, s.cloud.valid)
+    planes = cam.frustum_planes(rcfg.width / rcfg.height)
+    px_scale = float(cam.projection_matrix(
+        rcfg.width / rcfg.height)[1, 1]) * (rcfg.height / 2.0)
+    taus = (0.75, 1.5, 3.0, 6.0)
+    counts = np.asarray(octree.adaptive_counts(
+        tree, cam.position, px_scale, taus, live=live, frustum=planes))
+    for k, tau in enumerate(taus):
+        ref = int(np.asarray(octree.adaptive_mask(
+            tree, cam.position, px_scale, tau_px=tau, live=live,
+            frustum=planes)).sum())
+        assert counts[k] == ref, (tau, counts[k], ref)
+    # monotone non-increasing in tau
+    assert all(counts[i] >= counts[i + 1] for i in range(len(taus) - 1))
+
+
+def test_solve_adaptive_tau_budget(session):
+    from treee_tpu.ops import octree
+
+    s = session
+    cam = Camera.orbital(distance=60.0)
+    rcfg = s.config.render
+    live = s.cloud.valid & (s.cloud.segment != 0)
+    tree = octree.build(s.cloud.pos, s.cloud.valid)
+    planes = cam.frustum_planes(rcfg.width / rcfg.height)
+    px_scale = float(cam.projection_matrix(
+        rcfg.width / rcfg.height)[1, 1]) * (rcfg.height / 2.0)
+    counts = np.asarray(octree.adaptive_counts(
+        tree, cam.position, px_scale, Session.TAU_LADDER,
+        live=live, frustum=planes))
+    # a budget between two ladder counts picks the smallest tau that fits
+    mid = len(counts) // 2
+    budget = int(counts[mid])
+    tau = s.solve_adaptive_tau(budget_rows=budget, camera=cam)
+    want = Session.TAU_LADDER[int(np.nonzero(counts <= budget)[0][0])]
+    assert tau == want
+    # huge budget -> finest tau; zero budget -> coarsest fallback
+    assert s.solve_adaptive_tau(budget_rows=10**9, camera=cam) == \
+        Session.TAU_LADDER[0]
+    assert s.solve_adaptive_tau(budget_rows=0, camera=cam) == \
+        Session.TAU_LADDER[-1]
+
+
+def test_solve_adaptive_tau_match_floor(session):
+    s = session
+    cam = Camera.orbital(distance=60.0)
+    tau = s.solve_adaptive_tau(match_floor=0.95, camera=cam)
+    assert tau in Session.TAU_LADDER
+    # verify the promise by rendering at the chosen tau
+    full = s.render(camera=cam, use_lod=False)
+    s.build_lod(camera=cam, adaptive_tau_px=tau)
+    img = s.render(camera=cam, use_lod=True)
+    match = float((img == full).all(axis=-1).mean())
+    assert match >= 0.95
+    s._lod = None
+
+
+def test_repl_adaptive_auto(session):
+    import io as _io
+
+    from treee_tpu.repl import Repl
+
+    out = _io.StringIO()
+    r = Repl(session, out=out)
+    r.handle("lod adaptive auto rows 100000")
+    assert "auto tau" in out.getvalue()
+    assert r.use_lod and r._adaptive_tau in Session.TAU_LADDER
+    r.handle("lod adaptive auto bogus 1")
+    assert "error:" in out.getvalue()
+    session._lod = None

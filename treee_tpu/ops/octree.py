@@ -18,6 +18,8 @@ Everything is fixed-shape and jit-compatible.
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -306,6 +308,71 @@ def adaptive_mask(
 
     keep = jnp.zeros(n, bool).at[tree.order].set(keep_sorted)
     return keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taus", "level_min", "level_max"))
+def adaptive_counts(
+    tree: Octree,
+    cam_pos: jax.Array,
+    px_scale: jax.Array | float,
+    taus: tuple[float, ...],
+    level_min: int = 4,
+    level_max: int = 10,
+    live: jax.Array | None = None,
+    frustum: jax.Array | None = None,
+) -> jax.Array:
+    """Keep-counts of :func:`adaptive_mask` for a LADDER of taus in ONE pass.
+
+    The expensive per-level work (cell decode, camera distance, the shared
+    previous-live-key scan) is tau-independent; each candidate tau adds only
+    elementwise ring compares, so solving "which tau fits my row budget"
+    costs one dispatch instead of len(taus) mask builds.  Counts are exactly
+    ``adaptive_mask(..., tau).sum()`` per tau (pinned by test) — the
+    monotone-decreasing count curve is what Session.solve_adaptive_tau
+    bisects.  Returns i32[len(taus)].
+    """
+    n = tree.capacity
+    live_sorted = (
+        tree.keys != INVALID_KEY
+        if live is None
+        else live[tree.order] & (tree.keys != INVALID_KEY)
+    )
+    px_scale = jnp.asarray(px_scale, jnp.float32)
+    run_key = _cummax(jnp.where(live_sorted, tree.keys, -1))
+    prev_key = jnp.concatenate(
+        [jnp.full((1,), -1, run_key.dtype), run_key[:-1]]
+    )
+    keeps = [jnp.zeros(n, bool) for _ in taus]
+    for lvl in range(level_min, level_max + 1):
+        shift = 3 * (morton.MORTON_BITS - lvl)
+        coarse = tree.keys >> shift
+        lo_c, hi_c = _cell_bounds(tree, coarse, lvl)
+        center = 0.5 * (lo_c + hi_c)
+        dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
+        extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+        cell = extent / jnp.float32(1 << lvl)
+        proj = cell * px_scale / jnp.maximum(dist, 1e-3)
+        in_frustum = (
+            aabb_in_frustum(lo_c, hi_c, frustum)
+            if frustum is not None else None
+        )
+        first_live = live_sorted & ((prev_key >> shift) < coarse)
+        for k, tau in enumerate(taus):
+            if lvl == level_min:
+                ring = proj <= tau
+            else:
+                ring = (proj <= tau) & (2.0 * proj > tau)
+            if lvl == level_max:
+                ring = ring | (proj > tau)
+                near_all = proj > tau
+            else:
+                near_all = jnp.zeros(n, bool)
+            sel = live_sorted & ring
+            if in_frustum is not None:
+                sel &= in_frustum
+            keeps[k] |= sel & (near_all | first_live)
+    return jnp.stack([jnp.sum(k.astype(jnp.int32)) for k in keeps])
 
 
 class NodeTable(flax.struct.PyTreeNode):

@@ -63,6 +63,8 @@ commands (reference widget/mouse equivalents in parens):
                           (adaptive = screen-error cut at <= taupx pixels:
                           near field full detail, far field coarse — full-
                           scene frames at a fraction of the z-scatter cost)
+  lod adaptive auto rows N|match F      solve tau from a row budget (one
+                          ladder dispatch) or a measured pixel-match floor
   showdeleted on|off      include deleted points in renders (mod.rs:36)
   undelete PX PY          restore deleted points in the brush (draw with
                           show-deleted, mod.rs:845-870)
@@ -289,7 +291,22 @@ class Repl:
                 # far field coarse representatives; optional tau pixels arg.
                 # bench measures it against the full render per-pixel
                 # (screen_adaptive_pixel_match)
-                tau = float(args[1]) if len(args) > 1 else 1.0
+                if len(args) > 1 and args[1] == "auto":
+                    # auto-tau: solve from a row budget or a pixel-match
+                    # floor (Session.solve_adaptive_tau) so the cut degrades
+                    # predictably at any scan scale
+                    if len(args) < 4 or args[2] not in ("rows", "match"):
+                        raise ValueError(
+                            "lod adaptive auto rows N | match FRACTION")
+                    if args[2] == "rows":
+                        tau = self.s.solve_adaptive_tau(
+                            budget_rows=int(args[3]))
+                    else:
+                        tau = self.s.solve_adaptive_tau(
+                            match_floor=float(args[3]))
+                    self._print(f"auto tau = {tau} px")
+                else:
+                    tau = float(args[1]) if len(args) > 1 else 1.0
                 self.s.build_lod(camera=self.s.camera, adaptive_tau_px=tau)
                 self.use_lod = True
                 self._adaptive_tau = tau
