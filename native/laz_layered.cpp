@@ -57,6 +57,12 @@ static inline u32 level8(u32 n, u32 r) {
 }
 
 // LAS 1.4 point format 6 record (30 bytes on disk).
+struct Point14;
+static inline u32 p14_lpr(const struct Point14& pl, bool gps_time_change);
+static inline u32 p14_changed_bits(const struct Point14& lastt,
+                                   const struct Point14& cur,
+                                   bool channel_change, bool gps_change);
+
 #pragma pack(push, 1)
 struct Point14 {
   i32 x, y, z;
@@ -71,6 +77,35 @@ struct Point14 {
 };
 #pragma pack(pop)
 static_assert(sizeof(Point14) == 30, "LAS point format 6 is 30 bytes");
+
+// lpr ("last point return") model selector: single/first/last flags of the
+// PREVIOUS point + its gps-change flag.  Shared by write()/read() and the
+// treee_laz_test_p14_* hooks (tests/test_laz_bits.py pins it by hand).
+static inline u32 p14_lpr(const Point14& pl, bool gps_time_change) {
+  const u32 last_r = pl.returns & 15, last_n = pl.returns >> 4;
+  return (last_r == 1 ? 1u : 0u) + (last_r >= last_n ? 2u : 0u) +
+         (gps_time_change ? 4u : 0u);
+}
+
+// changed_values symbol: channel(64) | point source(32) | gps(16) |
+// scan angle(8) | number-of-returns(4) | return-number code(0-3:
+// same/+1/-1/other, mod-16).  One shared definition so an encoder-side
+// drift cannot hide behind roundtrip symmetry.
+static inline u32 p14_changed_bits(const Point14& lastt, const Point14& cur,
+                                   bool channel_change, bool gps_change) {
+  const u32 last_r = lastt.returns & 15, last_n = lastt.returns >> 4;
+  const u32 r = cur.returns & 15, n = cur.returns >> 4;
+  u32 rn_code;
+  if (r == last_r) rn_code = 0;
+  else if (r == ((last_r + 1) & 15)) rn_code = 1;
+  else if (r == ((last_r + 15) & 15)) rn_code = 2;
+  else rn_code = 3;
+  return (channel_change ? 64u : 0u) |
+         (cur.point_source_id != lastt.point_source_id ? 32u : 0u) |
+         (gps_change ? 16u : 0u) |
+         (cur.scan_angle != lastt.scan_angle ? 8u : 0u) |
+         (n != last_n ? 4u : 0u) | rn_code;
+}
 
 // POINT14 layer indices (one independent arithmetic stream each).
 enum P14Layer {
@@ -375,9 +410,7 @@ struct Point14Codec {
     // lpr context: single/first/last of the LAST point + its gps change flag
     {
       const Point14& pl = ctx[current].last;
-      const u32 last_r = pl.returns & 15, last_n = pl.returns >> 4;
-      const u32 lpr = (last_r == 1 ? 1u : 0u) + (last_r >= last_n ? 2u : 0u) +
-                      (ctx[current].gps_time_change ? 4u : 0u);
+      const u32 lpr = p14_lpr(pl, ctx[current].gps_time_change);
       const u32 changed =
           dec[L_XY].decode_symbol(ctx[current].m_changed_values[lpr]);
       if (changed & 64) {  // scanner channel changed (old context's model)
@@ -491,10 +524,7 @@ struct Point14Codec {
     const u32 old = current;
     P14Context& co = ctx[old];
     const Point14& pl = co.last;
-    const u32 last_r_old = pl.returns & 15, last_n_old = pl.returns >> 4;
-    const u32 lpr = (last_r_old == 1 ? 1u : 0u) +
-                    (last_r_old >= last_n_old ? 2u : 0u) +
-                    (co.gps_time_change ? 4u : 0u);
+    const u32 lpr = p14_lpr(pl, co.gps_time_change);
 
     const bool channel_change = sc != current;
     if (channel_change && ctx[sc].unused)
@@ -508,18 +538,9 @@ struct Point14Codec {
     std::memcpy(&cur_gps, &cur.gps_time_bits, 8);
     const bool gps_change = cur_gps != c.last_gpstime[c.gps_last];
 
-    u32 rn_code;
-    if (r == last_r) rn_code = 0;
-    else if (r == ((last_r + 1) & 15)) rn_code = 1;
-    else if (r == ((last_r + 15) & 15)) rn_code = 2;
-    else rn_code = 3;
-
     const u32 changed =
-        (channel_change ? 64u : 0u) |
-        (cur.point_source_id != lastt.point_source_id ? 32u : 0u) |
-        (gps_change ? 16u : 0u) |
-        (cur.scan_angle != lastt.scan_angle ? 8u : 0u) |
-        (n != last_n ? 4u : 0u) | rn_code;
+        p14_changed_bits(lastt, cur, channel_change, gps_change);
+    const u32 rn_code = changed & 3;
     enc[L_XY].encode_symbol(co.m_changed_values[lpr], changed);
     if (channel_change) {
       enc[L_XY].encode_symbol(co.m_scanner_channel, (sc - current - 1) & 3);
@@ -1179,6 +1200,35 @@ int treee_laz_compress_layered(
   if (size_sum != point_length) return 2;  // reads would walk OOB likewise
   return compress_stream(records, n_points, point_length, items, chunk_size,
                          base_offset, out_buf, out_cap, out_len);
+}
+
+// --- table-driven test hooks (tests/test_laz_bits.py) ----------------------
+
+// Fill the full 16x16 (number_of_returns, return_number) -> context / level
+// tables at [n * 16 + r] so the Python test pins them by hand.
+void treee_laz_test_p14_tables(laszip::u32* m6_out, laszip::u32* l8_out) {
+  for (laszip::u32 n = 0; n < 16; ++n)
+    for (laszip::u32 r = 0; r < 16; ++r) {
+      m6_out[n * 16 + r] = laszip::layered::map6(n, r);
+      l8_out[n * 16 + r] = laszip::layered::level8(n, r);
+    }
+}
+
+// changed_values symbol + lpr model selector for a (last, cur) raw point
+// pair — the SAME functions write()/read() use, so a drift in the bit
+// assignments cannot hide behind encoder/decoder roundtrip symmetry.
+// Returns changed | (lpr << 8).
+laszip::u32 treee_laz_test_p14_changed(const laszip::u8* last30,
+                                       const laszip::u8* cur30,
+                                       laszip::u32 channel_change,
+                                       laszip::u32 gps_change,
+                                       laszip::u32 last_gps_time_change) {
+  laszip::layered::Point14 a, b;
+  std::memcpy(&a, last30, sizeof(a));
+  std::memcpy(&b, cur30, sizeof(b));
+  return laszip::layered::p14_changed_bits(a, b, channel_change != 0,
+                                           gps_change != 0) |
+         (laszip::layered::p14_lpr(a, last_gps_time_change != 0) << 8);
 }
 
 }  // extern "C"

@@ -265,3 +265,141 @@ def test_golden_stream_hashes():
                                      point_format=fmt)
         assert len(stream) == size, (fmt, len(stream))
         assert hashlib.sha256(stream).hexdigest()[:16] == digest, fmt
+
+
+# --- POINT14 (layered v3) pins: VERDICT r2 task 7 -------------------------
+
+
+def _p14(x=0, y=0, z=0, intensity=0, ret=1, n=1, channel=0, cls=0,
+         user=0, angle=0, source=0, gps=0.0):
+    import struct as _s
+
+    returns = (ret & 15) | ((n & 15) << 4)
+    flags = (channel & 3) << 4
+    return _s.pack("<iiiHBBBBhHd", x, y, z, intensity, returns, flags,
+                   cls, user, angle, source, gps)
+
+
+def test_point14_context_level_tables():
+    """The 16x16 (number_of_returns, return_number) -> 6-context / 8-level
+    tables, pinned against HAND-WRITTEN rows (not the formula): these are
+    the derived tables laz_layered.cpp:20-29 names as the top ground-truth
+    risk — any future 'fix' that silently reshapes them must fail here."""
+    m6 = np.zeros(256, np.uint32)
+    l8 = np.zeros(256, np.uint32)
+    lib.treee_laz_test_p14_tables(
+        m6.ctypes.data_as(ctypes.c_void_p),
+        l8.ctypes.data_as(ctypes.c_void_p))
+    m6 = m6.reshape(16, 16)
+    l8 = l8.reshape(16, 16)
+
+    # hand rows (r across 0..7): single(0) first(1) last(2) second(3)
+    # second-to-last(4) intermediate(5)
+    assert m6[0, :3].tolist() == [0, 0, 5]          # n=0: r<=1 single
+    assert m6[1, :4].tolist() == [0, 0, 5, 5]       # n=1: r<=1 single
+    # r >= n maps to "last" (covers malformed r > n consistently)
+    assert m6[2, :5].tolist() == [5, 1, 2, 2, 2]    # n=2: first, last
+    assert m6[3, :6].tolist() == [5, 1, 3, 2, 2, 2]  # n=3: first,second,last
+    assert m6[4, :7].tolist() == [5, 1, 3, 4, 2, 2, 2]
+    assert m6[5, :8].tolist() == [5, 1, 3, 5, 4, 2, 2, 2]
+    assert m6[6, :8].tolist() == [5, 1, 3, 5, 5, 4, 2, 2]
+    # r beyond n is "last" exactly at r>=n (n>=2), incl. the 4-bit tail
+    assert m6[2, 5] == 2 and m6[7, 15] == 2 and m6[15, 15] == 2
+
+    # level = clamp(|n-r|, 0, 7) — hand rows
+    assert l8[0, :8].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert l8[5, :8].tolist() == [5, 4, 3, 2, 1, 0, 1, 2]
+    assert l8[15, 15] == 0 and l8[15, 0] == 7 and l8[8, 0] == 7
+
+
+def test_point14_changed_values_bits():
+    """changed_values bit assignments: channel 64 / point source 32 / gps 16
+    / scan angle 8 / n-returns 4 / return-number code 0-3 (same, +1 mod 16,
+    -1 mod 16, other) — via the SAME p14_changed_bits the codec calls."""
+    def changed(last, cur, channel=0, gps=0, last_gps=0):
+        out = lib.treee_laz_test_p14_changed(
+            last, cur, channel, gps, last_gps)
+        return out & 0xFF, (out >> 8) & 0xFF
+
+    base = _p14(ret=2, n=3, angle=5, source=7)
+    assert changed(base, _p14(ret=2, n=3, angle=5, source=7)) == (0, 0)
+    # rn codes: same / +1 / -1 (mod 16) / other
+    assert changed(base, _p14(ret=3, n=3, angle=5, source=7))[0] == 1
+    assert changed(base, _p14(ret=1, n=3, angle=5, source=7))[0] == 2
+    assert changed(base, _p14(ret=5, n=3, angle=5, source=7))[0] == 3
+    wrap = _p14(ret=15, n=3, angle=5, source=7)
+    assert changed(wrap, _p14(ret=0, n=3, angle=5, source=7))[0] == 1
+    assert changed(_p14(ret=0, n=3, angle=5, source=7), wrap)[0] == 2
+    # single-field bits
+    assert changed(base, _p14(ret=2, n=4, angle=5, source=7))[0] == 4
+    assert changed(base, _p14(ret=2, n=3, angle=6, source=7))[0] == 8
+    assert changed(base, _p14(ret=2, n=3, angle=5, source=8))[0] == 32
+    assert changed(base, base, gps=1)[0] == 16
+    assert changed(base, base, channel=1)[0] == 64
+    # all at once
+    assert changed(base, _p14(ret=3, n=4, angle=6, source=8),
+                   channel=1, gps=1)[0] == 64 + 32 + 16 + 8 + 4 + 1
+
+    # lpr selector: (last r == 1) + 2*(last r >= last n) + 4*gps_change
+    assert changed(_p14(ret=1, n=1), base)[1] == 3
+    assert changed(_p14(ret=1, n=3), base)[1] == 1
+    assert changed(_p14(ret=3, n=3), base)[1] == 2
+    assert changed(_p14(ret=2, n=3), base)[1] == 0
+    assert changed(_p14(ret=2, n=3), base, last_gps=1)[1] == 4
+    assert changed(_p14(ret=1, n=1), base, last_gps=1)[1] == 7
+
+
+def test_point14_chunk_framing():
+    """Layered chunk-internal layout, pinned against the documented scheme:
+    [raw first point (30 B)] [u32 point count] [u32 size x 9 POINT14 layers]
+    [layer blobs...], chunk0 at byte 8 after the i64 chunk-table offset."""
+    import struct as _s
+
+    from treee_tpu.io import laz_native
+
+    pts = b"".join(
+        _p14(x=i * 10, y=i * 3, z=i, intensity=i % 5, gps=float(i))
+        for i in range(7)
+    )
+    records = np.frombuffer(pts, np.uint8)
+    blob = laz_native.compress(records, 30, base_offset=0, chunk_size=50,
+                               point_format=6)
+    (table_off,) = _s.unpack_from("<q", blob, 0)
+    # chunk 0 begins after the 8-byte table offset with the RAW first point
+    assert blob[8:38] == pts[:30]
+    (count,) = _s.unpack_from("<I", blob, 38)
+    assert count == 7
+    sizes = _s.unpack_from("<9I", blob, 42)
+    # layer blobs fill the chunk exactly up to the table
+    assert 8 + 30 + 4 + 36 + sum(sizes) == table_off
+    # XY layer carries the coordinate entropy; empty-field layers are tiny
+    assert sizes[0] > 0
+    # the stream decodes back bit-exactly (framing parse = codec parse)
+    import types as _t
+    out = laz_native.decompress(
+        blob, _t.SimpleNamespace(point_length=30, offset_to_point_data=0),
+        laz_native.make_vlr(point_length=30, point_format=6, chunk_size=50),
+        7)
+    assert bytes(out) == pts
+
+
+def test_point14_context_seeding_roundtrip():
+    """4-context (scanner channel) switching: a stream that hops channels
+    mid-chunk must seed each fresh context from the previously ACTIVE one
+    and roundtrip bit-exactly (the lazy-seeding rule laz_layered.cpp
+    documents; a wrong seed source diverges the models and the decode)."""
+    from treee_tpu.io import laz_native
+
+    pts = b"".join(
+        _p14(x=i * 7, y=-i, z=i * 2, channel=c, gps=float(i % 3))
+        for i, c in enumerate([0, 0, 2, 1, 2, 3, 0, 3, 1, 1, 2, 0])
+    )
+    records = np.frombuffer(pts, np.uint8)
+    blob = laz_native.compress(records, 30, base_offset=0, chunk_size=50,
+                               point_format=6)
+    import types as _t
+    out = laz_native.decompress(
+        blob, _t.SimpleNamespace(point_length=30, offset_to_point_data=0),
+        laz_native.make_vlr(point_length=30, point_format=6, chunk_size=50),
+        12)
+    assert bytes(out) == pts
