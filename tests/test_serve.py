@@ -139,3 +139,79 @@ def test_serve_frame_and_commands(server):
     assert out["ok"] and "error:" in out["output"]
     status, _, _ = _get(server, "/frame.png")
     assert status == 200
+
+
+# --- progressive preview (VERDICT r2 task 5) ------------------------------
+
+
+def test_preview_frame_before_segmentation():
+    """Height-colored imagery from a raw, never-segmented cloud."""
+    from treee_tpu.config import Config, RenderConfig, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=64, max_bands=16, max_segments=64,
+            max_trees_per_band=32),
+        render=RenderConfig(width=128, height=96),
+    )
+    s = Session.from_points(
+        las.synthetic_forest(n_trees=2, points_per_tree=2000,
+                             ground_points=1000, seed=5), cfg)
+    img = s.preview_frame()
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+    # the cloud actually shows up (not a flat background)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) > 10
+
+
+def test_segment_preview_callback_count():
+    """segment(preview_cb=...) fires the callback EXACTLY once with a
+    segment-colored subsample frame, before the full result lands."""
+    from treee_tpu.config import Config, RenderConfig, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=64, max_bands=16, max_segments=64,
+            max_trees_per_band=32),
+        render=RenderConfig(width=128, height=96),
+    )
+    s = Session.from_points(
+        las.synthetic_forest(n_trees=3, points_per_tree=3000,
+                             ground_points=1500, seed=6), cfg)
+    got = []
+    res = s.segment(0.75, preview_cb=lambda img: got.append(img),
+                    preview_stride=8)
+    assert len(got) == 1
+    assert got[0].shape == (96, 128, 3) and got[0].dtype == np.uint8
+    assert int(res.n_segments) > 0
+    # no preview_cb -> no callback machinery in the path
+    s2 = Session.from_points(
+        las.synthetic_forest(n_trees=2, points_per_tree=2000,
+                             ground_points=500, seed=7), cfg)
+    assert int(s2.segment(0.75).n_segments) > 0
+
+
+def test_frame_png_serves_preview_while_locked(server):
+    """While a command holds the session lock, /frame.png returns the
+    pushed preview instead of blocking on the device."""
+    server._push_preview(np.full((4, 4, 3), 99, np.uint8))
+    preview = server._preview_png
+    assert preview is not None
+    server.lock.acquire()
+    try:
+        assert server.frame_png() == preview
+    finally:
+        server.lock.release()
+    # unlocked again: a real frame renders and refreshes the cache
+    real = server.frame_png()
+    assert real != preview and server._last_png == real
+
+
+def test_distance_command_pushes_preview(server):
+    server._preview_png = None
+    out = _cmd(server, "distance 0.75")
+    assert out["ok"]
+    assert server._preview_png is not None  # the hook fired mid-command

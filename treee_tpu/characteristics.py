@@ -407,13 +407,15 @@ def compute_segments(
 
     # --- per-segment count + y extent from run boundaries
     # (calculations.rs:136-147) ---
-    qs = jnp.arange(s_cap, dtype=jnp.int32)
-    left = jnp.searchsorted(
-        key_s, qs << qbits, side="left", method="scan_unrolled"
+    # ONE searchsorted of S+1 queries: right[s] == left[s+1] by construction
+    # (the segment-s run ends exactly where the segment-(s+1) run begins in
+    # the packed key space), so the second S-query pass is redundant
+    qs1 = jnp.arange(s_cap + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(
+        key_s, qs1 << qbits, side="left", method="scan_unrolled"
     ).astype(jnp.int32)
-    right = jnp.searchsorted(
-        key_s, (qs + 1) << qbits, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
+    left = bounds[:s_cap]
+    right = bounds[1:]
     count = right - left
     min_y_raw = jnp.where(count > 0, y_s[jnp.clip(left, 0, n - 1)], INF)
     max_y_raw = jnp.where(count > 0, y_s[jnp.clip(right - 1, 0, n - 1)], -INF)

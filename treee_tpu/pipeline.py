@@ -82,6 +82,20 @@ def _lod_frame_prop(pos_c, idx, count, cloud, prop, cam, palette, cfg):
     return splat.render_frame(pos_c, prop[idx], mask_c, cam, palette, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _height_preview(pos, valid, cam, palette, cfg):
+    """Un-segmented cloud colored by normalized height (Session.preview_frame)."""
+    y = pos[:, 1]
+    big = jnp.float32(3.0e38)
+    ylo = jnp.min(jnp.where(valid, y, big))
+    yhi = jnp.max(jnp.where(valid, y, -big))
+    any_v = jnp.any(valid)
+    ylo = jnp.where(any_v, ylo, 0.0)
+    yhi = jnp.where(any_v, yhi, 1.0)
+    prop = jnp.clip((y - ylo) / jnp.maximum(yhi - ylo, 1e-6), 0.0, 1.0)
+    return splat.render_frame(pos, prop, valid, cam, palette, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("n_segments", "axis_name"))
 def _segment_class_counts(segment, classification, mask, n_segments,
                           axis_name=None):
@@ -250,10 +264,47 @@ class Session:
 
     # ---- phases ----------------------------------------------------------------
 
-    def segment(self, max_distance: float | None = None) -> SegmentationResult:
-        """Segmenting phase; re-callable with a new distance (slider restart)."""
+    def preview_frame(self, camera: Camera | None = None) -> np.ndarray:
+        """Height-colored frame of the raw cloud — works BEFORE segmentation.
+
+        The reference streams decoded chunks to the screen while loading
+        (loading.rs:91-115 -> program.rs:508-530); the TPU equivalent is an
+        instant un-segmented render right after upload, so the viewer shows
+        imagery while the (possibly cold-compiling) pipeline runs.  u8 HxWx3.
+        """
+        cam = camera if camera is not None else self.camera
+        img = _height_preview(self.cloud.pos, self.cloud.valid, cam,
+                              self.palette, self.config.render)
+        return np.asarray(splat.to_u8(img))
+
+    def segment(self, max_distance: float | None = None,
+                preview_cb=None, preview_stride: int = 64,
+                ) -> SegmentationResult:
+        """Segmenting phase; re-callable with a new distance (slider restart).
+
+        ``preview_cb(img)``: before the full-resolution pipeline runs, a
+        1/``preview_stride`` subsample is segmented and rendered
+        segment-colored, and the callback receives that u8 frame — the
+        progressive feedback the reference gets from live chunk streaming
+        during segmentation (segmenting.rs:209-224).  The subsample pipeline
+        is a separate small executable (fast compile, ~ms run), so the first
+        imagery arrives long before the full pipeline's first run on a
+        fresh-compile host.
+        """
         if max_distance is not None:
             self.max_distance = max_distance
+        if preview_cb is not None:
+            sub_pos = self.cloud.pos[::preview_stride]
+            sub_valid = self.cloud.valid[::preview_stride]
+            sub_seg, _, _, _ = full_pipeline(
+                sub_pos, sub_valid, self.max_distance, self.config
+            )
+            img = splat.render_frame(
+                sub_pos, splat.prop_from_segment(sub_seg),
+                sub_valid & (sub_seg != DELETED_SEGMENT), self.camera,
+                self.palette, self.config.render,
+            )
+            preview_cb(np.asarray(splat.to_u8(img)))
         seg, classification, table, res = full_pipeline(
             self.cloud.pos, self.cloud.valid, self.max_distance, self.config
         )

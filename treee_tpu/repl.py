@@ -113,6 +113,9 @@ class Repl:
         # the build-time view would render permanently missing regions
         self._adaptive_tau: float | None = None
         self._lod_dirty = False
+        # progressive feedback (serve.py): called with a u8 frame when a
+        # load finishes (height preview) or a segmentation preview is ready
+        self.preview_hook = None
 
     # ---- helpers ---------------------------------------------------------
 
@@ -209,7 +212,9 @@ class Repl:
                 )
             )
         elif cmd == "distance":
-            res = s.segment(float(args[0]))
+            # preview_hook (set by serve.py): a 1/64-subsample segmentation
+            # preview frame lands in the viewer before the full pipeline runs
+            res = s.segment(float(args[0]), preview_cb=self.preview_hook)
             self._print(f"segments: {int(res.n_segments)}")
         elif cmd == "camera":
             if args[0] in ("orbit", "orbital"):
@@ -474,9 +479,15 @@ class Repl:
             self.draw_target = None
             self.combine_first = None
             self._print(f"opened {args[0]}")
+            if self.preview_hook is not None:
+                self.preview_hook(self.s.preview_frame(self.s.camera))
         elif cmd == "add":
             s.add_las(args[0])
             self._print(f"added {args[0]}: {int(s.cloud.count):,} points")
+            if self.preview_hook is not None:
+                # reference behavior: freshly decoded points appear on screen
+                # before any (re)segmentation (loading.rs:91-115)
+                self.preview_hook(s.preview_frame(s.camera))
         elif cmd == "addsession":
             s.add_session(args[0])
             self._print(f"merged {args[0]}: {int(s.cloud.count):,} points")

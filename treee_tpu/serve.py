@@ -170,6 +170,14 @@ class ViewerServer:
     def __init__(self, session, host: str = "127.0.0.1", port: int = 8080):
         self.repl = Repl(session, out=io.StringIO())
         self.lock = threading.Lock()
+        # progressive feedback: long commands (open / add / distance) hold
+        # the lock AND the device; they push preview frames here and
+        # frame_png serves them lock-free so the page shows imagery before
+        # the pipeline finishes (reference: live chunk streaming,
+        # loading.rs:91-115, segmenting.rs:209-224)
+        self._preview_png: bytes | None = None
+        self._last_png: bytes | None = None
+        self.repl.preview_hook = self._push_preview
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -235,34 +243,51 @@ class ViewerServer:
             return {"ok": True, "output": self.repl.out.getvalue(),
                     "quit": not alive}
 
-    def frame_png(self, focus: bool = False) -> bytes:
-        with self.lock:
-            r = self.repl
-            if focus and r.selected is not None:
-                img = r.s.render_focus(
-                    r.selected, display=r.display,
-                    show_hull=r.overlays["hull"],
-                    show_rbv=r.overlays["rbv"],
-                    show_axis=r.overlays["axis"],
-                    hull_include=r.hull_include,
-                    rbv_slices=r.rbv_opts["slices"],
-                    rbv_sectors=r.rbv_opts["sectors"],
-                    rbv_method=r.rbv_opts["method"],
-                    rbv_symmetric=r.rbv_opts["symmetric"],
-                    axis_algo=r.axis_algo,
-                )
-            else:
-                from .repl import ATTR_DISPLAYS
+    def _push_preview(self, img: np.ndarray) -> None:
+        self._preview_png = png_encode(np.asarray(img))
 
-                prop, pal = (None, None)
-                if r.display in ATTR_DISPLAYS:
-                    prop, pal = r.s.attribute_prop(r.display)
-                elif r.display == "hag":
-                    prop = r.s.hag_prop()
-                img = r.s.render(use_lod=r.use_lod,
-                                 show_deleted=r.show_deleted,
-                                 prop=prop, palette=pal)
-            return png_encode(np.asarray(img))
+    def frame_png(self, focus: bool = False) -> bytes:
+        if not self.lock.acquire(blocking=False):
+            # a long command holds the session: serve the freshest preview
+            # (or the last real frame) instead of wedging the poll loop
+            cached = self._preview_png or self._last_png
+            if cached is not None:
+                return cached
+            self.lock.acquire()  # nothing cached yet: wait like before
+        try:
+            png = self._frame_png_locked(focus)
+            self._last_png = png
+            return png
+        finally:
+            self.lock.release()
+
+    def _frame_png_locked(self, focus: bool = False) -> bytes:
+        r = self.repl
+        if focus and r.selected is not None:
+            img = r.s.render_focus(
+                r.selected, display=r.display,
+                show_hull=r.overlays["hull"],
+                show_rbv=r.overlays["rbv"],
+                show_axis=r.overlays["axis"],
+                hull_include=r.hull_include,
+                rbv_slices=r.rbv_opts["slices"],
+                rbv_sectors=r.rbv_opts["sectors"],
+                rbv_method=r.rbv_opts["method"],
+                rbv_symmetric=r.rbv_opts["symmetric"],
+                axis_algo=r.axis_algo,
+            )
+        else:
+            from .repl import ATTR_DISPLAYS
+
+            prop, pal = (None, None)
+            if r.display in ATTR_DISPLAYS:
+                prop, pal = r.s.attribute_prop(r.display)
+            elif r.display == "hag":
+                prop = r.s.hag_prop()
+            img = r.s.render(use_lod=r.use_lod,
+                             show_deleted=r.show_deleted,
+                             prop=prop, palette=pal)
+        return png_encode(np.asarray(img))
 
     def info(self) -> dict:
         with self.lock:
