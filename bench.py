@@ -456,9 +456,17 @@ def main() -> None:
     # measured scatter floor at 15M rows is ~122 ms/frame (profile_frame.py),
     # so this is ~= edit + full frame by construction.  The cloud is DONATED
     # (it is consumed and rebound every call), so the edit mutates in place
-    # instead of allocating a second 15M-point copy — the copy is what
-    # OOM'd this metric at 30M in round 2.  Still optional: skip rather
-    # than die if HBM is exhausted anyway.
+    # instead of allocating a second 15M-point copy — donation does NOT take
+    # over the axon tunnel (CLAUDE.md, tried 2026-08-19), so at 30M the
+    # second copy plus the retained LOD/adaptive subsets exhausted HBM in
+    # round 2.  Free every big subset the earlier metrics materialized
+    # FIRST (they are done being measured), then run; on failure record the
+    # reason explicitly instead of silently skipping (VERDICT r2 task 6).
+    del idx_big, idx_a_big, idx_s_big, pos_a, prop_a, pos_s, prop_s
+    del idx_a, idx_s, mask_a, mask_s, img_f, img_a, img_s
+    import gc
+
+    gc.collect()
     try:
         @functools.partial(jax.jit, donate_argnums=0)
         def edit_and_full_frame(cloud, center, cam):
@@ -482,6 +490,7 @@ def main() -> None:
         )
         touch()
     except Exception as e:  # pragma: no cover
+        RESULT["edit_full_frame_reason"] = f"{type(e).__name__}: {e}"[:300]
         print(f"# bench: full-cloud edit re-render skipped: {e}",
               file=sys.stderr, flush=True)
     print(json.dumps(RESULT))
