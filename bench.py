@@ -153,6 +153,15 @@ def main() -> None:
             np.asarray(leaf.reshape(-1)[0])
         return out
 
+    def sync1(out):
+        # timing variant: ONE element fetch.  All leaves come from the same
+        # XLA executable, which completes atomically — the first fetch
+        # already waits for the whole program; per-leaf fetches would add
+        # ~30 ms of pure tunnel round trips per extra leaf to the
+        # measurement (3 leaves = ~90 ms phantom cost at 15M)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        return out
+
     print(f"# bench: generated {n:,} pts, compiling pipeline...", file=sys.stderr, flush=True)
     # warmup/compile
     t0 = time.time()
@@ -165,10 +174,11 @@ def main() -> None:
     runs = []
     for i in range(3):
         t0 = time.time()
-        out = sync(step(pos, valid, d))
+        out = sync1(step(pos, valid, d))
         runs.append(time.time() - t0)
         touch()
         print(f"# bench: run {i} {runs[-1]:.2f}s", file=sys.stderr, flush=True)
+    sync(out)  # every leaf real before downstream consumers
     pipe_s = min(runs)
     mpts_per_s = n / pipe_s / 1e6
 

@@ -542,3 +542,25 @@ def test_repl_attribute_display(tmp_path):
     assert r.handle("display gps_time") is True
     assert "error" in out.getvalue()
     assert r.display == "rgb"
+
+
+def test_cli_reference_ipc_roundtrip(tmp_path):
+    """app CLI opens a reference-app .ipc session and saves one back."""
+    from treee_tpu import app
+    from treee_tpu.io import ipc
+
+    arrays = {
+        "pos": np.array([[0, 0, 0], [1, 5, 1], [2, 1, 2], [0, 9, 9]],
+                        np.float32),
+        "segment": np.array([1, 1, 2, 0], np.int32),
+        "classification": np.array([0, 2, 1, 0], np.int32),
+    }
+    src = tmp_path / "ref.ipc"
+    ipc.write_reference_ipc(str(src), arrays, np.zeros(3), "+proj=utm")
+    out = tmp_path / "back.ipc"
+    rc = app.main([str(src), "--save", str(out)])
+    assert rc == 0
+    got, _, loc = ipc.load(str(out))
+    assert loc == "+proj=utm"
+    assert len(got["pos"]) == 4
+    assert set(np.unique(got["segment"])) == {0, 1, 2}

@@ -31,16 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="treee_tpu", description="TPU-native forest point-cloud pipeline"
     )
-    p.add_argument("input", nargs="?", help=".las/.laz scan or .npz session checkpoint")
+    p.add_argument("input", nargs="?",
+                   help=".las/.laz scan, .npz checkpoint, or a reference-app "
+                        ".ipc session")
     p.add_argument("--demo", action="store_true", help="run on a synthetic forest")
     p.add_argument("--max-points", type=int, default=None,
                    help="cap loaded points (webdemo caps at 15M, laz.rs:49-62)")
     p.add_argument("--add", action="append", default=[], metavar="SCAN",
                    help="merge another .las/.laz into the scene "
                         "(Loading::add, loading.rs:79-88)")
-    p.add_argument("--add-session", action="append", default=[], metavar="NPZ",
-                   help="additively merge another session checkpoint "
-                        "(mod.rs:300-338)")
+    p.add_argument("--add-session", action="append", default=[],
+                   metavar="NPZ_OR_IPC",
+                   help="additively merge another session checkpoint — ours "
+                        "(.npz) or the reference app's (.ipc) (mod.rs:300-338)")
     # segmentation knobs (slider 0.1-2.0, default 0.75, segmenting.rs:16,82)
     p.add_argument("--distance", type=float, default=0.75,
                    help="min distance between segments [m]")
@@ -78,7 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(io/las.decode_attributes — fields the reference "
                         "loader discards), or height above the DTM (hag)")
     # exports / persistence
-    p.add_argument("--save", help="write a session checkpoint (.npz)")
+    p.add_argument("--save", help="write a session checkpoint (.npz, or "
+                   ".ipc readable by the reference app)")
     p.add_argument("--export-info", help="write per-segment info JSON")
     p.add_argument("--export-ply",
                    help="write points .ply with expansion/height/curvature; "
@@ -248,7 +252,9 @@ def main(argv=None) -> int:
     elif args.input is None:
         print("error: provide an input file or --demo", file=sys.stderr)
         return 2
-    elif args.input.endswith(".npz"):
+    elif args.input.endswith((".npz", ".ipc")):
+        # .ipc: the reference app's own bincode session format
+        # (io/ipc.read_reference_ipc) — a migrating user opens it directly
         with phase_timer("load-session"):
             session = Session.open(args.input, cfg)
     else:
@@ -267,7 +273,8 @@ def main(argv=None) -> int:
     print(f"points: {int(session.cloud.count):,}")
 
     should_segment = not args.no_segment and (
-        args.demo or (args.input is not None and not args.input.endswith(".npz"))
+        args.demo or (args.input is not None
+                      and not args.input.endswith((".npz", ".ipc")))
     )
     if should_segment:
         with phase_timer("segment+characteristics"):

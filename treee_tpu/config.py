@@ -107,10 +107,16 @@ class SegmentationConfig:
     # <=3 bodies = 94.3 ms FULLY converged (label agreement 1.000000 vs a
     # run-to-fixpoint oracle) where the XLA 3-sweep default is 127.8 ms at
     # 0.999864; sweeps are nearly free in VMEM, the compacted pointer jumps
-    # are both the cost and the convergence engine.
+    # are both the cost and the convergence engine.  Re-tuned 2026-08-20
+    # (tools/probe_cc2.py): every max_bodies budget runs in full (the
+    # convergence check costs one extra pass to observe "no change"), so
+    # FEWER bodies with MORE sweeps wins — (128, 2) = 115.1 ms vs (48, 3) =
+    # 120.8 ms, both at 1.000000 oracle agreement on the 279k-occupied
+    # bench grids (the 256 total sweeps + 2 doubling jumps cover even the
+    # whole-ground-band component).
     use_pallas_cc: bool | None = None
-    cc_pallas_sweeps: int = 48
-    cc_pallas_bodies: int = 3
+    cc_pallas_sweeps: int = 128
+    cc_pallas_bodies: int = 2
     # sort-based cluster selection in _extract_clusters: lex-sort the
     # compacted accumulation-target candidates by (band, -count) instead of
     # a batched top_k over the full [B, G*G] grid.  Bit-identical selection
