@@ -164,3 +164,14 @@ def test_classification_count_mismatch():
     bad += b"\x00" + struct.pack("<3d", 0, 0, 0) + struct.pack("<Q", 0)
     with pytest.raises(CorruptFile):
         ipc.read_reference_ipc(bad)
+
+
+def test_empty_reference_session():
+    """Zero live segments, empty deleted bucket — parse must not choke."""
+    blob = struct.pack("<Q", 0)
+    blob += seg_bytes(np.zeros((0, 3), np.float32), [])
+    blob += struct.pack("<3d", 1.0, 2.0, 3.0)
+    blob += struct.pack("<Q", 0)
+    arrays, off, loc = ipc.read_reference_ipc(blob)
+    assert len(arrays["pos"]) == 0 and loc == ""
+    np.testing.assert_allclose(off, [1.0, 2.0, 3.0])

@@ -88,7 +88,7 @@ def main() -> None:
     oracle = run_cfg(64, 6, "(64,6) oracle")
     print(f"# ref vs oracle agreement: "
           f"{float((ref == oracle).mean()):.6f}", flush=True)
-    for sweeps, bodies in [(96, 2), (128, 2), (96, 3)]:
+    for sweeps, bodies in [(32, 2), (48, 2), (64, 2), (24, 2)]:
         lbl = run_cfg(sweeps, bodies, f"({sweeps},{bodies})")
         agree = float((lbl == oracle).mean())
         print(f"#   agreement vs oracle: {agree:.6f}", flush=True)

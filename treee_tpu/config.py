@@ -110,12 +110,12 @@ class SegmentationConfig:
     # are both the cost and the convergence engine.  Re-tuned 2026-08-20
     # (tools/probe_cc2.py): every max_bodies budget runs in full (the
     # convergence check costs one extra pass to observe "no change"), so
-    # FEWER bodies with MORE sweeps wins — (128, 2) = 115.1 ms vs (48, 3) =
-    # 120.8 ms, both at 1.000000 oracle agreement on the 279k-occupied
-    # bench grids (the 256 total sweeps + 2 doubling jumps cover even the
-    # whole-ground-band component).
+    # FEWER bodies with MORE sweeps wins; sweep count then trimmed to the
+    # smallest fully-converged budget: (64, 2) = 104.8 ms at 1.000000
+    # oracle agreement vs (128, 2) 115-121 and (48, 3) 120.8 (48 sweeps x 2
+    # bodies already dips to 0.999377 — keep the 64-sweep margin).
     use_pallas_cc: bool | None = None
-    cc_pallas_sweeps: int = 128
+    cc_pallas_sweeps: int = 64
     cc_pallas_bodies: int = 2
     # sort-based cluster selection in _extract_clusters: lex-sort the
     # compacted accumulation-target candidates by (band, -count) instead of

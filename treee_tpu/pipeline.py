@@ -41,9 +41,15 @@ def full_pipeline(
     Returns (segment i32[N], classification i32[N], SegmentTable, SegmentationResult).
     """
     res = segment_points(pos, valid, max_distance, cfg.segmentation)
+    # scene bounds CSE with the identical reduce inside segment_points (one
+    # fused executable); passing y through skips compute_segments' own [N]
+    # y min/max passes — bit-exact, f32 min/max are exactly associative
+    from .segmentation import scene_bounds
+
+    lo, hi = scene_bounds(pos, valid)
     table, classification = ch.compute_segments(
         pos, res.segment, valid, cfg.segmentation.max_segments + 1,
-        cfg.characteristics, full_bbox=False,
+        cfg.characteristics, full_bbox=False, y_bounds=(lo[1], hi[1]),
     )
     return res.segment, classification, table, res
 
