@@ -138,11 +138,19 @@ def _connected_components(
         changed = jnp.any(new != lbl)
         return new, changed, it + 1
 
-    # the pallas path budgets whole bodies (sweeps are nearly free in VMEM;
-    # the jumps are the convergence engine and the cost): 48 sweeps x 3
-    # bodies measured FULLY converged at 15M where the XLA default is
-    # 0.99986 (tools/probe_cc.py, v5e 2026-08-18)
-    max_bodies = pallas_bodies if pallas_sweeps > 0 else -(-iters // 4)
+    if pallas_sweeps > 0:
+        # pallas path: the (sweeps, bodies) budget is tuned so EVERY body
+        # always runs (tools/probe_cc2.py: the while_loop's convergence
+        # check costs one extra body just to observe "no change"), so a
+        # static unroll is bit-identical — one pass past the fixpoint is a
+        # no-op (min-pool + pointer jump are idempotent there) — and drops
+        # the two full-grid `changed` compares + the loop predicate.
+        lbl = lbl0
+        for _ in range(pallas_bodies):
+            lbl, _, _ = body((lbl, jnp.bool_(True), jnp.int32(0)))
+        return lbl, occ_idx, occ_valid
+
+    max_bodies = -(-iters // 4)
 
     def cond(state):
         _, changed, it = state
