@@ -355,3 +355,48 @@ def test_view_projection_roundtrip():
     v = np.asarray(cam.view_matrix())
     t = np.asarray(cam.transform)
     np.testing.assert_allclose(v @ t, np.eye(4), atol=1e-5)
+
+
+def test_sorted_rbv_scan_and_gather_branches_equal():
+    """_batched_split_rbv_sorted's two fill branches — per-point gathers
+    (CPU default) vs the Pallas segmented-scan fills (TPU; interpret mode
+    here) — are exact value copies and must agree bit-for-bit, as must the
+    scan-vs-scatter y extents."""
+    pos, cls, seg, S = _forest_arrays(seed=9)
+    posj, clsj, segj = jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(seg)
+    valid = jnp.ones(len(pos), bool)
+    axes = trunk_axis.batched_average_direction(posj, clsj == 1, segj, S)
+    tfs = trunk_axis.batched_axis_transform(axes)
+
+    crown_g, trunk_g = rbv._batched_split_rbv_sorted(
+        posj, clsj, valid, segj, S, tfs, 6, 8, 4, 8, False, None,
+        interpret=False)   # gather/scatter branch on CPU
+    crown_s, trunk_s = rbv._batched_split_rbv_sorted(
+        posj, clsj, valid, segj, S, tfs, 6, 8, 4, 8, False, None,
+        interpret=True)    # Pallas-scan branch, interpreted
+    for a, b in ((crown_g, crown_s), (trunk_g, trunk_s)):
+        np.testing.assert_array_equal(np.asarray(a.distances),
+                                      np.asarray(b.distances))
+        np.testing.assert_array_equal(np.asarray(a.min_y), np.asarray(b.min_y))
+        np.testing.assert_array_equal(np.asarray(a.slice_height),
+                                      np.asarray(b.slice_height))
+
+
+def test_sorted_average_direction_matches_scatter():
+    """_batched_average_direction_sorted (Pallas scans, interpret mode) vs
+    the scatter formulation: min/max/fills exact, sums to float tolerance,
+    shared [S]-tail — axes must agree tightly."""
+    pos, cls, seg, S = _forest_arrays(seed=13)
+    posj, clsj, segj = jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(seg)
+    mask = clsj == 1
+
+    ref = trunk_axis.batched_average_direction(posj, mask, segj, S)
+    got = trunk_axis._batched_average_direction_sorted(
+        posj, mask, segj, S, 10, None, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.found),
+                                  np.asarray(got.found))
+    np.testing.assert_allclose(np.asarray(got.origin),
+                               np.asarray(ref.origin), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.direction),
+                               np.asarray(ref.direction), rtol=1e-4,
+                               atol=1e-4)

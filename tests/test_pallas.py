@@ -328,3 +328,38 @@ def test_segment_points_pallas_match_flag():
     np.testing.assert_array_equal(np.asarray(r0.segment),
                                   np.asarray(r1.segment))
     assert int(r0.n_segments) == int(r1.n_segments)
+
+
+def test_segmented_cumsum_pallas_matches_numpy():
+    """Per-run inclusive cumsum kernel (interpret) vs a numpy oracle."""
+    from treee_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    key = np.sort(rng.integers(0, 37, n)).astype(np.int32)
+    val = rng.standard_normal((n, 3)).astype(np.float32)
+    out = np.asarray(pk.segmented_cumsum_pallas(
+        jnp.asarray(key), jnp.asarray(val), block=256, interpret=True))
+    # oracle: float64 prefix sums per run, then cast — tolerance covers the
+    # kernel's doubling-tree accumulation order
+    ref = np.zeros_like(val, np.float64)
+    for k in np.unique(key):
+        m = key == k
+        ref[m] = np.cumsum(val[m].astype(np.float64), axis=0)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    # run-end rows hold exact run totals (the consumers' contract)
+    ends = np.nonzero(np.diff(np.append(key, key[-1] + 1)))[0]
+    for e, k in zip(ends, np.unique(key)):
+        np.testing.assert_allclose(
+            out[e], val[key == k].astype(np.float64).sum(axis=0),
+            rtol=2e-5, atol=2e-5)
+
+
+def test_segmented_cumsum_pallas_1d_and_padding():
+    from treee_tpu.ops import pallas_kernels as pk
+
+    key = np.repeat(np.arange(5), 61).astype(np.int32)  # n=305, pads to 512
+    val = np.ones(len(key), np.float32)
+    out = np.asarray(pk.segmented_cumsum_pallas(
+        jnp.asarray(key), jnp.asarray(val), block=256, interpret=True))
+    np.testing.assert_array_equal(out, np.tile(np.arange(1, 62), 5))

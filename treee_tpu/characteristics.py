@@ -341,7 +341,6 @@ def compute_segments(
     cfg: CharacteristicsConfig = CharacteristicsConfig(),
     full_bbox: bool = True,
     axis_name: str | None = None,
-    y_bounds: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[SegmentTable, jax.Array]:
     """Characteristics for every segment + per-point classification.
 
@@ -391,20 +390,13 @@ def compute_segments(
         )
     qmax = (1 << qbits) - 1
     y = pos[:, 1]
-    if y_bounds is not None:
-        # caller already reduced the scene's valid-y extent (the fused
-        # pipeline's scene_bounds — f32 min/max are EXACTLY associative, so
-        # any reduction shape gives bit-identical bounds); skip the extra
-        # [N] min/max passes.  Sharded callers must pass GLOBAL bounds.
-        ylo, yhi = y_bounds
-    else:
-        any_valid = jnp.any(valid)
-        ylo = jnp.where(any_valid, jnp.min(jnp.where(valid, y, INF)), 0.0)
-        yhi = jnp.where(any_valid, jnp.max(jnp.where(valid, y, -INF)), 1.0)
-        if axis_name is not None:
-            # global quantization grid so slice buckets align across shards
-            ylo = jax.lax.pmin(ylo, axis_name)
-            yhi = jax.lax.pmax(yhi, axis_name)
+    any_valid = jnp.any(valid)
+    ylo = jnp.where(any_valid, jnp.min(jnp.where(valid, y, INF)), 0.0)
+    yhi = jnp.where(any_valid, jnp.max(jnp.where(valid, y, -INF)), 1.0)
+    if axis_name is not None:
+        # global quantization grid so slice buckets align across shards
+        ylo = jax.lax.pmin(ylo, axis_name)
+        yhi = jax.lax.pmax(yhi, axis_name)
     yext = jnp.maximum(yhi - ylo, 1e-6)
     qy = jnp.clip(((y - ylo) * (qmax / yext)).astype(jnp.int32), 0, qmax)
     key = (jnp.where(live0, segment, s_cap).astype(jnp.int32) << qbits) | qy

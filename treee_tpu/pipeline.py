@@ -41,15 +41,9 @@ def full_pipeline(
     Returns (segment i32[N], classification i32[N], SegmentTable, SegmentationResult).
     """
     res = segment_points(pos, valid, max_distance, cfg.segmentation)
-    # scene bounds CSE with the identical reduce inside segment_points (one
-    # fused executable); passing y through skips compute_segments' own [N]
-    # y min/max passes — bit-exact, f32 min/max are exactly associative
-    from .segmentation import scene_bounds
-
-    lo, hi = scene_bounds(pos, valid)
     table, classification = ch.compute_segments(
         pos, res.segment, valid, cfg.segmentation.max_segments + 1,
-        cfg.characteristics, full_bbox=False, y_bounds=(lo[1], hi[1]),
+        cfg.characteristics, full_bbox=False,
     )
     return res.segment, classification, table, res
 
@@ -337,6 +331,13 @@ class Session:
 
     def characteristics(self) -> ch.SegmentTable:
         """Recompute the Calculations phase over current segments/edits."""
+        import sys as _sys
+        try:
+            ptrs = [a.unsafe_buffer_pointer() for a in
+                    (self.cloud.pos, self.cloud.segment, self.cloud.valid)]
+            print(f"DEBUG ptrs {ptrs} distinct={len(set(ptrs))}", file=_sys.stderr)
+        except Exception as e:
+            print(f"DEBUG ptr-err {e}", file=_sys.stderr)
         table, classification = ch.compute_segments(
             self.cloud.pos, self.cloud.segment, self.cloud.valid,
             self.config.segmentation.max_segments + 1, self.config.characteristics,

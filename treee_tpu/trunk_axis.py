@@ -147,6 +147,13 @@ def batched_average_direction(
     segment tables then compose with pmin/pmax (exact) and psum (float sums,
     shard-order instead of scatter-order accumulation).
     """
+    if jax.default_backend() == "tpu":
+        # sorted-scan fast path (~4x, tools/probe_inventory.py); gated off
+        # CPU like rbv's — see _run_fill's note on the XLA segmented-scan
+        # poisoning this environment's CPU client
+        return _batched_average_direction_sorted(
+            pos, mask, segment, n_segments, layers, axis_name)
+
     y = pos[:, 1]
     seg_t = jnp.where(mask, segment, n_segments)
     lo, hi, found = _segment_minmax_y(y, mask, seg_t, n_segments, axis_name)
@@ -180,6 +187,14 @@ def batched_average_direction(
         lsum_x = jax.lax.psum(lsum_x, axis_name)
         lsum_z = jax.lax.psum(lsum_z, axis_name)
         lcnt = jax.lax.psum(lcnt, axis_name)
+    return _axis_from_tables(lo, hi, found, layer_h, band_n, band_x, band_z,
+                             lsum_x, lsum_z, lcnt, layers)
+
+
+def _axis_from_tables(lo, hi, found, layer_h, band_n, band_x, band_z,
+                      lsum_x, lsum_z, lcnt, layers):
+    """[S]-level tail of AverageDirection, shared by the scatter and the
+    sorted-scan formulations (identical math on identical tables)."""
     lmean_x = lsum_x / jnp.maximum(lcnt, 1.0)
     lmean_z = lsum_z / jnp.maximum(lcnt, 1.0)
 
@@ -203,6 +218,96 @@ def batched_average_direction(
     direction = jnp.where(found[:, None], direction, up)
     origin = jnp.where(found[:, None], origin, 0.0)
     return TrunkAxis(origin=origin, direction=direction, found=found)
+
+
+def _batched_average_direction_sorted(pos, mask, segment, n_segments, layers,
+                                      axis_name, interpret=False):
+    """Sorted-layout AverageDirection (TPU fast path; interpret for tests).
+
+    The scatter formulation costs ~1.3 s at 15M (8 [N]-operand scatters + 2
+    per-point gathers, tools/probe_inventory.py); here ONE sort by trunk-
+    masked segment id turns the y extents into a Pallas run-max scan, the
+    per-point (lo, layer_h) broadcast into a run fill (value copies —
+    exact), and the band sums into a Pallas run-SUM scan; a second tiny
+    sort by (segment, layer) does the same for the layer sums.  Min/max
+    compose exactly; the float sums differ from scatter order only in
+    accumulation order (doubling-tree within runs), the same tolerance
+    class as shard-vs-single psums.  The [S]-tail is shared verbatim
+    (:func:`_axis_from_tables`).
+    """
+    from .ops.pallas_kernels import (
+        segmented_cummax_pallas, segmented_cumsum_pallas,
+    )
+    from .rbv import _run_fill
+
+    n = pos.shape[0]
+    key = jnp.where(mask, segment, n_segments).astype(jnp.int32)
+    key_s, x_s, y_s, z_s = jax.lax.sort(
+        (key, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=1)
+    bounds = jnp.searchsorted(
+        key_s, jnp.arange(n_segments + 1, dtype=jnp.int32), side="left",
+        method="scan_unrolled",
+    ).astype(jnp.int32)
+    left, right = bounds[:n_segments], bounds[1:]
+    has = right > left
+    end = jnp.clip(right - 1, 0, n - 1)
+
+    ext = segmented_cummax_pallas(
+        key_s, jnp.stack([-y_s, y_s], axis=1), interpret=interpret)
+    picked = ext[end]
+    lo = jnp.where(has, -picked[:, 0], INF)
+    hi = jnp.where(has, picked[:, 1], -INF)
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
+    found = lo < INF
+    lo = jnp.where(found, lo, 0.0)
+    hi = jnp.where(found, hi, 0.0)
+    layer_h = jnp.maximum((hi - lo) / layers, 1e-6)
+
+    per2 = _run_fill(key_s, left, right,
+                     jnp.stack([lo, layer_h], axis=1), True, interpret)
+    lo_p, lh_p = per2[:, 0], per2[:, 1]
+    in_seg = key_s < n_segments
+    band = in_seg & (y_s >= lo_p + 0.4) & (y_s < lo_p + 0.6)
+    bsum = segmented_cumsum_pallas(
+        key_s,
+        jnp.stack([band.astype(jnp.float32),
+                   jnp.where(band, x_s, 0.0),
+                   jnp.where(band, z_s, 0.0)], axis=1),
+        interpret=interpret)
+    bp = bsum[end]
+    band_n = jnp.where(has, bp[:, 0], 0.0)
+    band_x = jnp.where(has, bp[:, 1], 0.0)
+    band_z = jnp.where(has, bp[:, 2], 0.0)
+
+    li = jnp.clip(((y_s - lo_p) / lh_p).astype(jnp.int32), 0, layers - 1)
+    bucket = jnp.where(in_seg, key_s * layers + li, n_segments * layers)
+    b_s, xb, zb = jax.lax.sort((bucket, x_s, z_s), num_keys=1)
+    lb = jnp.searchsorted(
+        b_s, jnp.arange(n_segments * layers + 1, dtype=jnp.int32),
+        side="left", method="scan_unrolled",
+    ).astype(jnp.int32)
+    lleft, lright = lb[:-1], lb[1:]
+    lhas = lright > lleft
+    lend = jnp.clip(lright - 1, 0, n - 1)
+    lsum = segmented_cumsum_pallas(
+        b_s,
+        jnp.stack([jnp.ones(n, jnp.float32), xb, zb], axis=1),
+        interpret=interpret)
+    lp = lsum[lend]
+    lcnt = jnp.where(lhas, lp[:, 0], 0.0).reshape(n_segments, layers)
+    lsum_x = jnp.where(lhas, lp[:, 1], 0.0).reshape(n_segments, layers)
+    lsum_z = jnp.where(lhas, lp[:, 2], 0.0).reshape(n_segments, layers)
+    if axis_name is not None:
+        band_n = jax.lax.psum(band_n, axis_name)
+        band_x = jax.lax.psum(band_x, axis_name)
+        band_z = jax.lax.psum(band_z, axis_name)
+        lsum_x = jax.lax.psum(lsum_x, axis_name)
+        lsum_z = jax.lax.psum(lsum_z, axis_name)
+        lcnt = jax.lax.psum(lcnt, axis_name)
+    return _axis_from_tables(lo, hi, found, layer_h, band_n, band_x, band_z,
+                             lsum_x, lsum_z, lcnt, layers)
 
 
 @functools.partial(jax.jit, static_argnames=("n_segments", "axis_name"))
