@@ -175,3 +175,22 @@ def test_empty_reference_session():
     arrays, off, loc = ipc.read_reference_ipc(blob)
     assert len(arrays["pos"]) == 0 and loc == ""
     np.testing.assert_allclose(off, [1.0, 2.0, 3.0])
+
+
+def test_session_save_ipc_pathlib(tmp_path):
+    """A pathlib.Path ending .ipc must dispatch to the bincode writer too
+    (a str-only check silently wrote npz bytes into the .ipc)."""
+    from treee_tpu.cloud import PointCloud
+    from treee_tpu.pipeline import Session
+
+    s = Session()
+    s.cloud = PointCloud.from_numpy(
+        np.array([[0, 0, 0], [2, 2, 2]], np.float32),
+        segment=np.array([1, 1], np.int32),
+        classification=np.array([1, 2], np.int32),
+    )
+    p = tmp_path / "p.ipc"  # pathlib.Path, not str
+    s.save(p)
+    assert p.read_bytes()[:2] != b"PK"
+    got, _, _ = ipc.load(str(p))
+    assert len(got["pos"]) == 2

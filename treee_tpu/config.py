@@ -113,7 +113,11 @@ class SegmentationConfig:
     # FEWER bodies with MORE sweeps wins; sweep count then trimmed to the
     # smallest fully-converged budget: (64, 2) = 104.8 ms at 1.000000
     # oracle agreement vs (128, 2) 115-121 and (48, 3) 120.8 (48 sweeps x 2
-    # bodies already dips to 0.999377 — keep the 64-sweep margin).
+    # bodies already dips to 0.999377 — keep the 64-sweep margin).  The
+    # unrolled budget is backstopped by a convergence-gated while_loop
+    # (segmentation._connected_components): scenes needing more jump phases
+    # than the tuned budget still converge, at the cost of one full-grid
+    # comparison in the typical case.
     use_pallas_cc: bool | None = None
     cc_pallas_sweeps: int = 64
     cc_pallas_bodies: int = 2

@@ -162,14 +162,24 @@ def write_reference_ipc(path_or_buf, arrays: dict, world_offset,
     crown_sep) (calculations.rs:191-197); absent entries write zeros (the
     reference only reads them for the focused-view sliders).
     """
-    pos = np.ascontiguousarray(arrays["pos"], "<f4")
     seg = np.asarray(arrays["segment"], np.int64)
+    # ONE stable argsort by segment id, then every segment is a contiguous
+    # slice — a per-id boolean mask + fancy-index gather would make this an
+    # O(S*N) host pass (~2000 full-array scans for a 1000-tree scan, on the
+    # ~10-20 MB/s post-axon host path; CLAUDE.md host-memory rules)
+    order = np.argsort(seg, kind="stable")
+    pos = np.ascontiguousarray(
+        np.asarray(arrays["pos"], np.float32)[order], "<f4")
     cls = np.ascontiguousarray(
-        np.clip(arrays["classification"], 0, 2).astype("<u4"))
+        np.clip(np.asarray(arrays["classification"])[order], 0, 2)
+        .astype("<u4"))
+    seg_sorted = seg[order]
+    ids, starts = np.unique(seg_sorted, return_index=True)
+    bounds = np.append(starts, len(seg_sorted))
 
-    def segment_bytes(mask: np.ndarray, sid: int) -> bytes:
-        p = pos[mask]
-        c = cls[mask]
+    def segment_bytes(lo_i: int, hi_i: int, sid: int) -> bytes:
+        p = pos[lo_i:hi_i]
+        c = cls[lo_i:hi_i]
         n = len(p)
         th, ch, gs, cs = (info or {}).get(sid, (0.0, 0.0, 0.0, 0.0))
         lo = p.min(axis=0) if n else np.zeros(3, np.float32)
@@ -182,12 +192,15 @@ def write_reference_ipc(path_or_buf, arrays: dict, world_offset,
             b"\x00",  # coords: None (recomputed from location by the app)
         ])
 
-    ids = [int(s) for s in np.unique(seg) if s != _DELETED_INDEX]
-    chunks = [struct.pack("<Q", len(ids))]
-    for sid in ids:
+    runs = {int(s): (int(bounds[k]), int(bounds[k + 1]))
+            for k, s in enumerate(ids)}
+    live = [s for s in runs if s != _DELETED_INDEX]
+    chunks = [struct.pack("<Q", len(live))]
+    for sid in live:
         chunks.append(struct.pack("<I", sid))
-        chunks.append(segment_bytes(seg == sid, sid))
-    chunks.append(segment_bytes(seg == _DELETED_INDEX, _DELETED_INDEX))
+        chunks.append(segment_bytes(*runs[sid], sid))
+    dlo, dhi = runs.get(_DELETED_INDEX, (0, 0))
+    chunks.append(segment_bytes(dlo, dhi, _DELETED_INDEX))
     chunks.append(np.asarray(world_offset, "<f8").tobytes())
     loc = source_location.encode()
     chunks.append(struct.pack("<Q", len(loc)) + loc)
@@ -233,8 +246,11 @@ def save(path_or_buf, cloud: PointCloud, world_offset: np.ndarray,
     io/las.decode_attributes), stored as ``attr_<name>`` arrays aligned
     with the pos rows; absent in older checkpoints, which still load.
     """
+    import os
+
     data = cloud.to_numpy()
-    if isinstance(path_or_buf, str) and path_or_buf.lower().endswith(".ipc"):
+    if (isinstance(path_or_buf, (str, os.PathLike))
+            and str(path_or_buf).lower().endswith(".ipc")):
         write_reference_ipc(path_or_buf, data, world_offset,
                             source_location, info=info)
         return

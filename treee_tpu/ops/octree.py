@@ -232,6 +232,39 @@ def lod_mask(
     return keep
 
 
+def _level_proj(tree: Octree, lvl: int, cam_pos, px_scale):
+    """Per-slot (shift, prefix, cell AABB, projected pixel size) at one
+    octree level — the screen-error geometry shared by adaptive_mask,
+    adaptive_counts, and parallel/sharding.sharded_adaptive_mask (single
+    source so the three selection loops cannot drift)."""
+    shift = 3 * (morton.MORTON_BITS - lvl)
+    coarse = tree.keys >> shift
+    lo_c, hi_c = _cell_bounds(tree, coarse, lvl)
+    center = 0.5 * (lo_c + hi_c)
+    dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
+    extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
+    cell = extent / jnp.float32(1 << lvl)
+    proj = cell * px_scale / jnp.maximum(dist, 1e-3)
+    return shift, coarse, lo_c, hi_c, proj
+
+
+def _level_ring(proj, tau_px, lvl: int, level_min: int, level_max: int):
+    """(ring, near_all) membership for one level's screen-error band:
+    ``proj_l <= tau < 2*proj_l`` rings partition by monotonicity; the
+    coarsest level absorbs the far field, the finest keeps every live
+    point whose cells still project larger than tau (near_all)."""
+    if lvl == level_min:
+        ring = proj <= tau_px
+    else:
+        ring = (proj <= tau_px) & (2.0 * proj > tau_px)
+    if lvl == level_max:
+        near_all = proj > tau_px
+        ring = ring | near_all
+    else:
+        near_all = None
+    return ring, near_all
+
+
 def adaptive_mask(
     tree: Octree,
     cam_pos: jax.Array,        # f32[3] camera position (world)
@@ -280,25 +313,11 @@ def adaptive_mask(
     )
 
     for lvl in range(level_min, level_max + 1):
-        shift = 3 * (morton.MORTON_BITS - lvl)
-        coarse = tree.keys >> shift
-        lo_c, hi_c = _cell_bounds(tree, coarse, lvl)
-        center = 0.5 * (lo_c + hi_c)
-        dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
-        extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
-        cell = extent / jnp.float32(1 << lvl)
-        proj = cell * px_scale / jnp.maximum(dist, 1e-3)
-        if lvl == level_min:
-            ring = proj <= tau_px           # far field: coarsest cut
-        else:
-            ring = (proj <= tau_px) & (2.0 * proj > tau_px)
-        if lvl == level_max:
-            # anything finer than the finest ring keeps every live point
-            ring = ring | (proj > tau_px)
-            sel = live_sorted & ring
-            near_all = proj > tau_px
-        else:
-            sel = live_sorted & ring
+        shift, coarse, lo_c, hi_c, proj = _level_proj(
+            tree, lvl, cam_pos, px_scale)
+        ring, near_all = _level_ring(proj, tau_px, lvl, level_min, level_max)
+        sel = live_sorted & ring
+        if near_all is None:
             near_all = jnp.zeros(n, bool)
         if frustum is not None:
             sel &= aabb_in_frustum(lo_c, hi_c, frustum)
@@ -345,28 +364,17 @@ def adaptive_counts(
     )
     keeps = [jnp.zeros(n, bool) for _ in taus]
     for lvl in range(level_min, level_max + 1):
-        shift = 3 * (morton.MORTON_BITS - lvl)
-        coarse = tree.keys >> shift
-        lo_c, hi_c = _cell_bounds(tree, coarse, lvl)
-        center = 0.5 * (lo_c + hi_c)
-        dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
-        extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
-        cell = extent / jnp.float32(1 << lvl)
-        proj = cell * px_scale / jnp.maximum(dist, 1e-3)
+        shift, coarse, lo_c, hi_c, proj = _level_proj(
+            tree, lvl, cam_pos, px_scale)
         in_frustum = (
             aabb_in_frustum(lo_c, hi_c, frustum)
             if frustum is not None else None
         )
         first_live = live_sorted & ((prev_key >> shift) < coarse)
         for k, tau in enumerate(taus):
-            if lvl == level_min:
-                ring = proj <= tau
-            else:
-                ring = (proj <= tau) & (2.0 * proj > tau)
-            if lvl == level_max:
-                ring = ring | (proj > tau)
-                near_all = proj > tau
-            else:
+            ring, near_all = _level_ring(proj, tau, lvl, level_min,
+                                         level_max)
+            if near_all is None:
                 near_all = jnp.zeros(n, bool)
             sel = live_sorted & ring
             if in_frustum is not None:

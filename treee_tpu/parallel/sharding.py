@@ -128,6 +128,7 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P()),
         out_specs=(P(axis), P()),
+        check_vma=False,  # Pallas calls inside (CC sweeps) have no VMA info
     )
     return jax.jit(fn)
 
@@ -177,6 +178,7 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P()),
         out_specs=(P(axis), P(axis), P(), P()),
+        check_vma=False,  # Pallas calls inside have no VMA info
     )
     return jax.jit(fn)
 
@@ -225,6 +227,7 @@ def sharded_inventory(mesh: Mesh, cfg: Config = DEFAULT_CONFIG,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
+        check_vma=False,  # sorted-scan Pallas kernels inside on TPU
     )
     return jax.jit(fn)
 
@@ -257,6 +260,7 @@ def sharded_render(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data")
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
         out_specs=P(),
+        check_vma=False,  # optional Pallas render kernels inside
     )
     return jax.jit(fn)
 
@@ -416,6 +420,7 @@ def sharded_lod_mask(mesh: Mesh, level: int, points_per_node: int = 1,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P()),
         out_specs=P(axis),
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -431,7 +436,7 @@ def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
     last live key of the earlier shards (keys ascend across Morton-range
     shards).  Everything else is elementwise per slot.
     """
-    from ..ops import morton, octree
+    from ..ops import octree
 
     def local(pos, valid, live, cam_pos, planes):
         tree = _local_octree(pos, valid, axis)
@@ -447,25 +452,15 @@ def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
 
         ps = jnp.asarray(px_scale, jnp.float32)
         keep_sorted = jnp.zeros(n, bool)
+        # per-level geometry + ring semantics single-sourced with
+        # adaptive_mask/adaptive_counts (octree._level_proj/_level_ring)
         for lvl in range(level_min, level_max + 1):
-            shift = 3 * (morton.MORTON_BITS - lvl)
-            coarse = keys_sorted >> shift
-            lo_c, hi_c = octree._cell_bounds(tree, coarse, lvl)
-            center = 0.5 * (lo_c + hi_c)
-            dist = jnp.sqrt(jnp.sum((center - cam_pos) ** 2, axis=-1))
-            extent = jnp.maximum(jnp.max(tree.hi - tree.lo), 1e-6)
-            cell = extent / jnp.float32(1 << lvl)
-            proj = cell * ps / jnp.maximum(dist, 1e-3)
-            if lvl == level_min:
-                ring = proj <= tau_px
-            else:
-                ring = (proj <= tau_px) & (2.0 * proj > tau_px)
-            if lvl == level_max:
-                ring = ring | (proj > tau_px)
-                sel = live_sorted & ring
-                near_all = proj > tau_px
-            else:
-                sel = live_sorted & ring
+            shift, coarse, lo_c, hi_c, proj = octree._level_proj(
+                tree, lvl, cam_pos, ps)
+            ring, near_all = octree._level_ring(
+                proj, tau_px, lvl, level_min, level_max)
+            sel = live_sorted & ring
+            if near_all is None:
                 near_all = jnp.zeros(n, bool)
             if use_frustum:
                 sel &= octree.aabb_in_frustum(lo_c, hi_c, planes)
@@ -477,6 +472,7 @@ def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -547,5 +543,6 @@ def _sharded_height_fn(mesh: Mesh, shape, live_dims, axis: str):
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     return jax.jit(fn)

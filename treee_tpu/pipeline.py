@@ -331,13 +331,6 @@ class Session:
 
     def characteristics(self) -> ch.SegmentTable:
         """Recompute the Calculations phase over current segments/edits."""
-        import sys as _sys
-        try:
-            ptrs = [a.unsafe_buffer_pointer() for a in
-                    (self.cloud.pos, self.cloud.segment, self.cloud.valid)]
-            print(f"DEBUG ptrs {ptrs} distinct={len(set(ptrs))}", file=_sys.stderr)
-        except Exception as e:
-            print(f"DEBUG ptr-err {e}", file=_sys.stderr)
         table, classification = ch.compute_segments(
             self.cloud.pos, self.cloud.segment, self.cloud.valid,
             self.config.segmentation.max_segments + 1, self.config.characteristics,

@@ -141,13 +141,28 @@ def _connected_components(
     if pallas_sweeps > 0:
         # pallas path: the (sweeps, bodies) budget is tuned so EVERY body
         # always runs (tools/probe_cc2.py: the while_loop's convergence
-        # check costs one extra body just to observe "no change"), so a
-        # static unroll is bit-identical — one pass past the fixpoint is a
-        # no-op (min-pool + pointer jump are idempotent there) — and drops
-        # the two full-grid `changed` compares + the loop predicate.
+        # check costs one extra body just to observe "no change"), so the
+        # budgeted bodies are statically unrolled — one pass past the
+        # fixpoint is a no-op (min-pool + pointer jump are idempotent
+        # there).  ONE comparison then gates a safety-net while_loop for
+        # scenes whose topology needs more jump phases than the tuned
+        # budget (the budget was validated on bench occupancy only): the
+        # typical cost is just that comparison; a pathological grid
+        # converges here instead of silently splitting components.
         lbl = lbl0
-        for _ in range(pallas_bodies):
+        for _ in range(pallas_bodies - 1):
             lbl, _, _ = body((lbl, jnp.bool_(True), jnp.int32(0)))
+        prev = lbl
+        lbl, _, _ = body((lbl, jnp.bool_(True), jnp.int32(0)))
+        changed = jnp.any(lbl != prev)
+
+        def safety_cond(state):
+            _, ch, it = state
+            return ch & (it < 4)
+
+        lbl, _, _ = jax.lax.while_loop(
+            safety_cond, body, (lbl, changed, jnp.int32(0))
+        )
         return lbl, occ_idx, occ_valid
 
     max_bodies = -(-iters // 4)

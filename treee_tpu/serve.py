@@ -257,6 +257,10 @@ class ViewerServer:
         try:
             png = self._frame_png_locked(focus)
             self._last_png = png
+            # a real frame supersedes any pushed preview; keeping the old
+            # preview would flash an outdated coarse image during the NEXT
+            # lock-holding command that pushes none (inventory, compare, ...)
+            self._preview_png = None
             return png
         finally:
             self.lock.release()
