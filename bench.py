@@ -218,6 +218,9 @@ def main() -> None:
         points=n,
         pipeline_s=round(pipe_s, 3),
         pipeline_dispatch_s=round(min(runs), 3),
+        # dispatch-inclusive throughput so round-over-round deltas stay
+        # apples-to-apples with the pre-r3 metric definition (advisor r3)
+        mpts_per_s_dispatch=round(n / min(runs) / 1e6, 3),
         compile_s=round(compile_s, 1),
         upload_s=round(upload_s, 3),
         gen_s=round(gen_s, 1),

@@ -400,3 +400,39 @@ def test_sorted_average_direction_matches_scatter():
     np.testing.assert_allclose(np.asarray(got.direction),
                                np.asarray(ref.direction), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_scatter_inventory_env_fallback(monkeypatch):
+    """TREEE_SCATTER_INVENTORY=1 routes batched_split_rbv through the
+    scatter formulation on any backend — the runtime escape hatch for a
+    pod where the Pallas-in-shard_map lowering misbehaves (advisor r3) —
+    with results matching the sorted fast path."""
+    from treee_tpu import config as config_mod
+
+    pos, cls, seg, S = _forest_arrays(seed=7)
+    posj, clsj, segj = jnp.asarray(pos), jnp.asarray(cls), jnp.asarray(seg)
+    valid = jnp.ones(len(pos), bool)
+    axes = trunk_axis.batched_average_direction(posj, clsj == 1, segj, S)
+    tfs = trunk_axis.batched_axis_transform(axes)
+    kw = dict(crown_slices=6, crown_sectors=8, trunk_slices=4,
+              trunk_sectors=8, method=rbv.METHOD_MAX, symmetric=False)
+
+    crown_fast, trunk_fast = rbv.batched_split_rbv(
+        posj, clsj, valid, segj, S, tfs, **kw)
+
+    monkeypatch.setenv("TREEE_SCATTER_INVENTORY", "1")
+    assert config_mod.scatter_inventory_forced()
+    assert not config_mod.use_sorted_inventory()
+    # the flag is read at trace time; drop the cached trace so it takes
+    rbv.batched_split_rbv.clear_cache()
+    try:
+        crown_sc, trunk_sc = rbv.batched_split_rbv(
+            posj, clsj, valid, segj, S, tfs, **kw)
+        for a, b in ((crown_fast, crown_sc), (trunk_fast, trunk_sc)):
+            np.testing.assert_allclose(np.asarray(a.distances),
+                                       np.asarray(b.distances), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(a.min_y),
+                                       np.asarray(b.min_y), atol=1e-4)
+    finally:
+        monkeypatch.delenv("TREEE_SCATTER_INVENTORY")
+        rbv.batched_split_rbv.clear_cache()

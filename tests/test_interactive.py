@@ -3,6 +3,8 @@
 
 import io
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -271,3 +273,21 @@ def test_checkpoint_corruption_fuzz_clean_errors():
             ipc.load(io.BytesIO(data[:cut]))
         except (CorruptFile, UnsupportedFormat):
             pass
+
+
+def test_corrupt_npz_named_checkpoint_error_names_npz(tmp_path):
+    """A truncated/corrupt file NAMED .npz must fail through the zip/npz
+    error taxonomy ("bad session checkpoint"), not be mistaken for a
+    reference bincode .ipc (advisor r3: the zip-magic dispatch alone sent
+    any corrupt .npz down the bincode parser)."""
+    from treee_tpu.utils.errors import CorruptFile
+
+    p = tmp_path / "broken.npz"
+    p.write_bytes(b"\x00\x01garbage-that-is-not-zip-framed" * 3)
+    with pytest.raises(CorruptFile, match="bad session checkpoint"):
+        ipc.load(str(p))
+    # same for a seekable buffer carrying a .npz name
+    buf = io.BytesIO(p.read_bytes())
+    buf.name = str(p)
+    with pytest.raises(CorruptFile, match="bad session checkpoint"):
+        ipc.load(buf)

@@ -40,6 +40,31 @@ def resolve_use_pallas(flag: bool | None) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def scatter_inventory_forced() -> bool:
+    """Env escape hatch ``TREEE_SCATTER_INVENTORY=1`` forces the scatter
+    formulation of the inventory reductions (trunk_axis.
+    batched_average_direction, rbv.batched_split_rbv) on ANY backend —
+    the runtime fallback for a real pod where the Pallas-in-shard_map
+    Mosaic lowering misbehaves (advisor r3: that lowering is
+    interpret-tested only; this env has no multi-chip hardware to
+    validate it on).  Both formulations are pinned equal by tests, so
+    flipping the flag changes performance, not results.  Read at trace
+    time: set it before the first inventory call (jit caches traces).
+    """
+    import os
+
+    return os.environ.get("TREEE_SCATTER_INVENTORY", "") in ("1", "true")
+
+
+def use_sorted_inventory() -> bool:
+    """True when the sorted-scan inventory fast paths may run (TPU
+    backend, unless :func:`scatter_inventory_forced`)."""
+    import jax
+
+    return (not scatter_inventory_forced()
+            and jax.default_backend() == "tpu")
+
+
 @dataclasses.dataclass(frozen=True)
 class SegmentationConfig:
     """Tree segmentation parameters.

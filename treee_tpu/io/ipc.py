@@ -296,18 +296,24 @@ def load(path_or_buf) -> tuple[dict[str, np.ndarray], np.ndarray, str]:
     from ..utils.errors import CorruptFile, UnsupportedFormat
 
     # dispatch: a bincode .ipc can never start with the zip magic "PK" —
-    # that prefix would claim a ~10^18-entry segment HashMap
+    # that prefix would claim a ~10^18-entry segment HashMap.  Files NAMED
+    # .npz are never routed to the bincode parser: a truncated/corrupt .npz
+    # should fail through the zip taxonomy below with a message that names
+    # the right format, not as a "bad reference .ipc" (advisor r3).
+    def _named_npz(name) -> bool:
+        return str(name).lower().endswith(".npz")
+
     if isinstance(path_or_buf, (str, os.PathLike)):
         with open(path_or_buf, "rb") as fh:
             head = fh.read(2)
-        if head != b"PK":
+        if head != b"PK" and not _named_npz(path_or_buf):
             with open(path_or_buf, "rb") as fh:
                 return read_reference_ipc(fh.read())
     elif hasattr(path_or_buf, "read") and hasattr(path_or_buf, "seek"):
         pos0 = path_or_buf.tell()
         head = path_or_buf.read(2)
         path_or_buf.seek(pos0)
-        if head != b"PK":
+        if head != b"PK" and not _named_npz(getattr(path_or_buf, "name", "")):
             return read_reference_ipc(path_or_buf.read())
 
     try:

@@ -533,7 +533,12 @@ def batched_split_rbv(
     Pallas segmented scans; results match this path to float ulp).  The
     mean method keeps the scatter formulation: its float sums are
     order-sensitive, and the scatter order is the pinned behavior."""
-    if method == METHOD_MAX:
+    from .config import scatter_inventory_forced
+
+    if method == METHOD_MAX and not scatter_inventory_forced():
+        # off-TPU the sorted path runs with interpret=True Pallas (the
+        # pinned-equal reference); TREEE_SCATTER_INVENTORY=1 falls back
+        # to the scatter formulation below on any backend (advisor r3)
         return _batched_split_rbv_sorted(
             pos, classification, mask, segment, n_segments, transforms,
             crown_slices, crown_sectors, trunk_slices, trunk_sectors,

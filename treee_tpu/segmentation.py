@@ -156,9 +156,14 @@ def _connected_components(
         lbl, _, _ = body((lbl, jnp.bool_(True), jnp.int32(0)))
         changed = jnp.any(lbl != prev)
 
+        # loop purely on `changed`: every body op (min-pool, pointer-jump
+        # min-scatter) only DECREASES labels, which are bounded below, so
+        # the loop provably terminates — no iteration cap needed, and a
+        # pathological grid converges fully instead of hitting a budget
+        # (advisor r3: the old `it < 4` cap could still silently split)
         def safety_cond(state):
-            _, ch, it = state
-            return ch & (it < 4)
+            _, ch, _ = state
+            return ch
 
         lbl, _, _ = jax.lax.while_loop(
             safety_cond, body, (lbl, changed, jnp.int32(0))

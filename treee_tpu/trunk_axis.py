@@ -147,10 +147,13 @@ def batched_average_direction(
     segment tables then compose with pmin/pmax (exact) and psum (float sums,
     shard-order instead of scatter-order accumulation).
     """
-    if jax.default_backend() == "tpu":
+    from .config import use_sorted_inventory
+
+    if use_sorted_inventory():
         # sorted-scan fast path (~4x, tools/probe_inventory.py); gated off
         # CPU like rbv's — see _run_fill's note on the XLA segmented-scan
-        # poisoning this environment's CPU client
+        # poisoning this environment's CPU client.  TREEE_SCATTER_INVENTORY=1
+        # falls back to the scatter formulation below (advisor r3).
         return _batched_average_direction_sorted(
             pos, mask, segment, n_segments, layers, axis_name)
 
