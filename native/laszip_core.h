@@ -230,16 +230,32 @@ struct Decoder {
   const u8* in = nullptr;
   size_t pos = 0, len = 0;
   u32 value = 0, length = 0;
+  // Divergence guard: a DECODE-time read more than the 4-byte lookahead
+  // past the stream end means the symbol sequence consumed more renorm
+  // bytes than the writer produced — on a well-formed file that indicates
+  // our adaptive models diverged from the writer's (e.g. the derived
+  // POINT14 context tables), not just truncation.  The value register is
+  // always 4 bytes ahead of the logically-consumed stream, so a matching
+  // decode may read up to 4 virtual zero-padding bytes (measured: our own
+  // roundtrip streams read 1-4); init() is exempt so zero-size (unused)
+  // layers stay clean.
+  bool past_end = false;
 
-  u8 in_byte() { return pos < len ? in[pos++] : 0; }
+  u8 in_byte() {
+    if (pos < len) return in[pos++];
+    if (++pos > len + 4) past_end = true;
+    return 0;
+  }
 
   void init(const u8* data, size_t n) {
     in = data;
     len = n;
     pos = 0;
-    value = (u32(in_byte()) << 24) | (u32(in_byte()) << 16) |
-            (u32(in_byte()) << 8) | u32(in_byte());
+    u32 v = 0;
+    for (int i = 0; i < 4; ++i) v = (v << 8) | (pos < len ? in[pos++] : 0);
+    value = v;
     length = AC_MaxLength;
+    past_end = false;
   }
 
   void renorm() {

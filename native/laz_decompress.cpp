@@ -702,6 +702,10 @@ static int decompress_chunk(const u8* data, u64 len, u32 n_points,
     u8* rec = out + static_cast<u64>(i) * point_length;
     for (auto& s : st) s.read(dec, rec + s.offset);
   }
+  // loud-divergence guard: a decode that overran the chunk's byte range
+  // means our models consumed a different symbol sequence than the writer
+  // emitted — report it instead of returning silently wrong points
+  if (dec.past_end) return 4;
   return 0;
 }
 

@@ -896,7 +896,12 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
   u32 stored_count;
   std::memcpy(&stored_count, data + pos, 4);
   pos += 4;
-  (void)stored_count;  // redundant with the chunk table except the last chunk
+  // loud-divergence guard: the in-chunk count is redundant with the chunk
+  // table, so a mismatch means our chunk-internal layout understanding
+  // diverges from the writer's (the layout is derived from the published
+  // scheme, not cross-checked against upstream binaries — CLAUDE.md) —
+  // report it instead of decoding garbage
+  if (stored_count != n_points) return 4;
 
   // layer sizes, in item order
   u32 total_layers = 0;
@@ -992,6 +997,11 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
       layer += item_layers(it);
     }
   }
+  // loud-divergence guard: any layer whose decode read past its declared
+  // byte size consumed a different symbol sequence than the writer emitted
+  // (adaptive-model divergence, e.g. the derived POINT14 context tables)
+  for (u32 i = 0; i < total_layers; ++i)
+    if (dec[i].past_end) return 4;
   return 0;
 }
 

@@ -739,3 +739,44 @@ def test_wavepacket_file_header_is_las13(tmp_path):
     p6 = str(tmp_path / "f6.las")
     las.write_las(p6, pos, point_format=6)
     assert las.load(p6).header.version_minor == 4
+
+
+def _guard_points(n=900):
+    rng = np.random.default_rng(5)
+    return rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+
+
+def test_layered_divergence_guard_count_mismatch(tmp_path):
+    """The loud-divergence guard (rc=4): a layered chunk whose in-chunk
+    count disagrees with the chunk table must raise CorruptFile naming
+    divergence, not decode garbage (VERDICT r3 task 7)."""
+    from treee_tpu.utils.errors import CorruptFile
+
+    pts = _guard_points()
+    p = tmp_path / "f6.laz"
+    las.write_laz(str(p), pts, point_format=6)
+    data = bytearray(p.read_bytes())
+    header = las.LasHeader.parse(bytes(data))
+    # chunk layout: [u64 chunk-table offset][raw first record][u32 count]...
+    cnt_at = header.offset_to_point_data + 8 + header.point_length
+    stored = int.from_bytes(data[cnt_at:cnt_at + 4], "little")
+    assert stored == len(pts)
+    data[cnt_at:cnt_at + 4] = (stored + 1).to_bytes(4, "little")
+    with pytest.raises(CorruptFile, match="diverged"):
+        las.load(bytes(data))
+
+
+def test_layered_divergence_guard_layer_overrun(tmp_path):
+    """Shrinking a declared layer size forces the decoder past its byte
+    range -> the Decoder.past_end guard reports divergence (rc=4)."""
+    from treee_tpu.utils.errors import CorruptFile
+
+    pts = _guard_points()
+    p = tmp_path / "f6.laz"
+    las.write_laz(str(p), pts, point_format=6)
+    data = bytearray(p.read_bytes())
+    header = las.LasHeader.parse(bytes(data))
+    size_at = header.offset_to_point_data + 8 + header.point_length + 4
+    data[size_at:size_at + 4] = (5).to_bytes(4, "little")
+    with pytest.raises(CorruptFile):
+        las.load(bytes(data))

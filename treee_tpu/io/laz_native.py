@@ -191,6 +191,18 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
     )
     if rc == 1:
         raise CorruptFile("LAZ stream corrupt")
+    if rc == 4:
+        # the native decoder's loud-divergence guard: a layer/chunk decode
+        # consumed a different symbol sequence than the writer emitted.  On
+        # a real upstream .laz the first suspects are the DERIVED adaptive-
+        # model details (POINT14 16x16 context tables, chunk-internal
+        # layout) — see native/laz_layered.cpp header + CLAUDE.md
+        raise CorruptFile(
+            "LAZ decode diverged from the writer's stream (overran a "
+            "layer/chunk or in-chunk count mismatch). If this file comes "
+            "from upstream LASzip, our derived adaptive-model tables "
+            "likely differ — report with the file attached rather than "
+            "trusting any decoded points.")
     if rc:
         raise UnsupportedFormat(f"LAZ decode unsupported (rc={rc})")
     return out
