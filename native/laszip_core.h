@@ -806,10 +806,14 @@ inline void wavepacket_write(Encoder& enc, WavepacketModels& c,
 
 // decode_chunk(data, avail, n_points, out_records) -> int rc
 template <class DecodeChunk>
+// ``first_point``: decode starts at this absolute point index (chunks are
+// independent streams, so earlier chunks are skipped without decoding —
+// the ingest-preview streaming path).  Must be chunk-aligned (returns 2
+// otherwise); ``n_points`` counts points decoded FROM first_point.
 inline int chunked_decompress_stream(const u8* file, u64 file_len,
                                      u64 point_data_offset, u64 n_points,
                                      u32 point_length, u32 chunk_size,
-                                     u8* out, i32 n_threads,
+                                     u8* out, i32 n_threads, u64 first_point,
                                      DecodeChunk&& decode_chunk) {
   if (point_data_offset + 8 > file_len) return 1;
 
@@ -838,12 +842,13 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
     // bound n_chunks BEFORE allocating: a corrupt count would otherwise
     // drive a multi-GB zero-filled vector + a ~4G-iteration table decode
     const u64 data_bytes = file_len - point_data_offset;
+    const u64 total = first_point + n_points;
     u64 cap;
     if (variable) {
       // each chunk holds >= 1 point and occupies >= 1 data byte
-      cap = n_points < data_bytes ? n_points : data_bytes;
+      cap = total < data_bytes ? total : data_bytes;
     } else {
-      cap = (n_points + chunk_size - 1) / chunk_size;
+      cap = (total + chunk_size - 1) / chunk_size;
     }
     if (n_chunks > cap) {
       if (!variable) n_chunks = static_cast<u32>(cap);  // ignore extras
@@ -877,9 +882,18 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
   };
   std::vector<ChunkRange> ranges;
   u64 off = point_data_offset + 8;
-  u64 remaining = n_points, out_idx = 0;
+  u64 skip = first_point, remaining = n_points, out_idx = 0;
   for (u32 i = 0; i < n_chunks && remaining; ++i) {
-    u64 want = variable ? counts[i] : chunk_size;
+    const u64 cnt = variable ? counts[i] : chunk_size;
+    if (skip) {
+      // skip whole chunks before first_point without decoding them
+      if (skip < cnt) return 2;  // first_point not chunk-aligned
+      skip -= cnt;
+      off += sizes[i];
+      if (off > file_len) return 1;
+      continue;
+    }
+    u64 want = cnt;
     if (want > remaining) want = remaining;
     const u32 npts = static_cast<u32>(want);
     ranges.push_back({off, npts, out_idx});
@@ -888,7 +902,7 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
     remaining -= npts;
     if (off > file_len) return 1;
   }
-  if (remaining) return 1;
+  if (skip || remaining) return 1;
 
   unsigned hw = std::thread::hardware_concurrency();
   u64 workers =

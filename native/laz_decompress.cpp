@@ -734,14 +734,14 @@ static int decompress_stream(const u8* file, u64 file_len,
                              u64 point_data_offset, u32 n_points,
                              u32 point_length,
                              const std::vector<ItemSpec>& items, u32 chunk_size,
-                             u8* out, i32 n_threads) {
+                             u8* out, i32 n_threads, u64 first_point = 0) {
   for (const auto& it : items)
     if (!item_supported(it)) return 2;
   // framing (chunk table, bounds, offset==-1, variable chunks, worker
   // pool) is shared with the layered codec: laszip_core.h
   return chunked_decompress_stream(
       file, file_len, point_data_offset, n_points, point_length, chunk_size,
-      out, n_threads,
+      out, n_threads, first_point,
       [&](const u8* data, u64 avail, u32 npts, u8* rec_out) {
         return decompress_chunk(data, avail, npts, items, point_length,
                                 rec_out);
@@ -780,18 +780,22 @@ extern "C" {
 //   chunk_size:        points per chunk from the LASzip VLR
 //   out:               n_points * point_length bytes
 // Returns 0 ok, 1 corrupt, 2 unsupported.
+// ``first_point``: decode [first_point, first_point + n_points) — must be
+// chunk-aligned (chunks are independent streams); 0 = whole file.
 int treee_laz_decompress_items(const laszip::u8* file, laszip::u64 file_len,
                                laszip::u64 point_data_offset,
                                laszip::u32 n_points, laszip::u32 point_length,
                                const laszip::u16* item_types,
                                const laszip::u16* item_sizes,
                                laszip::u32 n_items, laszip::u32 chunk_size,
-                               laszip::u8* out, laszip::i32 n_threads) {
+                               laszip::u8* out, laszip::i32 n_threads,
+                               laszip::u64 first_point) {
   using namespace laszip;
   if (n_items == 0) return 2;
   const auto items = items_from_arrays(item_types, item_sizes, n_items);
   return decompress_stream(file, file_len, point_data_offset, n_points,
-                           point_length, items, chunk_size, out, n_threads);
+                           point_length, items, chunk_size, out, n_threads,
+                           first_point);
 }
 
 // Compress point records into a chunked LAZ stream with an explicit item list.

@@ -1140,13 +1140,13 @@ struct ChunkRange {
 int decompress_stream(const u8* file, u64 file_len, u64 point_data_offset,
                       u64 n_points, u32 point_length,
                       const std::vector<LayeredItemSpec>& items, u32 chunk_size,
-                      u8* out, i32 n_threads) {
+                      u8* out, i32 n_threads, u64 first_point = 0) {
   for (const auto& it : items)
     if (!item_supported(it)) return 2;
   // framing shared with the sequential codec: laszip_core.h
   return chunked_decompress_stream(
       file, file_len, point_data_offset, n_points, point_length, chunk_size,
-      out, n_threads,
+      out, n_threads, first_point,
       [&](const u8* data, u64 avail, u32 npts, u8* rec_out) {
         return decompress_chunk(data, avail, npts, items, point_length,
                                 rec_out);
@@ -1178,7 +1178,8 @@ int treee_laz_decompress_layered(
     laszip::u64 point_data_offset, laszip::u32 n_points,
     laszip::u32 point_length, const laszip::u16* item_types,
     const laszip::u16* item_sizes, laszip::u32 n_items,
-    laszip::u32 chunk_size, laszip::u8* out, laszip::i32 n_threads) {
+    laszip::u32 chunk_size, laszip::u8* out, laszip::i32 n_threads,
+    laszip::u64 first_point) {
   using namespace laszip::layered;
   if (n_items == 0) return 2;
   std::vector<LayeredItemSpec> items(n_items);
@@ -1191,7 +1192,8 @@ int treee_laz_decompress_layered(
   // write past the caller's n_points*point_length buffer (heap OOB)
   if (size_sum != point_length) return 2;
   return decompress_stream(file, file_len, point_data_offset, n_points,
-                           point_length, items, chunk_size, out, n_threads);
+                           point_length, items, chunk_size, out, n_threads,
+                           first_point);
 }
 
 int treee_laz_compress_layered(

@@ -1,6 +1,7 @@
 """LAS ingest round-trip and synthetic-scan tests."""
 
 import numpy as np
+import pytest
 
 from treee_tpu.io import las
 
@@ -368,3 +369,65 @@ def test_gps_time_display_keeps_its_span(tmp_path):
     prop2 = np.asarray(s.attribute_prop("gps_time")[0])[:n]
     assert prop2.min() < 0.01 and prop2.max() > 0.99
     assert len(np.unique((prop2 * 255).astype(np.int32))) > 100
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest (VERDICT r4 task 6: chunk-streamed loading preview)
+
+
+def test_load_streaming_matches_load(tmp_path):
+    """load_streaming == load bit-for-bit, with one callback per slab and
+    monotone progress counters."""
+    pos = np.random.default_rng(3).uniform(-8, 8, (30_000, 3)).astype(np.float32)
+    p = str(tmp_path / "s.las")
+    las.write_las(p, pos)
+    calls = []
+    scan_s = las.load_streaming(
+        p, lambda pts, done, total: calls.append((len(pts), done, total)),
+        slab_points=10_000)
+    scan = las.load(p)
+    np.testing.assert_array_equal(scan.pos, scan_s.pos)
+    for k in scan.attributes:
+        np.testing.assert_array_equal(scan.attributes[k], scan_s.attributes[k])
+    assert [c[1] for c in calls] == [10_000, 20_000, 30_000]
+    assert all(c[2] == 30_000 for c in calls)
+
+
+def test_load_streaming_laz_chunk_aligned(tmp_path):
+    """.laz slabs cover whole LASzip chunks via the native range decode
+    (first_point) — no re-decoding, same bytes as the one-shot path."""
+    from treee_tpu.io import native_build
+
+    if native_build.load_library(required=False) is None:
+        pytest.skip("native codec not built")
+    pos = np.random.default_rng(4).uniform(-8, 8, (120_001, 3)).astype(np.float32)
+    p = str(tmp_path / "s.laz")
+    las.write_laz(p, pos)  # 50k-point chunks -> 3 chunks
+    calls = []
+    scan_s = las.load_streaming(p, lambda pts, d, t: calls.append(d),
+                                slab_points=50_000)
+    np.testing.assert_array_equal(las.load(p).pos, scan_s.pos)
+    assert calls == [50_000, 100_000, 120_001]
+
+
+def test_from_las_ingest_preview(tmp_path):
+    """Session.from_las(preview_cb=...) pushes one coarse frame per slab
+    while the scan decodes (the reference's loading.rs:91-115 streaming)."""
+    from treee_tpu.config import Config, RenderConfig
+    from treee_tpu.pipeline import Session
+
+    pos = np.random.default_rng(5).uniform(-8, 8, (24_000, 3)).astype(np.float32)
+    pos[:, 1] = np.abs(pos[:, 1])
+    p = str(tmp_path / "s.las")
+    las.write_las(p, pos)
+    frames = []
+    cfg = Config(render=RenderConfig(width=96, height=64))
+    s = Session.from_las(p, cfg, preview_cb=frames.append,
+                         preview_points=4096, slab_points=8_000)
+    assert len(frames) == 3
+    for img in frames:
+        assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+    # later frames have at least as many lit pixels as the first
+    lit = [int((f.sum(axis=-1) > 0).sum()) for f in frames]
+    assert lit[-1] >= lit[0] > 0
+    assert int(s.cloud.count) == 24_000

@@ -289,6 +289,95 @@ def load(source, center: np.ndarray | None = None, max_points: int | None = None
     )
 
 
+def load_streaming(source, slab_cb, center: np.ndarray | None = None,
+                   max_points: int | None = None,
+                   slab_points: int = 4_000_000) -> LoadedScan:
+    """:func:`load` with a per-slab callback fired DURING decode.
+
+    The reference streams decoded chunks to the renderer while loading
+    (loading.rs:91-115 -> program.rs:508-530); this is that hook for the
+    ingest path: points are decoded in chunk-aligned slabs of
+    ~``slab_points`` and ``slab_cb(pos_slab f32[k,3], n_done, n_total)``
+    fires after each slab, letting a viewer show imagery while a large
+    ``.laz`` is still decompressing.  ``.laz`` slabs cover whole LASzip
+    chunks (independent streams — native range decode, no re-decoding);
+    variable-size-chunk files fall back to a single slab.  Returns the
+    same :class:`LoadedScan` as :func:`load`.
+    """
+    if isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    elif hasattr(source, "read"):
+        data = source.read()
+    else:
+        with open(source, "rb") as fh:
+            data = fh.read()
+
+    header = LasHeader.parse(data)
+    vlr = _find_laszip_vlr(data, header)
+    compressed = header.compressed or vlr is not None
+    n = header.num_points
+    if max_points is not None:
+        n = min(n, max_points)
+    lo_w, hi_w = swizzle_bounds(header)
+    if center is None:
+        center = (lo_w + hi_w) / 2.0
+
+    if compressed:
+        from . import laz_native
+
+        if vlr is None:
+            from ..utils.errors import CorruptFile
+
+            raise CorruptFile("compressed flag set but no LASzip VLR found")
+        cs = laz_native.parse_vlr(vlr)["chunk_size"]
+        if cs in (0, 0xFFFFFFFF):
+            slab = max(n, 1)  # variable-size chunks: one slab
+        else:
+            slab = max(cs, slab_points // cs * cs)
+    else:
+        slab = max(1, slab_points)
+
+    # preallocated (hence pre-touched) stores: the post-device-init host
+    # page-fault path is ~10 MB/s (CLAUDE.md memory rules)
+    raw = np.zeros(n * header.point_length, np.uint8)
+    pos = np.zeros((n, 3), np.float32)
+    from . import native_build
+
+    lib = native_build.load_library(required=False) if n >= 1_000_000 else None
+    done = 0
+    while done < n:
+        k = min(slab, n - done)
+        if compressed:
+            part = laz_native.decompress(data, header, vlr, k,
+                                         first_point=done)
+        else:
+            start = header.offset_to_point_data + done * header.point_length
+            part = np.frombuffer(data, np.uint8,
+                                 count=k * header.point_length, offset=start)
+        raw[done * header.point_length:(done + k) * header.point_length] = part
+        if lib is not None:
+            p = native_build.las_decode(
+                lib, np.ascontiguousarray(part), header.point_length,
+                header.scale, header.offset, center)[:k]
+        else:
+            p = decode_records(part, header.point_length, header.scale,
+                               header.offset, center)[:k]
+        pos[done:done + k] = p
+        done += k
+        if slab_cb is not None:
+            slab_cb(p, done, n)
+    return LoadedScan(
+        pos=pos,
+        world_offset=center,
+        lo=(lo_w - center).astype(np.float32),
+        hi=(hi_w - center).astype(np.float32),
+        header=header,
+        attributes=decode_attributes(
+            raw, header.point_format, header.point_length, n
+        ),
+    )
+
+
 # Record length per LAS point format (ASPRS spec).
 POINT_LENGTHS = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
                  6: 30, 7: 36, 8: 38, 9: 59, 10: 67}

@@ -126,8 +126,13 @@ def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20,
     return head + b"".join(packed)
 
 
-def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndarray:
-    """Decompress LAZ point records -> raw record bytes u8[n*point_length]."""
+def decompress(data: bytes, header, vlr: bytes | None, n_points: int,
+               first_point: int = 0) -> np.ndarray:
+    """Decompress LAZ point records -> raw record bytes u8[n*point_length].
+
+    ``first_point`` decodes the range [first_point, first_point+n_points)
+    without touching earlier chunks (they are independent streams) — the
+    ingest-streaming path.  Must be a multiple of the VLR chunk size."""
     if vlr is None:
         raise CorruptFile("compressed flag set but no LASzip VLR found")
     info = parse_vlr(vlr)
@@ -188,6 +193,7 @@ def decompress(data: bytes, header, vlr: bytes | None, n_points: int) -> np.ndar
         sizes.ctypes.data_as(ctypes.c_void_p), len(items),
         chunk_size,
         out.ctypes.data_as(ctypes.c_void_p), 0,
+        ctypes.c_uint64(first_point),
     )
     if rc == 1:
         raise CorruptFile("LAZ stream corrupt")

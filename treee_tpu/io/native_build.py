@@ -102,6 +102,7 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_uint64,  # first_point (chunk-aligned range decode)
         ]
         lib.treee_laz_decompress_items.restype = ctypes.c_int
         lib.treee_laz_compress_items.argtypes = [

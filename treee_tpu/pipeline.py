@@ -147,13 +147,47 @@ class Session:
 
     @classmethod
     def from_las(cls, source, config: Config = DEFAULT_CONFIG,
-                 max_points: int | None = None) -> "Session":
+                 max_points: int | None = None, preview_cb=None,
+                 preview_points: int = 1 << 20,
+                 slab_points: int = 4_000_000) -> "Session":
+        """Load a scan; with ``preview_cb`` set, stream coarse height frames
+        DURING decode (the reference renders chunks while loading,
+        loading.rs:91-115 -> program.rs:508-530): every decoded slab
+        (~``slab_points``, .laz chunk-aligned) adds to a fixed
+        ``preview_points`` subsample and ``preview_cb(img u8[H,W,3])``
+        fires with its render — fixed shapes, so the frame compiles once."""
         s = cls(config)
-        scan = las.load(source, max_points=max_points)
+        if preview_cb is None:
+            scan = las.load(source, max_points=max_points)
+        else:
+            scan = las.load_streaming(
+                source, s._ingest_preview_cb(preview_cb, preview_points),
+                max_points=max_points, slab_points=slab_points)
         s.world_offset = scan.world_offset
         s.cloud = PointCloud.from_numpy(scan.pos)
         s._attach_attributes(scan.attributes)
         return s
+
+    def _ingest_preview_cb(self, preview_cb, preview_points: int):
+        """slab_cb for las.load_streaming: maintain a fixed-capacity
+        subsample of the points decoded so far and push a height-colored
+        frame per slab."""
+        sub = np.zeros((preview_points, 3), np.float32)
+        state = {"fill": 0}
+
+        def slab_cb(p, done, total):
+            stride = max(1, -(-total // preview_points))
+            take = p[::stride]
+            k = min(len(take), preview_points - state["fill"])
+            if k:
+                sub[state["fill"]:state["fill"] + k] = take[:k]
+                state["fill"] += k
+            valid = jnp.arange(preview_points) < state["fill"]
+            img = _height_preview(jnp.asarray(sub), valid, self.camera,
+                                  self.palette, self.config.render)
+            preview_cb(np.asarray(splat.to_u8(img)))
+
+        return slab_cb
 
     @classmethod
     def from_points(cls, pos: np.ndarray, config: Config = DEFAULT_CONFIG,
@@ -237,10 +271,19 @@ class Session:
             self._attr_dev[name] = (jnp.asarray(prop), pal)
         return self._attr_dev[name]
 
-    def add_las(self, source) -> None:
+    def add_las(self, source, preview_cb=None,
+                preview_points: int = 1 << 20,
+                slab_points: int = 4_000_000) -> None:
         """Merge another scan, re-centered on this session's offset
-        (Loading::add, loading.rs:79-88; Interactive::add_points mod.rs:340-371)."""
-        scan = las.load(source, center=self.world_offset)
+        (Loading::add, loading.rs:79-88; Interactive::add_points
+        mod.rs:340-371).  ``preview_cb`` streams ingest previews of the
+        incoming scan during decode, like :meth:`from_las`."""
+        if preview_cb is None:
+            scan = las.load(source, center=self.world_offset)
+        else:
+            scan = las.load_streaming(
+                source, self._ingest_preview_cb(preview_cb, preview_points),
+                center=self.world_offset, slab_points=slab_points)
         valid = np.asarray(self.cloud.valid)
         data = self.cloud.to_numpy()
         pos = np.concatenate([data["pos"], scan.pos])

@@ -482,7 +482,10 @@ class Repl:
             if self.preview_hook is not None:
                 self.preview_hook(self.s.preview_frame(self.s.camera))
         elif cmd == "add":
-            s.add_las(args[0])
+            # ingest-time preview: coarse height frames stream to the viewer
+            # per decoded slab, while the .laz is still decompressing
+            # (loading.rs:91-115 chunk streaming)
+            s.add_las(args[0], preview_cb=self.preview_hook)
             self._print(f"added {args[0]}: {int(s.cloud.count):,} points")
             if self.preview_hook is not None:
                 # reference behavior: freshly decoded points appear on screen
