@@ -7,6 +7,7 @@ trips against a loopback server, PNG sanity-checked by parsing the chunks.
 
 import json
 import struct
+import time
 import urllib.request
 import zlib
 
@@ -211,7 +212,118 @@ def test_frame_png_serves_preview_while_locked(server):
 
 
 def test_distance_command_pushes_preview(server):
-    server._preview_png = None
-    out = _cmd(server, "distance 0.75")
-    assert out["ok"]
-    assert server._preview_png is not None  # the hook fired mid-command
+    pushed = []
+    orig = server._push_preview
+    server.repl.preview_hook = lambda img: (pushed.append(1), orig(img))
+    try:
+        out = _cmd(server, "distance 0.75")
+        assert out["ok"]
+        assert pushed  # the hook fired mid-command
+    finally:
+        server.repl.preview_hook = orig
+
+
+# --- frame pipelining (VERDICT r3 weak #5 / r4 task 3) ---------------------
+
+
+def _settle(server, timeout=30.0):
+    """Wait until the render worker has caught up with all requests."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        with server._frame_cond:
+            if server._req_gen == server._done_gen:
+                return
+        time.sleep(0.01)
+    raise AssertionError("render worker never settled")
+
+
+def test_commands_decoupled_from_render_latency(server):
+    """With an artificially slow renderer, a burst of drag-rotate commands
+    returns immediately and coalesces to ~1 render per render interval —
+    input handling is decoupled from render latency (the reference's
+    event-loop rendering, lib.rs:162-164)."""
+    _settle(server)
+    calls = []
+    orig = server._frame_img_locked
+
+    def slow(focus=False):
+        calls.append(time.monotonic())
+        time.sleep(0.2)
+        return orig(focus)
+
+    server._frame_img_locked = slow
+    try:
+        t0 = time.monotonic()
+        for i in range(10):
+            out = server.command(f"rotate {i + 1} 0")
+            assert out["ok"]
+        cmd_elapsed = time.monotonic() - t0
+        # 10 commands, each NOT paying the 0.2 s render: far below 10*0.2
+        assert cmd_elapsed < 1.0, f"commands blocked on renders: {cmd_elapsed:.2f}s"
+        _settle(server)
+        # burst coalesced: >=1 render ran, but nowhere near one per command
+        assert 1 <= len(calls) <= 3, f"{len(calls)} renders for 10 commands"
+    finally:
+        server._frame_img_locked = orig
+        _settle(server)
+
+
+def test_frame_seq_advances_and_long_poll_returns(server):
+    _settle(server)
+    seq0 = server.frame_seq
+    server.command("rotate 5 0")
+    png, seq1 = server.frame_wait(seq0, timeout=30.0)
+    assert seq1 > seq0 and png[:8] == b"\x89PNG\r\n\x1a\n"
+    # long poll with the current seq times out quickly and re-serves
+    png2, seq2 = server.frame_wait(seq1, timeout=0.2)
+    assert seq2 == seq1 and png2 == png
+
+
+def test_frame_rgb_endpoint(server):
+    server.command("rotate 1 0")
+    _settle(server)
+    status, ctype, body = _get(server, "/frame.rgb")
+    assert status == 200 and ctype == "application/octet-stream"
+    img, seq = server.frame_rgb()
+    assert img is not None and len(body) == img.size
+    assert img.shape == (108, 192, 3)
+
+
+def test_focusview_command_switches_variant(server):
+    _settle(server)
+    assert server.command("focusview on")["ok"]
+    _settle(server)
+    with server._frame_cond:
+        assert server._want_focus
+    assert server.command("focusview off")["ok"]
+    _settle(server)
+    with server._frame_cond:
+        assert not server._want_focus
+
+
+def test_ingest_preview_streams_through_serve(server, tmp_path):
+    """While a multi-chunk scan decodes inside 'add', ingest previews
+    publish (seq bumps) BEFORE the command completes (VERDICT r4 task 6)."""
+    from treee_tpu.io import las
+
+    pos = np.random.default_rng(9).uniform(-8, 8, (24_000, 3)).astype(np.float32)
+    pos[:, 1] = np.abs(pos[:, 1])
+    p = str(tmp_path / "s.las")
+    las.write_las(p, pos)
+    seqs_during = []
+    orig = server._push_preview
+
+    def spy(img):
+        orig(img)
+        seqs_during.append(server.frame_seq)
+
+    server.repl.preview_hook = spy
+    try:
+        n0 = json.loads(_get(server, "/info")[2])["points"]
+        out = _cmd(server, f"add {p}")
+        assert out["ok"]
+        # slab previews published mid-decode (plus the final one)
+        assert len(seqs_during) >= 2
+        assert json.loads(_get(server, "/info")[2])["points"] == n0 + 24_000
+    finally:
+        server.repl.preview_hook = orig

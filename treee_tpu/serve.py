@@ -12,8 +12,11 @@ pipeline, parallel/tiles.py) holds instead of 15M.  ``serve.py`` is that
 inversion, a dependency-free stdlib HTTP server over the Session/REPL:
 
   GET  /             one-file viewer page (canvas + mouse/keyboard mapping)
-  GET  /frame.png    current frame as PNG (full / LOD / focused view)
-  POST /cmd          one REPL command line -> its text output
+  GET  /frame.png    current frame as PNG (full / LOD / focused view);
+                     ?wait=1&seq=N long-polls until a newer frame publishes
+  GET  /frame.rgb    latest frame as raw RGB bytes (no PNG encode)
+  POST /cmd          one REPL command line -> its text output (returns
+                     right after the state mutation; rendering is async)
   GET  /info         session stats JSON
 
 The page introduces NO new interaction semantics: every gesture maps to the
@@ -28,6 +31,7 @@ import io
 import json
 import struct
 import threading
+import time
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -63,6 +67,10 @@ def png_encode(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + chunk(b"IEND", b"")
     )
+
+
+# placeholder until the worker publishes its first frame
+_EMPTY_PNG = png_encode(np.zeros((1, 1, 3), np.uint8))
 
 
 _PAGE = """<!doctype html>
@@ -103,13 +111,35 @@ _PAGE = """<!doctype html>
 <script>
 const el=id=>document.getElementById(id);
 const img=el('frame'); let focusMode=false;
-function refresh(){
-  img.src='/frame.png?focus='+(focusMode?1:0)+'&t='+Date.now();}
+/* one persistent long-poll: the server publishes frames from its render
+   worker; this loop just displays the newest one (frame pipelining) */
+let seq=0;
+async function frameLoop(){
+  for(;;){
+    try{
+      const r=await fetch('/frame.png?wait=1&seq='+seq);
+      seq=+r.headers.get('X-Frame-Seq')||0;
+      const u=URL.createObjectURL(await r.blob());
+      const old=img.src; img.src=u;
+      if(old.startsWith('blob:'))URL.revokeObjectURL(old);
+    }catch(e){await new Promise(res=>setTimeout(res,500));}
+  }
+}
 async function cmd(line,quiet){
   const r=await fetch('/cmd',{method:'POST',body:line});
   const j=await r.json();
   if(!quiet&&j.output)el('log').textContent+=j.output;
-  el('log').scrollTop=1e9; refresh(); stats(); return j;}
+  el('log').scrollTop=1e9; stats(); return j;}
+/* drag coalescing: at most one rotate POST in flight; deltas arriving
+   while it runs accumulate into the next one */
+let rotPend=null,rotBusy=false;
+function sendRotate(dx,dy){
+  if(rotBusy){
+    rotPend=rotPend?[rotPend[0]+dx,rotPend[1]+dy]:[dx,dy];return;}
+  rotBusy=true;
+  fetch('/cmd',{method:'POST',body:`rotate ${dx} ${dy}`}).finally(()=>{
+    rotBusy=false;
+    if(rotPend){const[a,b]=rotPend;rotPend=null;sendRotate(a,b);}});}
 async function stats(){
   const j=await(await fetch('/info')).json();
   el('stats').textContent=j.points.toLocaleString()+' pts / '
@@ -135,7 +165,7 @@ img.onmousemove=e=>{
   if(Math.abs(dx)+Math.abs(dy)<3)return;
   moved=true;down=[e.clientX,e.clientY];
   if(e.shiftKey){const[p,q]=pix(e);cmd(`drag ${p|0} ${q|0}`,true);}
-  else cmd(`rotate ${dx*4} ${dy*4}`,true);};
+  else sendRotate(dx*4,dy*4);};
 img.onmouseup=e=>{
   if(down&&!moved){const[p,q]=pix(e);cmd(`click ${p|0} ${q|0}`);}
   down=null;};
@@ -146,14 +176,15 @@ window.onkeydown=e=>{
 /* widgets -> commands */
 el('lod').onchange=e=>cmd('lod '+(e.target.checked?'on':'off'),true);
 el('deleted').onchange=e=>cmd('showdeleted '+(e.target.checked?'on':'off'),true);
-el('focus').onchange=e=>{focusMode=e.target.checked;refresh();};
+el('focus').onchange=e=>{focusMode=e.target.checked;
+  cmd('focusview '+(focusMode?'on':'off'),true);};
 el('display').onchange=e=>cmd('display '+e.target.value,true);
 for(const o of['hull','rbv','axis'])
   el(o).onchange=e=>cmd(`overlay ${o} `+(e.target.checked?'on':'off'),true);
 el('cli').onkeydown=e=>{
   if(e.key==='Enter'){el('log').textContent+='> '+e.target.value+'\\n';
     cmd(e.target.value);e.target.value='';}};
-refresh();stats();
+frameLoop();stats();
 </script>
 """
 
@@ -165,6 +196,18 @@ class ViewerServer:
     stateful, so every request that touches the session serializes through
     ``self.lock``; the HTTP accept loop itself stays threaded so a slow
     frame doesn't wedge the page load.
+
+    **Frame pipelining** (VERDICT r3/r4: match the reference's event-loop
+    rendering, lib.rs:162-164 / program.rs:212): rendering runs on a
+    dedicated worker thread, double-buffered.  ``POST /cmd`` mutates REPL
+    state and returns immediately; it only *requests* a render
+    (generation counter bump).  The worker always renders the NEWEST
+    state, so a burst of drag-rotate commands coalesces into one render —
+    input handling is fully decoupled from render latency.  The page
+    holds one long-poll ``GET /frame.png?seq=N&wait=1`` that returns as
+    soon as a newer frame (or ingest/segmentation preview) is published.
+    ``GET /frame.rgb`` serves the latest frame as raw RGB bytes (no PNG
+    encode) for programmatic clients.
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 8080):
@@ -177,7 +220,24 @@ class ViewerServer:
         # loading.rs:91-115, segmenting.rs:209-224)
         self._preview_png: bytes | None = None
         self._last_png: bytes | None = None
+        self._last_img: np.ndarray | None = None
         self.repl.preview_hook = self._push_preview
+
+        # render pipeline state (guarded by _frame_cond's lock, which is
+        # NEVER held while touching the session/device)
+        self._frame_cond = threading.Condition()
+        self._req_gen = 0    # newest requested render generation
+        self._done_gen = 0   # generation the worker has rendered through
+        self._frame_seq = 0  # bumps on every published image (frame/preview)
+        self._want_focus = False
+        self._rendering = False  # worker holds self.lock for a render
+        self._cmd_waiting = 0    # commands queued/running (worker defers)
+        self._last_cmd_done = 0.0
+        self._render_error: Exception | None = None
+        self._stop = False
+        self._render_thread = threading.Thread(
+            target=self._render_loop, daemon=True)
+        self._render_thread.start()
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -200,11 +260,39 @@ class ViewerServer:
                     q = parse_qs(url.query)
                     focus = q.get("focus", ["0"])[0] == "1"
                     try:
-                        png = viewer.frame_png(focus)
+                        if "wait" in q:
+                            # long poll: return as soon as a frame newer
+                            # than the client's seq is published
+                            have = int(q.get("seq", ["0"])[0])
+                            png, seq = viewer.frame_wait(have, focus)
+                        else:
+                            png = viewer.frame_png(focus)
+                            seq = viewer.frame_seq
                     except Exception as e:  # surface in the tab, keep serving
                         self._send(500, "text/plain", str(e).encode())
                         return
-                    self._send(200, "image/png", png)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("X-Frame-Seq", str(seq))
+                    self.end_headers()
+                    self.wfile.write(png)
+                elif url.path == "/frame.rgb":
+                    img, seq = viewer.frame_rgb()
+                    if img is None:
+                        self._send(503, "text/plain", b"no frame yet")
+                        return
+                    body = img.tobytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("X-Width", str(img.shape[1]))
+                    self.send_header("X-Height", str(img.shape[0]))
+                    self.send_header("X-Frame-Seq", str(seq))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif url.path == "/info":
                     self._send(200, "application/json",
                                json.dumps(viewer.info()).encode())
@@ -237,35 +325,177 @@ class ViewerServer:
         )
 
     def command(self, line: str) -> dict:
-        with self.lock:
-            self.repl.out = io.StringIO()
-            alive = self.repl.handle(line)
-            return {"ok": True, "output": self.repl.out.getvalue(),
-                    "quit": not alive}
+        # server-level command: the focused-view toggle is viewer state
+        # (which frame variant the worker renders), not REPL state
+        stripped = line.strip().split()
+        if stripped and stripped[0] == "focusview":
+            want = len(stripped) > 1 and stripped[1] == "on"
+            with self._frame_cond:
+                self._want_focus = want
+                self._req_gen += 1
+                self._frame_cond.notify_all()
+            return {"ok": True, "output": "", "quit": False}
+        # priority over the render worker: while commands are waiting the
+        # worker defers (briefly), so a burst of drag events runs back to
+        # back instead of each queueing behind a whole render
+        with self._frame_cond:
+            self._cmd_waiting += 1
+        try:
+            with self.lock:
+                self.repl.out = io.StringIO()
+                alive = self.repl.handle(line)
+                out = {"ok": True, "output": self.repl.out.getvalue(),
+                       "quit": not alive}
+        finally:
+            with self._frame_cond:
+                self._cmd_waiting -= 1
+                self._last_cmd_done = time.monotonic()
+                self._frame_cond.notify_all()
+        # returns immediately after the state mutation: rendering is the
+        # worker's job (one render per burst of commands, newest state)
+        self.request_render()
+        return out
+
+    def request_render(self) -> int:
+        """Ask the worker for a render of the CURRENT state; coalesces."""
+        with self._frame_cond:
+            self._req_gen += 1
+            self._frame_cond.notify_all()
+            return self._req_gen
 
     def _push_preview(self, img: np.ndarray) -> None:
-        self._preview_png = png_encode(np.asarray(img))
+        with self._frame_cond:
+            self._preview_png = png_encode(np.asarray(img))
+            self._frame_seq += 1  # wake long-polls: fresher imagery exists
+            self._frame_cond.notify_all()
 
-    def frame_png(self, focus: bool = False) -> bytes:
-        if not self.lock.acquire(blocking=False):
-            # a long command holds the session: serve the freshest preview
-            # (or the last real frame) instead of wedging the poll loop
-            cached = self._preview_png or self._last_png
-            if cached is not None:
-                return cached
-            self.lock.acquire()  # nothing cached yet: wait like before
-        try:
-            png = self._frame_png_locked(focus)
-            self._last_png = png
-            # a real frame supersedes any pushed preview; keeping the old
-            # preview would flash an outdated coarse image during the NEXT
-            # lock-holding command that pushes none (inventory, compare, ...)
-            self._preview_png = None
-            return png
-        finally:
-            self.lock.release()
+    @property
+    def frame_seq(self) -> int:
+        with self._frame_cond:
+            return self._frame_seq
 
-    def _frame_png_locked(self, focus: bool = False) -> bytes:
+    def _render_loop(self) -> None:
+        """Worker: render whenever a newer generation is requested.
+
+        Snapshots the newest requested generation, renders ONCE, and marks
+        every request up to that generation done — a burst of drag-rotates
+        costs one render of the final camera.  The session lock is only
+        held for the render itself, so commands interleave freely.
+        """
+        while True:
+            with self._frame_cond:
+                while self._req_gen == self._done_gen and not self._stop:
+                    self._frame_cond.wait(0.5)
+                if self._stop:
+                    return
+                # yield to command bursts: render only after a short
+                # quiescence window (30 ms since the last command), bounded
+                # at 100 ms so a continuous drag stream can't starve frames.
+                # THEN snapshot the newest generation — one render covers
+                # the whole burst that just ran.
+                yield_until = time.monotonic() + 0.1
+                while time.monotonic() < yield_until and (
+                        self._cmd_waiting
+                        or time.monotonic() - self._last_cmd_done < 0.03):
+                    self._frame_cond.wait(0.01)
+                gen = self._req_gen
+                focus = self._want_focus
+            try:
+                with self.lock:
+                    # _rendering distinguishes "worker holds the session"
+                    # from "a long REPL command holds it" for frame_png's
+                    # preview fallback; set only AFTER acquiring, so a
+                    # worker QUEUED behind a long command doesn't block
+                    # the preview path
+                    with self._frame_cond:
+                        self._rendering = True
+                    try:
+                        img = np.asarray(self._frame_img_locked(focus))
+                    finally:
+                        with self._frame_cond:
+                            self._rendering = False
+                png = png_encode(img)
+            except Exception as e:
+                # a broken render must not kill the worker; the failed
+                # generation is marked done so the loop doesn't spin, and
+                # the error surfaces on the next synchronous frame_png
+                with self._frame_cond:
+                    self._render_error = e
+                    self._done_gen = gen
+                    self._frame_cond.notify_all()
+                continue
+            with self._frame_cond:
+                self._render_error = None
+                self._last_img = img
+                self._last_png = png
+                # a real frame supersedes any pushed preview; keeping the
+                # old preview would flash an outdated coarse image during
+                # the NEXT lock-holding command that pushes none
+                self._preview_png = None
+                self._done_gen = gen
+                self._frame_seq += 1
+                self._frame_cond.notify_all()
+
+    def frame_wait(self, have_seq: int, focus: bool | None = None,
+                   timeout: float = 20.0) -> tuple[bytes, int]:
+        """Long poll: block until a frame newer than ``have_seq`` is
+        published (or timeout), then return (png, seq)."""
+        deadline = time.monotonic() + timeout
+        with self._frame_cond:
+            if focus is not None and focus != self._want_focus:
+                self._want_focus = focus
+                self._req_gen += 1
+                self._frame_cond.notify_all()
+            if self._last_png is None and self._req_gen == self._done_gen:
+                self._req_gen += 1  # first client: make a frame exist
+                self._frame_cond.notify_all()
+            while self._frame_seq <= have_seq:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                self._frame_cond.wait(left)
+            png = self._preview_png or self._last_png or _EMPTY_PNG
+            return png, self._frame_seq
+
+    def frame_png(self, focus: bool = False, timeout: float = 120.0) -> bytes:
+        """Freshest frame of the current state (synchronous surface).
+
+        Requests a render and waits for it — UNLESS a REPL command holds
+        the session (long pipeline run): then the freshest preview or the
+        last real frame is served instead of wedging the poll loop.
+        """
+        import time
+
+        gen = None
+        with self._frame_cond:
+            if focus != self._want_focus:
+                self._want_focus = focus
+            gen = self._req_gen = self._req_gen + 1
+            self._frame_cond.notify_all()
+        deadline = time.monotonic() + timeout
+        while True:
+            with self._frame_cond:
+                if self._done_gen >= gen:
+                    if self._render_error is not None:
+                        e, self._render_error = self._render_error, None
+                        raise e
+                    return self._last_png or self._preview_png or _EMPTY_PNG
+                # a command (not our worker) holds the session: don't wait
+                cmd_busy = self.lock.locked() and not self._rendering
+                if cmd_busy:
+                    cached = self._preview_png or self._last_png
+                    if cached is not None:
+                        return cached
+                if time.monotonic() > deadline:
+                    return self._preview_png or self._last_png or _EMPTY_PNG
+                self._frame_cond.wait(0.05)
+
+    def frame_rgb(self) -> tuple[np.ndarray | None, int]:
+        """Latest rendered frame as a raw RGB array (no PNG encode)."""
+        with self._frame_cond:
+            return self._last_img, self._frame_seq
+
+    def _frame_img_locked(self, focus: bool = False) -> np.ndarray:
         r = self.repl
         if focus and r.selected is not None:
             img = r.s.render_focus(
@@ -291,7 +521,7 @@ class ViewerServer:
             img = r.s.render(use_lod=r.use_lod,
                              show_deleted=r.show_deleted,
                              prop=prop, palette=pal)
-        return png_encode(np.asarray(img))
+        return np.asarray(img)
 
     def info(self) -> dict:
         with self.lock:
@@ -325,5 +555,9 @@ class ViewerServer:
         return t
 
     def shutdown(self) -> None:
+        with self._frame_cond:
+            self._stop = True
+            self._frame_cond.notify_all()
+        self._render_thread.join(timeout=120)
         self.httpd.shutdown()
         self.httpd.server_close()
