@@ -105,12 +105,14 @@ def test_sharded_inventory_matches_single_device():
 
     shard1 = lambda a: jax.device_put(
         a, NamedSharding(mesh, PartitionSpec("data")))
-    tr_sh, counts_sh, found_sh = fn(pos_s, shard1(seg), shard1(cls),
-                                    valid_s)
+    tr_sh, counts_sh, found_sh, origin_sh = fn(pos_s, shard1(seg),
+                                               shard1(cls), valid_s)
 
     np.testing.assert_array_equal(np.asarray(counts_sh), counts_ref)
     np.testing.assert_array_equal(np.asarray(found_sh),
                                   np.asarray(axes.found))
+    np.testing.assert_allclose(np.asarray(origin_sh),
+                               np.asarray(axes.origin), rtol=1e-4, atol=1e-4)
     for f in ("diameter_breast_height", "crown_volume", "stem_volume",
               "wood_volume", "crown_diameter", "crown_surface"):
         np.testing.assert_allclose(
@@ -543,3 +545,104 @@ def test_sorted_inventory_paths_compose_sharded():
     np.testing.assert_allclose(np.asarray(trunk_d),
                                np.asarray(ref_trunk.distances),
                                rtol=1e-3, atol=1e-3)
+
+
+# --- Session mesh mode (VERDICT r4 task 2: the mesh is a Session MODE) ----
+
+
+def test_session_mesh_mode_end_to_end():
+    """Session(cfg, mesh=...) drives the WHOLE user surface on the 8-CPU
+    mesh — segment, characteristics table, render, LOD + adaptive masks
+    (cached sharded octree), edits, pick, rasters, inventory — and matches
+    a single-device Session fed the SAME Morton-preordered rows bit-exactly
+    (integer/key paths) or to float tolerance (shading, float psums)."""
+    from treee_tpu.config import (CharacteristicsConfig, RenderConfig)
+    from treee_tpu.pipeline import Session
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=128,
+            max_trees_per_band=32, cc_iters=16,
+        ),
+        characteristics=CharacteristicsConfig(max_slices=96),
+        render=RenderConfig(width=128, height=96),
+    )
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=3000,
+                               ground_points=3000, seed=11)
+
+    mesh = sharding.make_mesh()
+    sm = Session.from_points(pts, cfg, mesh=mesh)
+    assert sm.mesh is mesh
+    n_cap = sm.cloud.capacity
+    assert n_cap % 8 == 0
+
+    # single-device reference on the SAME rows (mesh mode Morton-preorders
+    # at ingest; feed the reordered host rows so arrays compare 1:1)
+    host = sm.cloud.to_numpy()
+    n_live = int(np.asarray(sm.cloud.valid).sum())
+    s1 = Session.from_points(np.asarray(host["pos"])[:n_live], cfg)
+    assert s1.cloud.capacity == n_cap  # same 1024-block rounding
+
+    res_m = sm.segment(0.75)
+    res_1 = s1.segment(0.75)
+    assert int(res_m.n_segments) == int(res_1.n_segments)
+    np.testing.assert_array_equal(np.asarray(sm.cloud.segment),
+                                  np.asarray(s1.cloud.segment))
+    cls_agree = (np.asarray(sm.cloud.classification)
+                 == np.asarray(s1.cloud.classification)).mean()
+    assert cls_agree > 0.999, f"classification agreement {cls_agree:.4f}"
+
+    # characteristics (full bbox) table
+    tm, t1 = sm.characteristics(), s1.characteristics()
+    np.testing.assert_array_equal(np.asarray(tm.present),
+                                  np.asarray(t1.present))
+    np.testing.assert_allclose(np.asarray(tm.ground_sep),
+                               np.asarray(t1.ground_sep), atol=1e-3)
+
+    # full-cloud frame: pmin key compositing exact, shading to tolerance
+    img_m = sm.render()
+    img_1 = s1.render()
+    exact = (img_m == img_1).all(axis=-1).mean()
+    assert exact > 0.98, f"only {exact:.4f} of pixels identical"
+
+    # LOD + adaptive masks ride the CACHED sharded octree
+    sm.build_lod(level=6)
+    s1.build_lod(level=6)
+    stree0 = sm._stree
+    assert stree0 is not None
+    np.testing.assert_array_equal(np.asarray(sm._lod[1]),
+                                  np.asarray(s1._lod[1]))  # same indices
+
+    # edit stroke: elementwise on sharded arrays; then adaptive rebuild
+    # REUSES the cached tree (positions never moved)
+    center = np.asarray(host["pos"])[:n_live].mean(axis=0)
+    sm.delete_sphere(jnp.asarray(center, jnp.float32), 2.0)
+    s1.delete_sphere(jnp.asarray(center, jnp.float32), 2.0)
+    np.testing.assert_array_equal(np.asarray(sm.cloud.segment),
+                                  np.asarray(s1.cloud.segment))
+    sm.build_lod(camera=sm.camera, adaptive_tau_px=2.0)
+    s1.build_lod(camera=s1.camera, adaptive_tau_px=2.0)
+    assert sm._stree is stree0, "sharded octree must be cached across edits"
+    np.testing.assert_array_equal(np.asarray(sm._lod[1]),
+                                  np.asarray(s1._lod[1]))
+    img_m = sm.render(use_lod=True)
+    img_1 = s1.render(use_lod=True)
+    assert (img_m == img_1).all(axis=-1).mean() > 0.98
+
+    # pick: same winner
+    pm = sm.pick(64, 48)
+    p1 = s1.pick(64, 48)
+    assert pm[0] == p1[0] and pm[2] == p1[2]
+    np.testing.assert_allclose(pm[1], p1[1], rtol=1e-6)
+
+    # rasters bit-exact; inventory to float tolerance
+    gm, _, _ = sm.rasters(2.0, cap=256)
+    g1, _, _ = s1.rasters(2.0, cap=256)
+    for k in gm:
+        np.testing.assert_array_equal(gm[k], g1[k])
+    im, i1 = sm.inventory(), s1.inventory()
+    np.testing.assert_array_equal(im["segment"], i1["segment"])
+    np.testing.assert_array_equal(im["n_points"], i1["n_points"])
+    np.testing.assert_allclose(im["diameter_breast_height"],
+                               i1["diameter_breast_height"],
+                               rtol=1e-4, atol=1e-5)

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demo", action="store_true", help="run on a synthetic forest")
     p.add_argument("--max-points", type=int, default=None,
                    help="cap loaded points (webdemo caps at 15M, laz.rs:49-62)")
+    p.add_argument("--mesh", choices=["auto"], default=None,
+                   help="run the session point-sharded over ALL attached "
+                        "devices (Session mesh mode; single device = no-op)")
     p.add_argument("--add", action="append", default=[], metavar="SCAN",
                    help="merge another .las/.laz into the scene "
                         "(Loading::add, loading.rs:79-88)")
@@ -248,7 +251,7 @@ def main(argv=None) -> int:
     if args.demo:
         pts = las.synthetic_forest(n_trees=16, points_per_tree=8000,
                                    ground_points=20000)
-        session = Session.from_points(pts, cfg)
+        session = Session.from_points(pts, cfg, mesh=args.mesh)
     elif args.input is None:
         print("error: provide an input file or --demo", file=sys.stderr)
         return 2
@@ -256,10 +259,12 @@ def main(argv=None) -> int:
         # .ipc: the reference app's own bincode session format
         # (io/ipc.read_reference_ipc) — a migrating user opens it directly
         with phase_timer("load-session"):
-            session = Session.open(args.input, cfg)
+            session = Session.open(args.input, cfg, mesh=args.mesh)
     else:
         with phase_timer("import"):
-            session = Session.from_las(args.input, cfg, max_points=args.max_points)
+            session = Session.from_las(args.input, cfg,
+                                       max_points=args.max_points,
+                                       mesh=args.mesh)
 
     for extra in args.add:
         with phase_timer(f"add[{extra}]"):
