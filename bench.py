@@ -140,9 +140,12 @@ def main() -> None:
     d = jnp.float32(cfg.segmentation.max_distance)
 
     def build_and_segment(pos, valid, d):
-        tree = octree.build(pos, valid)
+        # keys-only build: bit-identical sorted keys to octree.build(...)
+        # .keys (which is all this step ever returned — the order/rank
+        # payloads were already DCE'd), minus the stable-sort tax
+        keys = octree.build_keys(pos, valid)
         segment, classification, table, _ = full_pipeline(pos, valid, d, cfg)
-        return tree.keys, segment, classification, table.trunk_height
+        return keys, segment, classification, table.trunk_height
 
     step = jax.jit(build_and_segment)
 

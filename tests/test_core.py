@@ -345,3 +345,20 @@ def test_smallest_eigenvector_degenerate():
     v = np.asarray(eigen.smallest_eigenvector(z))
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-6)
     np.testing.assert_allclose(v[0], [0.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_build_keys_matches_build():
+    """octree.build_keys (keys-only, unstable sort) returns bit-identical
+    sorted keys to octree.build — same multiset, minus the stable-sort tax
+    the fused benchmark step doesn't need."""
+    from treee_tpu.ops import octree
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-40, 40, (6000, 3)).astype(np.float32)
+    # force Morton-key collisions: duplicate rows (ties are where stable
+    # and unstable sorts may differ — keys must still match exactly)
+    pos[3000:3500] = pos[:500]
+    valid = rng.random(6000) < 0.9
+    tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
+    keys = octree.build_keys(jnp.asarray(pos), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(tree.keys))

@@ -108,6 +108,31 @@ class Octree(flax.struct.PyTreeNode):
         return self.keys.shape[0]
 
 
+def build_keys(pos: jax.Array, valid: jax.Array) -> jax.Array:
+    """Sorted Morton keys only — the fused-pipeline form of :func:`build`.
+
+    The benchmark's fused step consumes only ``tree.keys`` (XLA DCEs the
+    order/rank/inv payloads), and a KEY-ONLY sort returns the identical
+    sorted array whether stable or not (same multiset) — but v5e's stable
+    sort costs nearly 2x (probe_sort4 2026-08-20: 44.3 vs 23.3 ms at
+    15M).  Callers that need ``order``/``rank`` (LOD masks) use
+    :func:`build`, whose stable sort keeps tie order canonical so the
+    sharded shard-local sorts compose to the global one bit-exactly
+    (parallel/sharding.py Morton-range notes).
+    """
+    n = pos.shape[0]
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    any_valid = jnp.any(valid)
+    lo = jnp.where(any_valid, lo, 0.0)
+    hi = jnp.where(any_valid, hi, 1.0)
+    keys = morton.encode_positions(pos, lo, hi)
+    keys = jnp.where(valid, keys, INVALID_KEY)
+    (keys_sorted,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
+    return keys_sorted
+
+
 def build(pos: jax.Array, valid: jax.Array) -> Octree:
     """Build the linear octree for f32[N,3] positions with a validity mask."""
     n = pos.shape[0]

@@ -449,8 +449,11 @@ def _batched_split_rbv_sorted(pos, classification, mask, segment, n_segments,
     # same (i32 key, 3 x f32) sort shape as characteristics'; reductions
     # are order-free so the within-segment reorder is unobservable
     meta = jnp.where(mask, classification + 1, 0).astype(jnp.int32)
+    # is_stable=False: ~40% cheaper on v5e (probe_sort4); the grids are
+    # per-run maxima and the extents min/max — tie-order independent
     key2_s, x0, y0, z0 = jax.lax.sort(
-        ((segc << 2) | meta, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=1)
+        ((segc << 2) | meta, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=1,
+        is_stable=False)
     key_s = key2_s >> 2
     meta_s = key2_s & 3
     bounds = jnp.searchsorted(

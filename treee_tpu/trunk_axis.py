@@ -245,8 +245,12 @@ def _batched_average_direction_sorted(pos, mask, segment, n_segments, layers,
 
     n = pos.shape[0]
     key = jnp.where(mask, segment, n_segments).astype(jnp.int32)
+    # is_stable=False: ~40% cheaper on v5e (probe_sort4); extents are
+    # commutative and the layer sums are already tolerance-class vs the
+    # scatter order (docstring above)
     key_s, x_s, y_s, z_s = jax.lax.sort(
-        (key, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=1)
+        (key, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=1,
+        is_stable=False)
     bounds = jnp.searchsorted(
         key_s, jnp.arange(n_segments + 1, dtype=jnp.int32), side="left",
         method="scan_unrolled",
