@@ -327,3 +327,18 @@ def test_ingest_preview_streams_through_serve(server, tmp_path):
         assert json.loads(_get(server, "/info")[2])["points"] == n0 + 24_000
     finally:
         server.repl.preview_hook = orig
+
+
+def test_long_poll_does_not_reset_focusview(server):
+    """The page's long-poll omits the focus param; it must NOT reset the
+    focusview state the focusview command owns (regression: the default
+    focus=0 cleared it on every poll)."""
+    _settle(server)
+    assert server.command("focusview on")["ok"]
+    server.frame_wait(0, focus=None, timeout=0.1)
+    with server._frame_cond:
+        assert server._want_focus
+    # explicit focus param still switches
+    server.frame_png(focus=False)
+    with server._frame_cond:
+        assert not server._want_focus

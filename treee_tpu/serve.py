@@ -258,7 +258,10 @@ class ViewerServer:
                     self._send(200, "text/html", viewer.page().encode())
                 elif url.path == "/frame.png":
                     q = parse_qs(url.query)
-                    focus = q.get("focus", ["0"])[0] == "1"
+                    # only an EXPLICIT focus param changes viewer state —
+                    # the page's long-poll omits it (focusview command owns
+                    # the toggle), and a default here would reset it
+                    focus = (q["focus"][0] == "1") if "focus" in q else None
                     try:
                         if "wait" in q:
                             # long poll: return as soon as a frame newer
@@ -457,7 +460,8 @@ class ViewerServer:
             png = self._preview_png or self._last_png or _EMPTY_PNG
             return png, self._frame_seq
 
-    def frame_png(self, focus: bool = False, timeout: float = 120.0) -> bytes:
+    def frame_png(self, focus: bool | None = False,
+                  timeout: float = 120.0) -> bytes:
         """Freshest frame of the current state (synchronous surface).
 
         Requests a render and waits for it — UNLESS a REPL command holds
@@ -468,7 +472,7 @@ class ViewerServer:
 
         gen = None
         with self._frame_cond:
-            if focus != self._want_focus:
+            if focus is not None and focus != self._want_focus:
                 self._want_focus = focus
             gen = self._req_gen = self._req_gen + 1
             self._frame_cond.notify_all()
