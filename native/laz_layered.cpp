@@ -897,11 +897,13 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
   std::memcpy(&stored_count, data + pos, 4);
   pos += 4;
   // loud-divergence guard: the in-chunk count is redundant with the chunk
-  // table, so a mismatch means our chunk-internal layout understanding
-  // diverges from the writer's (the layout is derived from the published
-  // scheme, not cross-checked against upstream binaries — CLAUDE.md) —
-  // report it instead of decoding garbage
-  if (stored_count != n_points) return 4;
+  // table, so decoding MORE points than the chunk claims to hold means our
+  // chunk-internal layout understanding diverges from the writer's (the
+  // layout is derived from the published scheme, not cross-checked against
+  // upstream binaries — CLAUDE.md) — report it instead of decoding
+  // garbage.  stored_count > n_points is a DELIBERATE prefix decode
+  // (max_points truncation mid-chunk) and stays legal.
+  if (stored_count < n_points) return 4;
 
   // layer sizes, in item order
   u32 total_layers = 0;

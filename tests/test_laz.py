@@ -86,6 +86,7 @@ def _decompress_items(stream, n, length, fmt, chunk_size):
         types.ctypes.data_as(ctypes.c_void_p),
         sizes.ctypes.data_as(ctypes.c_void_p), len(items),
         chunk_size, out.ctypes.data_as(ctypes.c_void_p), 0,
+        ctypes.c_uint64(0),
     )
     assert rc == 0
     return out.reshape(n, length)
@@ -234,6 +235,7 @@ def _decompress_layered(stream, n, length, fmt, chunk_size):
         types.ctypes.data_as(ctypes.c_void_p),
         sizes.ctypes.data_as(ctypes.c_void_p), len(items),
         chunk_size, out.ctypes.data_as(ctypes.c_void_p), 0,
+        ctypes.c_uint64(0),
     )
     assert rc == 0
     return out.reshape(n, length)
@@ -461,6 +463,7 @@ def test_wavepacket_bad_size_rejected():
             t.ctypes.data_as(ctypes.c_void_p),
             s.ctypes.data_as(ctypes.c_void_p), 2,
             50_000, out.ctypes.data_as(ctypes.c_void_p), 0,
+            ctypes.c_uint64(0),
         )
         assert rc == 2
 
@@ -692,7 +695,7 @@ def test_layered_item_size_sum_validated():
         ctypes.c_uint64(0), ctypes.c_uint32(4), ctypes.c_uint32(30),
         types, sizes, ctypes.c_uint32(2), ctypes.c_uint32(8000),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int32(1),
+        ctypes.c_int32(1), ctypes.c_uint64(0),
     )
     assert rc == 2
 
@@ -761,9 +764,24 @@ def test_layered_divergence_guard_count_mismatch(tmp_path):
     cnt_at = header.offset_to_point_data + 8 + header.point_length
     stored = int.from_bytes(data[cnt_at:cnt_at + 4], "little")
     assert stored == len(pts)
-    data[cnt_at:cnt_at + 4] = (stored + 1).to_bytes(4, "little")
+    # claim FEWER points than the table: decoding past the stored count is
+    # certain divergence.  (A LARGER stored count is legal: it is exactly
+    # what a deliberate max_points prefix decode of a chunk looks like.)
+    data[cnt_at:cnt_at + 4] = (100).to_bytes(4, "little")
     with pytest.raises(CorruptFile, match="diverged"):
         las.load(bytes(data))
+
+
+def test_layered_max_points_prefix_decode(tmp_path):
+    """max_points truncation mid-chunk must NOT trip the count guard
+    (review r4): the prefix decodes and matches the full decode's head."""
+    pts = _guard_points(900)
+    p = tmp_path / "f6.laz"
+    las.write_laz(str(p), pts, point_format=6)
+    full = las.load(str(p))
+    part = las.load(str(p), max_points=257)
+    assert part.pos.shape == (257, 3)
+    np.testing.assert_array_equal(part.pos, full.pos[:257])
 
 
 def test_layered_divergence_guard_layer_overrun(tmp_path):

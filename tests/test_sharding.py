@@ -580,8 +580,11 @@ def test_session_mesh_mode_end_to_end():
     # at ingest; feed the reordered host rows so arrays compare 1:1)
     host = sm.cloud.to_numpy()
     n_live = int(np.asarray(sm.cloud.valid).sum())
-    s1 = Session.from_points(np.asarray(host["pos"])[:n_live], cfg)
-    assert s1.cloud.capacity == n_cap  # same 1024-block rounding
+    # explicit capacity: mesh mode rounds to 1024*D blocks (per-shard
+    # anchor-stride invariant), the single session to 1024 — match them
+    s1 = Session.from_points(np.asarray(host["pos"])[:n_live], cfg,
+                             capacity=n_cap)
+    assert s1.cloud.capacity == n_cap
 
     res_m = sm.segment(0.75)
     res_1 = s1.segment(0.75)

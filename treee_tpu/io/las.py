@@ -337,10 +337,14 @@ def load_streaming(source, slab_cb, center: np.ndarray | None = None,
     else:
         slab = max(1, slab_points)
 
-    # preallocated (hence pre-touched) stores: the post-device-init host
-    # page-fault path is ~10 MB/s (CLAUDE.md memory rules)
-    raw = np.zeros(n * header.point_length, np.uint8)
-    pos = np.zeros((n, 3), np.float32)
+    # preallocate AND pre-touch (np.zeros is calloc-backed and still
+    # faults per page on first write): the post-device-init host
+    # page-fault path is ~10 MB/s (CLAUDE.md memory rules), and the
+    # preview path initializes the device after the FIRST slab
+    raw = np.empty(n * header.point_length, np.uint8)
+    raw.fill(0)
+    pos = np.empty((n, 3), np.float32)
+    pos.fill(0)
     from . import native_build
 
     lib = native_build.load_library(required=False) if n >= 1_000_000 else None

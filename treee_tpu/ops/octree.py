@@ -108,6 +108,24 @@ class Octree(flax.struct.PyTreeNode):
         return self.keys.shape[0]
 
 
+def _bounds_and_keys(pos: jax.Array, valid: jax.Array):
+    """Shared build prologue: masked bounds with the (0,1) empty-cloud
+    fallback + Morton keys with INVALID_KEY padding.  One copy for
+    :func:`build` and :func:`build_keys` — the sentinel masking and the
+    fallback are past bug-fix sites (all-padding-shard bounds corruption,
+    review 2026-08-19); two copies would let a future fix desynchronize
+    the bench's keys from the tree's."""
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    any_valid = jnp.any(valid)
+    lo = jnp.where(any_valid, lo, 0.0)
+    hi = jnp.where(any_valid, hi, 1.0)
+    keys = morton.encode_positions(pos, lo, hi)
+    keys = jnp.where(valid, keys, INVALID_KEY)
+    return keys, lo, hi
+
+
 def build_keys(pos: jax.Array, valid: jax.Array) -> jax.Array:
     """Sorted Morton keys only — the fused-pipeline form of :func:`build`.
 
@@ -120,15 +138,7 @@ def build_keys(pos: jax.Array, valid: jax.Array) -> jax.Array:
     sharded shard-local sorts compose to the global one bit-exactly
     (parallel/sharding.py Morton-range notes).
     """
-    n = pos.shape[0]
-    big = jnp.float32(3.0e38)
-    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    any_valid = jnp.any(valid)
-    lo = jnp.where(any_valid, lo, 0.0)
-    hi = jnp.where(any_valid, hi, 1.0)
-    keys = morton.encode_positions(pos, lo, hi)
-    keys = jnp.where(valid, keys, INVALID_KEY)
+    keys, _, _ = _bounds_and_keys(pos, valid)
     (keys_sorted,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
     return keys_sorted
 
@@ -136,15 +146,7 @@ def build_keys(pos: jax.Array, valid: jax.Array) -> jax.Array:
 def build(pos: jax.Array, valid: jax.Array) -> Octree:
     """Build the linear octree for f32[N,3] positions with a validity mask."""
     n = pos.shape[0]
-    big = jnp.float32(3.0e38)
-    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    any_valid = jnp.any(valid)
-    lo = jnp.where(any_valid, lo, 0.0)
-    hi = jnp.where(any_valid, hi, 1.0)
-
-    keys = morton.encode_positions(pos, lo, hi)
-    keys = jnp.where(valid, keys, INVALID_KEY)
+    keys, lo, hi = _bounds_and_keys(pos, valid)
     idx = jnp.arange(n, dtype=jnp.int32)
     keys_sorted, order = morton.sort_by_key(keys, idx)
 

@@ -89,6 +89,42 @@ def shard_points_morton(mesh: Mesh, pos, valid, axis: str = "data"):
     return pos_s, valid_s, order
 
 
+def _segment_local(pos, valid, d, scfg, axis):
+    """Shard-local segmentation body, shared by every sharded step builder
+    (ONE copy of the invariant-laden sequence: the all-padding-shard bounds
+    guard, the stride-exact anchor histogram, the grid psum — review r4).
+
+    Returns (segment, n_alloc, tracked_pos, tracked_active, overflow).
+    """
+    # global bounds: local reduce + cross-device min/max.
+    # identity-valued local bounds: an all-padding shard must not pull
+    # the global box to scene_bounds' (0,1) fallback (seg.scene_bounds_raw)
+    lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
+    lo = jax.lax.pmin(lo_l, axis)
+    hi = jax.lax.pmax(hi_l, axis)
+    any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
+    lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
+    s = seg.cell_size(lo, hi, d, scfg)
+    # robust band anchor: local strided histogram + psum is EXACTLY the
+    # global histogram (shard sizes are multiples of the stride)
+    hist = jax.lax.psum(
+        seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
+    )
+    top = seg.band_anchor(hist, lo[1], hi[1], scfg)
+    band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
+    cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
+    # the one big collective: global band count grids over ICI
+    cnt = jax.lax.psum(cnt, axis)
+    # replicated tracking scan (identical on every device)
+    slot_grids, n_alloc, tracked_pos_b, active_b = seg.band_scan(
+        cnt, lo, s, d, scfg)
+    # local assignment
+    segment = seg.assign_points(slot_grids, band, cx, cz, valid)
+    n_occ = jnp.sum((cnt > 0).astype(jnp.int32))
+    return (segment, n_alloc, tracked_pos_b, active_b,
+            n_occ > scfg.cc_occupied_cap)
+
+
 def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"):
     """Build the sharded segmentation step: (pos f32[N,3], valid, d) -> ids.
 
@@ -98,29 +134,7 @@ def sharded_segment(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = "data"
     scfg = cfg.segmentation
 
     def local_step(pos, valid, d):
-        # global bounds: local reduce + cross-device min/max
-        # identity-valued local bounds: an all-padding shard must not pull
-        # the global box to scene_bounds' (0,1) fallback (seg.scene_bounds_raw)
-        lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
-        lo = jax.lax.pmin(lo_l, axis)
-        hi = jax.lax.pmax(hi_l, axis)
-        any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
-        lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
-        s = seg.cell_size(lo, hi, d, scfg)
-        # robust band anchor: local strided histogram + psum is EXACTLY the
-        # global histogram (shard sizes are multiples of the stride)
-        hist = jax.lax.psum(
-            seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
-        )
-        top = seg.band_anchor(hist, lo[1], hi[1], scfg)
-        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
-        cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
-        # the one big collective: global band count grids over ICI
-        cnt = jax.lax.psum(cnt, axis)
-        # replicated tracking scan (identical on every device)
-        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
-        # local assignment
-        segment = seg.assign_points(slot_grids, band, cx, cz, valid)
+        segment, n_alloc, _, _, _ = _segment_local(pos, valid, d, scfg, axis)
         return segment, n_alloc
 
     fn = jax.shard_map(
@@ -147,26 +161,7 @@ def sharded_pipeline_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG, axis: str = 
     scfg = cfg.segmentation
 
     def local_step(pos, valid, d):
-        # identity-valued local bounds: an all-padding shard must not pull
-        # the global box to scene_bounds' (0,1) fallback (seg.scene_bounds_raw)
-        lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
-        lo = jax.lax.pmin(lo_l, axis)
-        hi = jax.lax.pmax(hi_l, axis)
-        any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
-        lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
-        s = seg.cell_size(lo, hi, d, scfg)
-        # robust band anchor: local strided histogram + psum is EXACTLY the
-        # global histogram (shard sizes are multiples of the stride)
-        hist = jax.lax.psum(
-            seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
-        )
-        top = seg.band_anchor(hist, lo[1], hi[1], scfg)
-        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
-        cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
-        cnt = jax.lax.psum(cnt, axis)
-        slot_grids, n_alloc, _, _ = seg.band_scan(cnt, lo, s, d, scfg)
-        segment = seg.assign_points(slot_grids, band, cx, cz, valid)
-
+        segment, n_alloc, _, _, _ = _segment_local(pos, valid, d, scfg, axis)
         table, classification = ch.compute_segments(
             pos, segment, valid, scfg.max_segments + 1, cfg.characteristics,
             full_bbox=False, axis_name=axis,
@@ -198,30 +193,14 @@ def sharded_session_step(mesh: Mesh, cfg: Config = DEFAULT_CONFIG,
     scfg = cfg.segmentation
 
     def local_step(pos, valid, d):
-        lo_l, hi_l = seg.scene_bounds_raw(pos, valid)
-        lo = jax.lax.pmin(lo_l, axis)
-        hi = jax.lax.pmax(hi_l, axis)
-        any_v = jax.lax.pmax(jnp.any(valid).astype(jnp.float32), axis) > 0
-        lo, hi = seg.scene_bounds_finalize(lo, hi, any_v)
-        s = seg.cell_size(lo, hi, d, scfg)
-        hist = jax.lax.psum(
-            seg.anchor_histogram(pos, valid, lo[1], hi[1]), axis
-        )
-        top = seg.band_anchor(hist, lo[1], hi[1], scfg)
-        band, cx, cz = seg.point_cells(pos, valid, lo, hi, s, scfg, top=top)
-        cnt = seg.moment_grids(pos, valid, band, cx, cz, scfg)
-        cnt = jax.lax.psum(cnt, axis)
-        slot_grids, n_alloc, tracked_pos_b, active_b = seg.band_scan(
-            cnt, lo, s, d, scfg)
-        segment = seg.assign_points(slot_grids, band, cx, cz, valid)
-        n_occ = jnp.sum((cnt > 0).astype(jnp.int32))
-
+        segment, n_alloc, tracked_pos_b, active_b, overflow = _segment_local(
+            pos, valid, d, scfg, axis)
         table, classification = ch.compute_segments(
             pos, segment, valid, scfg.max_segments + 1, cfg.characteristics,
             full_bbox=False, axis_name=axis,
         )
         return (segment, classification, table, n_alloc, tracked_pos_b,
-                active_b, n_occ > scfg.cc_occupied_cap)
+                active_b, overflow)
 
     fn = jax.shard_map(
         local_step,
@@ -624,6 +603,57 @@ def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_adaptive_counts(mesh: Mesh, px_scale: float,
+                            taus: tuple[float, ...],
+                            level_min: int = 4, level_max: int = 10,
+                            axis: str = "data", use_frustum: bool = False):
+    """Sharded ops/octree.adaptive_counts: the whole tau LADDER's keep
+    counts in one pass over the prebuilt sharded octree —
+    (keys, order, lo, hi, live, cam_pos, planes) -> i32[len(taus)]
+    replicated, equal to summing :func:`sharded_adaptive_mask` per tau.
+    Powers Session.solve_adaptive_tau(budget_rows=...) in mesh mode
+    without materializing a full single-device tree (review r4).
+    """
+    from ..ops import octree
+
+    def local(keys, order, lo, hi, live, cam_pos, planes):
+        tree = _tree_from_pieces(keys, order, lo, hi)
+        n = keys.shape[0]
+        live_sorted = live[order] & (keys != octree.INVALID_KEY)
+        last_live_key = jnp.max(jnp.where(live_sorted, keys, -1))
+        carry = _prev_max(last_live_key, axis, jnp.int32(-1))
+        run_key = jnp.maximum(
+            octree._cummax(jnp.where(live_sorted, keys, -1)), carry)
+        prev_key = jnp.concatenate([carry[None], run_key[:-1]])
+        ps = jnp.asarray(px_scale, jnp.float32)
+        keeps = [jnp.zeros(n, bool) for _ in taus]
+        for lvl in range(level_min, level_max + 1):
+            shift, coarse, lo_c, hi_c, proj = octree._level_proj(
+                tree, lvl, cam_pos, ps)
+            in_frustum = (octree.aabb_in_frustum(lo_c, hi_c, planes)
+                          if use_frustum else None)
+            first_live = live_sorted & ((prev_key >> shift) < coarse)
+            for k, tau in enumerate(taus):
+                ring, near_all = octree._level_ring(
+                    proj, tau, lvl, level_min, level_max)
+                if near_all is None:
+                    near_all = jnp.zeros(n, bool)
+                sel = live_sorted & ring
+                if in_frustum is not None:
+                    sel &= in_frustum
+                keeps[k] |= sel & (near_all | first_live)
+        counts = jnp.stack([jnp.sum(k.astype(jnp.int32)) for k in keeps])
+        return jax.lax.psum(counts, axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(axis), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -192,7 +192,7 @@ class Session:
         )
 
     def _install_cloud(self, pos, segment=None, classification=None,
-                       attrs=None) -> None:
+                       attrs=None, capacity: int | None = None) -> None:
         """Create the device cloud (+ attributes).  In mesh mode the rows
         are Morton-preordered first — the layout the sharded octree masks
         REQUIRE (parallel/sharding.py: contiguous ascending key ranges per
@@ -202,7 +202,6 @@ class Session:
         segment = None if segment is None else np.asarray(segment)
         classification = (None if classification is None
                           else np.asarray(classification))
-        capacity = None
         if self.mesh is not None:
             n = len(pos)
             if n:
@@ -222,9 +221,15 @@ class Session:
                 if attrs is not None:
                     attrs = {k: np.asarray(v)[order]
                              for k, v in attrs.items()}
-            # capacity divisible by BOTH the VMEM row tile and the mesh
-            block = int(np.lcm(1024, self.mesh.devices.size))
-            capacity = max(block, -(-n // block) * block)
+            # capacity block = 1024 * D, NOT lcm(1024, D): each SHARD must
+            # be a multiple of the VMEM row tile AND of the segmentation
+            # anchor-histogram stride (64) so the shard-local strided
+            # histograms compose to the global one exactly
+            # (segmentation.py stride invariant; review r4)
+            block = 1024 * int(self.mesh.devices.size)
+            cap_mesh = max(block, -(-n // block) * block)
+            capacity = (cap_mesh if capacity is None
+                        else max(capacity, cap_mesh))
         cloud = PointCloud.from_numpy(pos, capacity=capacity,
                                       segment=segment,
                                       classification=classification)
@@ -316,9 +321,9 @@ class Session:
     @classmethod
     def from_points(cls, pos: np.ndarray, config: Config = DEFAULT_CONFIG,
                     world_offset: np.ndarray | None = None,
-                    mesh=None) -> "Session":
+                    mesh=None, capacity: int | None = None) -> "Session":
         s = cls(config, mesh=mesh)
-        s._install_cloud(pos)
+        s._install_cloud(pos, capacity=capacity)
         if world_offset is not None:
             s.world_offset = np.asarray(world_offset, np.float64)
         return s
@@ -727,10 +732,6 @@ class Session:
             raise ValueError("pass exactly one of budget_rows / match_floor")
         cam = camera if camera is not None else self.camera
         mask = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
-        tree = getattr(self, "_tree", None)
-        if tree is None or tree.capacity != self.cloud.capacity:
-            tree = octree_mod.build(self.cloud.pos, self.cloud.valid)
-            self._tree = tree
         rcfg = self.config.render
         frustum = cam.frustum_planes(rcfg.width / rcfg.height)
         px_scale = float(
@@ -738,10 +739,26 @@ class Session:
         ) * (rcfg.height / 2.0)
 
         if budget_rows is not None:
-            counts = np.asarray(octree_mod.adaptive_counts(
-                tree, cam.position, px_scale, self.TAU_LADDER,
-                live=mask, frustum=frustum,
-            ))
+            if self.mesh is not None:
+                # mesh mode: ladder counts over the CACHED sharded octree —
+                # never materialize a full single-device tree (review r4)
+                from .parallel import sharding as psh
+
+                keys, order, lo, hi = self._sharded_tree_pieces()
+                fn = self._mesh_fn(
+                    "adaptive_counts", psh.sharded_adaptive_counts,
+                    px_scale, self.TAU_LADDER, use_frustum=True)
+                counts = np.asarray(fn(keys, order, lo, hi, mask,
+                                       cam.position, frustum))
+            else:
+                tree = getattr(self, "_tree", None)
+                if tree is None or tree.capacity != self.cloud.capacity:
+                    tree = octree_mod.build(self.cloud.pos, self.cloud.valid)
+                    self._tree = tree
+                counts = np.asarray(octree_mod.adaptive_counts(
+                    tree, cam.position, px_scale, self.TAU_LADDER,
+                    live=mask, frustum=frustum,
+                ))
             fits = np.nonzero(counts <= budget_rows)[0]
             return self.TAU_LADDER[int(fits[0])] if len(fits) \
                 else self.TAU_LADDER[-1]

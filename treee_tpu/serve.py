@@ -404,19 +404,30 @@ class ViewerServer:
                 gen = self._req_gen
                 focus = self._want_focus
             try:
-                with self.lock:
-                    # _rendering distinguishes "worker holds the session"
-                    # from "a long REPL command holds it" for frame_png's
-                    # preview fallback; set only AFTER acquiring, so a
-                    # worker QUEUED behind a long command doesn't block
-                    # the preview path
+                # _rendering distinguishes "worker holds the session" from
+                # "a long REPL command holds it" for frame_png's preview
+                # fallback.  Set OPTIMISTICALLY before a non-blocking
+                # acquire and cleared on failure: the flag is thus already
+                # True whenever the worker actually holds the lock (no
+                # stale-frame race window), while a worker QUEUED behind a
+                # long command leaves it False so the preview path serves
+                # (review r4)
+                while True:
                     with self._frame_cond:
                         self._rendering = True
-                    try:
-                        img = np.asarray(self._frame_img_locked(focus))
-                    finally:
-                        with self._frame_cond:
-                            self._rendering = False
+                    if self.lock.acquire(blocking=False):
+                        break
+                    with self._frame_cond:
+                        self._rendering = False
+                        if self._stop:
+                            return
+                    time.sleep(0.005)
+                try:
+                    img = np.asarray(self._frame_img_locked(focus))
+                finally:
+                    self.lock.release()
+                    with self._frame_cond:
+                        self._rendering = False
                 png = png_encode(img)
             except Exception as e:
                 # a broken render must not kill the worker; the failed
@@ -449,6 +460,12 @@ class ViewerServer:
                 self._want_focus = focus
                 self._req_gen += 1
                 self._frame_cond.notify_all()
+            if self._render_error is not None and self._last_png is None:
+                # no frame has EVER rendered and the worker is failing:
+                # surface the error to the tab (HTTP 500) instead of a
+                # silent blank-canvas retry loop (review r4)
+                e, self._render_error = self._render_error, None
+                raise e
             if self._last_png is None and self._req_gen == self._done_gen:
                 self._req_gen += 1  # first client: make a frame exist
                 self._frame_cond.notify_all()
