@@ -183,13 +183,15 @@ def main() -> None:
         print(f"# bench: run {i} {runs[-1]:.2f}s", file=sys.stderr, flush=True)
     sync(out)  # every leaf real before downstream consumers
 
-    # device throughput: chain 3 pipeline executions through lax.scan with a
+    # device throughput: chain 8 pipeline executions through lax.scan with a
     # single dispatch + sync — the same methodology as the frame sweep below
-    # (the ~30-45 ms axon-tunnel dispatch/fetch floor is not device work).
+    # (the ~30-45 ms axon-tunnel dispatch/fetch floor is not device work;
+    # amortizing it over 8 in-scan runs instead of r3's 3 converges the
+    # estimate toward true device time: residual bias ~5 ms vs ~15).
     # Each iteration's inputs ride the scanned d (valid & (d_i > 0) is
     # bit-identical to valid at runtime but data-dependent at trace time),
     # so XLA's loop-invariant code motion cannot hoist any stage out of the
-    # loop — all 3 iterations execute in full.
+    # loop — all 8 iterations execute in full.
     @jax.jit
     def pipeline_scan(pos, valid, d_stack):
         def body(acc, d_i):
@@ -201,12 +203,13 @@ def main() -> None:
         total, _ = jax.lax.scan(body, jnp.float32(0.0), d_stack)
         return total
 
-    d_stack = jnp.full(3, cfg.segmentation.max_distance, jnp.float32)
+    scan_reps = 8
+    d_stack = jnp.full(scan_reps, cfg.segmentation.max_distance, jnp.float32)
     sync1(pipeline_scan(pos, valid, d_stack))  # compile
     touch()
     t0 = time.time()
     sync1(pipeline_scan(pos, valid, d_stack))
-    pipe_s = (time.time() - t0) / 3
+    pipe_s = (time.time() - t0) / scan_reps
     touch()
     print(f"# bench: scan-timed pipeline {pipe_s:.3f}s/run", file=sys.stderr,
           flush=True)
