@@ -804,7 +804,9 @@ inline void wavepacket_write(Encoder& enc, WavepacketModels& c,
 // here so a fix cannot land in one framing generation and miss the other.
 // ---------------------------------------------------------------------------
 
-// decode_chunk(data, avail, n_points, out_records) -> int rc
+// decode_chunk(data, avail, n_points, truncated, out_records) -> int rc
+// (truncated: this chunk is decoded PARTIALLY — fewer points than it
+// holds per the chunk table — so count cross-checks must relax)
 template <class DecodeChunk>
 // ``first_point``: decode starts at this absolute point index (chunks are
 // independent streams, so earlier chunks are skipped without decoding —
@@ -879,6 +881,7 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
     u64 offset;
     u32 n_points;
     u64 out_index;
+    bool truncated;  // decoding fewer points than the chunk holds
   };
   std::vector<ChunkRange> ranges;
   u64 off = point_data_offset + 8;
@@ -896,7 +899,11 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
     u64 want = cnt;
     if (want > remaining) want = remaining;
     const u32 npts = static_cast<u32>(want);
-    ranges.push_back({off, npts, out_idx});
+    // NOTE: for FIXED-size chunks the table stores no counts, so the
+    // file's final chunk (cnt = chunk_size but fewer points remain) is
+    // indistinguishable from a requested truncation — both carry
+    // truncated=true and the in-chunk count check relaxes to >=.
+    ranges.push_back({off, npts, out_idx, want < cnt});
     off += sizes[i];
     out_idx += npts;
     remaining -= npts;
@@ -919,6 +926,7 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
                             ? ranges[i + 1].offset - r.offset
                             : file_len - r.offset;
       const int rc = decode_chunk(file + r.offset, avail, r.n_points,
+                                  r.truncated,
                                   out + r.out_index * point_length);
       if (rc) status.store(rc);
     }

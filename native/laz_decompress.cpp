@@ -687,6 +687,7 @@ struct ChunkRange {
 static int decompress_chunk(const u8* data, u64 len, u32 n_points,
                             const std::vector<ItemSpec>& items,
                             u32 point_length, u8* out) {
+  // (sequential path has no in-chunk count to cross-check)
   if (n_points == 0) return 0;
   if (len < point_length) return 1;
   std::memcpy(out, data, point_length);
@@ -742,7 +743,8 @@ static int decompress_stream(const u8* file, u64 file_len,
   return chunked_decompress_stream(
       file, file_len, point_data_offset, n_points, point_length, chunk_size,
       out, n_threads, first_point,
-      [&](const u8* data, u64 avail, u32 npts, u8* rec_out) {
+      [&](const u8* data, u64 avail, u32 npts, bool /*truncated*/,
+          u8* rec_out) {
         return decompress_chunk(data, avail, npts, items, point_length,
                                 rec_out);
       });

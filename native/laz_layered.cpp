@@ -884,7 +884,7 @@ static bool item_supported(const LayeredItemSpec& it) {
 
 // Decompress one layered chunk:
 // [raw first record][u32 n_points][layer size u32s, item order][layer blobs].
-int decompress_chunk(const u8* data, u64 len, u32 n_points,
+int decompress_chunk(const u8* data, u64 len, u32 n_points, bool truncated,
                      const std::vector<LayeredItemSpec>& items,
                      u32 point_length, u8* out) {
   if (n_points == 0) return 0;
@@ -897,13 +897,14 @@ int decompress_chunk(const u8* data, u64 len, u32 n_points,
   std::memcpy(&stored_count, data + pos, 4);
   pos += 4;
   // loud-divergence guard: the in-chunk count is redundant with the chunk
-  // table, so decoding MORE points than the chunk claims to hold means our
-  // chunk-internal layout understanding diverges from the writer's (the
-  // layout is derived from the published scheme, not cross-checked against
-  // upstream binaries — CLAUDE.md) — report it instead of decoding
-  // garbage.  stored_count > n_points is a DELIBERATE prefix decode
-  // (max_points truncation mid-chunk) and stays legal.
-  if (stored_count < n_points) return 4;
+  // table, so a mismatch means our chunk-internal layout understanding
+  // diverges from the writer's (the layout is derived from the published
+  // scheme, not cross-checked against upstream binaries — CLAUDE.md) —
+  // report it instead of decoding garbage.  On a truncated decode (a
+  // max_points prefix, or fixed-size chunking's final chunk whose table
+  // entry has no count) only the lower bound can be checked.
+  if (truncated ? (stored_count < n_points) : (stored_count != n_points))
+    return 4;
 
   // layer sizes, in item order
   u32 total_layers = 0;
@@ -1149,9 +1150,10 @@ int decompress_stream(const u8* file, u64 file_len, u64 point_data_offset,
   return chunked_decompress_stream(
       file, file_len, point_data_offset, n_points, point_length, chunk_size,
       out, n_threads, first_point,
-      [&](const u8* data, u64 avail, u32 npts, u8* rec_out) {
-        return decompress_chunk(data, avail, npts, items, point_length,
-                                rec_out);
+      [&](const u8* data, u64 avail, u32 npts, bool truncated,
+          u8* rec_out) {
+        return decompress_chunk(data, avail, npts, truncated, items,
+                                point_length, rec_out);
       });
 }
 

@@ -539,6 +539,40 @@ def sharded_lod_mask(mesh: Mesh, level: int, points_per_node: int = 1,
     return jax.jit(fn)
 
 
+def _adaptive_keeps(tree, live_sorted, cam_pos, px_scale, taus,
+                    level_min, level_max, planes, use_frustum, axis):
+    """Shared body of the sharded adaptive mask/counts: cross-shard
+    prev-live-key carry + per-level ring/first-live keeps, one bool[n]
+    mask per tau (ONE copy of the shard-boundary trap handling)."""
+    from ..ops import octree
+
+    n = tree.keys.shape[0]
+    keys_sorted = tree.keys
+    last_live_key = jnp.max(jnp.where(live_sorted, keys_sorted, -1))
+    carry = _prev_max(last_live_key, axis, jnp.int32(-1))
+    run_key = jnp.maximum(
+        octree._cummax(jnp.where(live_sorted, keys_sorted, -1)), carry)
+    prev_key = jnp.concatenate([carry[None], run_key[:-1]])
+    ps = jnp.asarray(px_scale, jnp.float32)
+    keeps = [jnp.zeros(n, bool) for _ in taus]
+    for lvl in range(level_min, level_max + 1):
+        shift, coarse, lo_c, hi_c, proj = octree._level_proj(
+            tree, lvl, cam_pos, ps)
+        in_frustum = (octree.aabb_in_frustum(lo_c, hi_c, planes)
+                      if use_frustum else None)
+        first_live = live_sorted & ((prev_key >> shift) < coarse)
+        for k, tau in enumerate(taus):
+            ring, near_all = octree._level_ring(
+                proj, tau, lvl, level_min, level_max)
+            if near_all is None:
+                near_all = jnp.zeros(n, bool)
+            sel = live_sorted & ring
+            if in_frustum is not None:
+                sel &= in_frustum
+            keeps[k] |= sel & (near_all | first_live)
+    return keeps
+
+
 def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
                           level_min: int = 4, level_max: int = 10,
                           axis: str = "data", use_frustum: bool = False,
@@ -555,31 +589,11 @@ def sharded_adaptive_mask(mesh: Mesh, px_scale: float, tau_px: float = 1.5,
 
     def local_tree(tree, live, cam_pos, planes):
         n = tree.keys.shape[0]
-        keys_sorted, order = tree.keys, tree.order
-        live_sorted = live[order] & (keys_sorted != octree.INVALID_KEY)
-
-        last_live_key = jnp.max(jnp.where(live_sorted, keys_sorted, -1))
-        carry = _prev_max(last_live_key, axis, jnp.int32(-1))
-        run_key = jnp.maximum(
-            octree._cummax(jnp.where(live_sorted, keys_sorted, -1)), carry)
-        prev_key = jnp.concatenate([carry[None], run_key[:-1]])
-
-        ps = jnp.asarray(px_scale, jnp.float32)
-        keep_sorted = jnp.zeros(n, bool)
-        # per-level geometry + ring semantics single-sourced with
-        # adaptive_mask/adaptive_counts (octree._level_proj/_level_ring)
-        for lvl in range(level_min, level_max + 1):
-            shift, coarse, lo_c, hi_c, proj = octree._level_proj(
-                tree, lvl, cam_pos, ps)
-            ring, near_all = octree._level_ring(
-                proj, tau_px, lvl, level_min, level_max)
-            sel = live_sorted & ring
-            if near_all is None:
-                near_all = jnp.zeros(n, bool)
-            if use_frustum:
-                sel &= octree.aabb_in_frustum(lo_c, hi_c, planes)
-            first_live = live_sorted & ((prev_key >> shift) < coarse)
-            keep_sorted |= sel & (near_all | first_live)
+        order = tree.order
+        live_sorted = live[order] & (tree.keys != octree.INVALID_KEY)
+        (keep_sorted,) = _adaptive_keeps(
+            tree, live_sorted, cam_pos, px_scale, (tau_px,), level_min,
+            level_max, planes, use_frustum, axis)
         return jnp.zeros(n, bool).at[order].set(keep_sorted)
 
     if prebuilt:
@@ -623,30 +637,10 @@ def sharded_adaptive_counts(mesh: Mesh, px_scale: float,
 
     def local(keys, order, lo, hi, live, cam_pos, planes):
         tree = _tree_from_pieces(keys, order, lo, hi)
-        n = keys.shape[0]
         live_sorted = live[order] & (keys != octree.INVALID_KEY)
-        last_live_key = jnp.max(jnp.where(live_sorted, keys, -1))
-        carry = _prev_max(last_live_key, axis, jnp.int32(-1))
-        run_key = jnp.maximum(
-            octree._cummax(jnp.where(live_sorted, keys, -1)), carry)
-        prev_key = jnp.concatenate([carry[None], run_key[:-1]])
-        ps = jnp.asarray(px_scale, jnp.float32)
-        keeps = [jnp.zeros(n, bool) for _ in taus]
-        for lvl in range(level_min, level_max + 1):
-            shift, coarse, lo_c, hi_c, proj = octree._level_proj(
-                tree, lvl, cam_pos, ps)
-            in_frustum = (octree.aabb_in_frustum(lo_c, hi_c, planes)
-                          if use_frustum else None)
-            first_live = live_sorted & ((prev_key >> shift) < coarse)
-            for k, tau in enumerate(taus):
-                ring, near_all = octree._level_ring(
-                    proj, tau, lvl, level_min, level_max)
-                if near_all is None:
-                    near_all = jnp.zeros(n, bool)
-                sel = live_sorted & ring
-                if in_frustum is not None:
-                    sel &= in_frustum
-                keeps[k] |= sel & (near_all | first_live)
+        keeps = _adaptive_keeps(tree, live_sorted, cam_pos, px_scale, taus,
+                                level_min, level_max, planes, use_frustum,
+                                axis)
         counts = jnp.stack([jnp.sum(k.astype(jnp.int32)) for k in keeps])
         return jax.lax.psum(counts, axis)
 

@@ -228,8 +228,11 @@ class Session:
             # (segmentation.py stride invariant; review r4)
             block = 1024 * int(self.mesh.devices.size)
             cap_mesh = max(block, -(-n // block) * block)
-            capacity = (cap_mesh if capacity is None
-                        else max(capacity, cap_mesh))
+            if capacity is not None:
+                # a caller capacity must STILL land on the block grid, or
+                # the per-shard stride/tile invariants above break
+                cap_mesh = max(cap_mesh, -(-capacity // block) * block)
+            capacity = cap_mesh
         cloud = PointCloud.from_numpy(pos, capacity=capacity,
                                       segment=segment,
                                       classification=classification)

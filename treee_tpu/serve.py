@@ -413,15 +413,19 @@ class ViewerServer:
                 # long command leaves it False so the preview path serves
                 # (review r4)
                 while True:
+                    if not self.lock.locked():  # cheap peek before toggling
+                        with self._frame_cond:
+                            self._rendering = True
+                        if self.lock.acquire(blocking=False):
+                            break
+                        with self._frame_cond:
+                            self._rendering = False
+                    # a command holds the session: wait for its completion
+                    # notify instead of busy-polling (1-CPU host)
                     with self._frame_cond:
-                        self._rendering = True
-                    if self.lock.acquire(blocking=False):
-                        break
-                    with self._frame_cond:
-                        self._rendering = False
                         if self._stop:
                             return
-                    time.sleep(0.005)
+                        self._frame_cond.wait(0.05)
                 try:
                     img = np.asarray(self._frame_img_locked(focus))
                 finally:
@@ -470,14 +474,19 @@ class ViewerServer:
                 self._req_gen += 1  # first client: make a frame exist
                 self._frame_cond.notify_all()
             while self._frame_seq <= have_seq:
+                if self._render_error is not None and self._last_png is None:
+                    # the render we are waiting on just failed and nothing
+                    # has ever rendered: fail fast, not after the timeout
+                    e, self._render_error = self._render_error, None
+                    raise e
                 left = deadline - time.monotonic()
                 if left <= 0:
                     break
-                self._frame_cond.wait(left)
+                self._frame_cond.wait(min(left, 0.5))
             png = self._preview_png or self._last_png or _EMPTY_PNG
             return png, self._frame_seq
 
-    def frame_png(self, focus: bool | None = False,
+    def frame_png(self, focus: bool | None = None,
                   timeout: float = 120.0) -> bytes:
         """Freshest frame of the current state (synchronous surface).
 
