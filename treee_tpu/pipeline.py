@@ -317,6 +317,9 @@ class Session:
             valid = jnp.arange(preview_points) < state["fill"]
             img = _height_preview(jnp.asarray(sub), valid, self.camera,
                                   self.palette, self.config.render)
+            # fetching the frame ALSO syncs the step that consumed ``sub``
+            # — required before the next slab overwrites the reused staging
+            # buffer (in-flight-transfer rule, parallel/tiles._sync)
             preview_cb(np.asarray(splat.to_u8(img)))
 
         return slab_cb
