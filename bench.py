@@ -69,13 +69,10 @@ def main() -> None:
     ).start()
 
     # persistent compilation cache: first bench pays the (10-minute) XLA
-    # compile, reruns load from disk
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/treee_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # compile, reruns load from disk (shared with the product paths)
+    from treee_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

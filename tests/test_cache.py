@@ -1,0 +1,79 @@
+"""Persistent-compilation-cache product test (round-5 VERDICT task 4).
+
+The reference app has zero compile latency (wgpu pipelines build in
+milliseconds, lib.rs:17-42); our jitted pipeline compiles for 40-125 s at
+bench scale.  Round 4 enabled JAX's persistent cache only in bench.py, so
+every real ``treee-tpu`` process recompiled from scratch.  Session
+construction now enables the cache (utils/cache.py) — this test proves a
+SECOND process reuses the first one's executables: the cache directory is
+populated by run 1 and run 2 adds no new entries (every compile was a
+cache hit) while running measurably faster.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+
+def _run(cmd, env):
+    t0 = time.time()
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return time.time() - t0
+
+
+def test_second_process_reuses_compilation_cache(tmp_path):
+    pytest.importorskip("PIL")
+    cache_dir = tmp_path / "cache"
+    env = os.environ.copy()
+    env.update(
+        PALLAS_AXON_POOL_IPS="",       # CPU, not the shared TPU tunnel
+        JAX_PLATFORMS="cpu",
+        JAX_CACHE_DIR=str(cache_dir),
+        TREEE_APP_CONFIG="small",
+    )
+    env.pop("TREEE_NO_COMPILE_CACHE", None)
+    cmd = [
+        sys.executable, "-m", "treee_tpu.app", "--demo", "--no-segment",
+        "--frames", "1", "--width", "96", "--height", "64",
+        "--out-dir", str(tmp_path / "frames"),
+    ]
+    cold = _run(cmd, env)
+    entries = {p.name for p in cache_dir.rglob("*") if p.is_file()}
+    assert entries, "first run populated no cache entries"
+
+    warm = _run(cmd, env)
+    entries2 = {p.name for p in cache_dir.rglob("*") if p.is_file()}
+    assert entries2 == entries, (
+        f"warm run compiled new executables: {entries2 - entries}")
+    # interpreter+import overhead is common to both runs; the compile time
+    # saved must still show through (loose bound: loaded 1-CPU host)
+    assert warm < cold, f"warm {warm:.1f}s not faster than cold {cold:.1f}s"
+
+
+def test_cache_opt_out(tmp_path):
+    """TREEE_NO_COMPILE_CACHE=1 leaves the cache directory untouched."""
+    pytest.importorskip("PIL")
+    cache_dir = tmp_path / "cache"
+    env = os.environ.copy()
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        JAX_CACHE_DIR=str(cache_dir),
+        TREEE_APP_CONFIG="small",
+        TREEE_NO_COMPILE_CACHE="1",
+    )
+    cmd = [
+        sys.executable, "-c",
+        "from treee_tpu.pipeline import Session; import numpy as np;"
+        "s = Session.from_points(np.zeros((64, 3), np.float32));"
+        "print('ok')",
+    ]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not cache_dir.exists() or not any(cache_dir.rglob("*"))

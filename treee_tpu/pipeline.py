@@ -130,6 +130,13 @@ class Session:
     """
 
     def __init__(self, config: Config = DEFAULT_CONFIG, mesh=None):
+        # the product pays compiles too, not just the bench: every Session
+        # (CLI, REPL, serve, library) gets the persistent XLA cache so a
+        # second process skips the 40-125 s pipeline compile
+        # (TREEE_NO_COMPILE_CACHE=1 opts out)
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         if mesh == "auto":
             devs = jax.devices()
