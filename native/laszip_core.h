@@ -804,19 +804,27 @@ inline void wavepacket_write(Encoder& enc, WavepacketModels& c,
 // here so a fix cannot land in one framing generation and miss the other.
 // ---------------------------------------------------------------------------
 
-// decode_chunk(data, avail, n_points, truncated, out_records) -> int rc
-// (truncated: this chunk is decoded PARTIALLY — fewer points than it
-// holds per the chunk table — so count cross-checks must relax)
-template <class DecodeChunk>
-// ``first_point``: decode starts at this absolute point index (chunks are
-// independent streams, so earlier chunks are skipped without decoding —
-// the ingest-preview streaming path).  Must be chunk-aligned (returns 2
-// otherwise); ``n_points`` counts points decoded FROM first_point.
-inline int chunked_decompress_stream(const u8* file, u64 file_len,
-                                     u64 point_data_offset, u64 n_points,
-                                     u32 point_length, u32 chunk_size,
-                                     u8* out, i32 n_threads, u64 first_point,
-                                     DecodeChunk&& decode_chunk) {
+struct ChunkTable {
+  bool variable = false;
+  std::vector<u64> sizes;   // compressed byte size per chunk
+  std::vector<u32> counts;  // points per chunk (variable framing only)
+};
+
+// Decode the chunk table trailing the point data: u32 version, u32
+// n_chunks, then IC(32,2)-coded entries — byte sizes (context 1), preceded
+// per chunk by a point count (context 0) when the VLR declares
+// variable-size chunks (chunk_size == 0xFFFFFFFF).
+//
+// ``bound_points`` caps how many table entries are read (the allocation /
+// DoS bound: a corrupt count would otherwise drive a multi-GB zero-filled
+// vector + a ~4G-iteration table decode).  Clamp rather than reject in
+// BOTH framings: every chunk holds >= 1 point, so the first bound_points
+// entries always cover a decode of that many points — which also makes a
+// small prefix decode (max_points / streaming) legal on a variable-chunk
+// file with more chunks than requested points (advisor r4).
+inline int read_chunk_table(const u8* file, u64 file_len,
+                            u64 point_data_offset, u32 chunk_size,
+                            u64 bound_points, ChunkTable* out) {
   if (point_data_offset + 8 > file_len) return 1;
 
   i64 table_offset;
@@ -830,9 +838,6 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
   if (table_offset < 0 || static_cast<u64>(table_offset) + 8 > file_len)
     return 1;
 
-  // chunk table: u32 version, u32 n_chunks, then IC(32,2)-coded entries —
-  // byte sizes (context 1), preceded per chunk by a point count (context 0)
-  // when the VLR declares variable-size chunks (chunk_size == 0xFFFFFFFF)
   u32 version, n_chunks;
   std::memcpy(&version, file + table_offset, 4);
   std::memcpy(&n_chunks, file + table_offset + 4, 4);
@@ -841,41 +846,61 @@ inline int chunked_decompress_stream(const u8* file, u64 file_len,
   const bool variable = chunk_size == 0xFFFFFFFFu;
   if (!variable && chunk_size == 0) return 1;
   {
-    // bound n_chunks BEFORE allocating: a corrupt count would otherwise
-    // drive a multi-GB zero-filled vector + a ~4G-iteration table decode
     const u64 data_bytes = file_len - point_data_offset;
-    const u64 total = first_point + n_points;
     u64 cap;
     if (variable) {
       // each chunk holds >= 1 point and occupies >= 1 data byte
-      cap = total < data_bytes ? total : data_bytes;
+      cap = bound_points < data_bytes ? bound_points : data_bytes;
     } else {
-      cap = (total + chunk_size - 1) / chunk_size;
+      cap = (bound_points + chunk_size - 1) / chunk_size;
     }
-    if (n_chunks > cap) {
-      if (!variable) n_chunks = static_cast<u32>(cap);  // ignore extras
-      else return 1;
-    }
+    if (n_chunks > cap) n_chunks = static_cast<u32>(cap);
   }
 
-  std::vector<u64> sizes(n_chunks);
-  std::vector<u32> counts;
-  if (variable) counts.resize(n_chunks);
-  {
-    Decoder dec;
-    dec.init(file + table_offset + 8, file_len - (table_offset + 8));
-    IntegerCompressor ic;
-    ic.init(32, 2, /*for_compress=*/false);
-    i32 prev = 0, prev_count = 0;
-    for (u32 i = 0; i < n_chunks; ++i) {
-      if (variable) {
-        prev_count = ic.decompress(dec, prev_count, 0);
-        counts[i] = static_cast<u32>(prev_count);
-      }
-      prev = ic.decompress(dec, prev, 1);
-      sizes[i] = static_cast<u32>(prev);
+  out->variable = variable;
+  out->sizes.assign(n_chunks, 0);
+  out->counts.clear();
+  if (variable) out->counts.assign(n_chunks, 0);
+  Decoder dec;
+  dec.init(file + table_offset + 8, file_len - (table_offset + 8));
+  IntegerCompressor ic;
+  ic.init(32, 2, /*for_compress=*/false);
+  i32 prev = 0, prev_count = 0;
+  for (u32 i = 0; i < n_chunks; ++i) {
+    if (variable) {
+      prev_count = ic.decompress(dec, prev_count, 0);
+      out->counts[i] = static_cast<u32>(prev_count);
     }
+    prev = ic.decompress(dec, prev, 1);
+    out->sizes[i] = static_cast<u32>(prev);
   }
+  return 0;
+}
+
+// decode_chunk(data, avail, n_points, truncated, out_records) -> int rc
+// (truncated: this chunk is decoded PARTIALLY — fewer points than it
+// holds per the chunk table — so count cross-checks must relax)
+template <class DecodeChunk>
+// ``first_point``: decode starts at this absolute point index (chunks are
+// independent streams, so earlier chunks are skipped without decoding —
+// the ingest-preview streaming path).  Must be chunk-aligned (returns 2
+// otherwise); ``n_points`` counts points decoded FROM first_point.
+inline int chunked_decompress_stream(const u8* file, u64 file_len,
+                                     u64 point_data_offset, u64 n_points,
+                                     u32 point_length, u32 chunk_size,
+                                     u8* out, i32 n_threads, u64 first_point,
+                                     DecodeChunk&& decode_chunk) {
+  ChunkTable table;
+  {
+    const int rc = read_chunk_table(file, file_len, point_data_offset,
+                                    chunk_size, first_point + n_points,
+                                    &table);
+    if (rc) return rc;
+  }
+  const bool variable = table.variable;
+  const std::vector<u64>& sizes = table.sizes;
+  const std::vector<u32>& counts = table.counts;
+  const u32 n_chunks = static_cast<u32>(sizes.size());
 
   struct ChunkRange {
     u64 offset;

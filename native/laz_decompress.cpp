@@ -800,6 +800,33 @@ int treee_laz_decompress_items(const laszip::u8* file, laszip::u64 file_len,
                            first_point);
 }
 
+// Per-chunk point counts from the LAZ chunk table.  Streaming ingest slabs
+// must land on chunk boundaries (chunks are independent streams); for
+// variable-size-chunk files Python cannot infer them from the VLR, so this
+// exposes the table's counts (advisor r4: such files degraded to ONE slab,
+// silently disabling the mid-decode preview for exactly the large files it
+// targets).  For fixed-size framing every entry is chunk_size (callers
+// clamp the last chunk by the header point count).
+//   bound_points: cap on table entries read (pass the header point count)
+//   counts_out/counts_cap: output buffer; *n_chunks_out = entries written
+// Returns 0 ok, 1 corrupt, 2 unsupported.
+int treee_laz_chunk_counts(const laszip::u8* file, laszip::u64 file_len,
+                           laszip::u64 point_data_offset,
+                           laszip::u32 chunk_size, laszip::u64 bound_points,
+                           laszip::u32* counts_out, laszip::u64 counts_cap,
+                           laszip::u64* n_chunks_out) {
+  using namespace laszip;
+  ChunkTable table;
+  const int rc = read_chunk_table(file, file_len, point_data_offset,
+                                  chunk_size, bound_points, &table);
+  if (rc) return rc;
+  const u64 n = table.sizes.size();
+  *n_chunks_out = n;
+  for (u64 i = 0; i < n && i < counts_cap; ++i)
+    counts_out[i] = table.variable ? table.counts[i] : chunk_size;
+  return 0;
+}
+
 // Compress point records into a chunked LAZ stream with an explicit item list.
 int treee_laz_compress_items(const laszip::u8* records, laszip::u32 n_points,
                              laszip::u32 point_length,

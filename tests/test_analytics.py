@@ -1,6 +1,7 @@
 """Golden tests for trunk axis, radial bounding volumes, traits, 3-D hull,
 and the camera model."""
 
+import dataclasses
 import math
 
 import numpy as np
@@ -328,6 +329,87 @@ def test_hull_reduction_matches_exact():
     approx = hull3d.convex_hull(pts, m, k_dirs=512)
     exact = hull3d.convex_hull(pts, m, exact=True)
     assert abs(approx.volume - exact.volume) / exact.volume < 0.02
+
+
+class _CountingNp:
+    """numpy proxy that counts bytes materialized from device arrays via
+    np.asarray — catches any stray full-cloud pull inside a module."""
+
+    def __init__(self, real):
+        self._real = real
+        self.bytes = 0
+
+    def asarray(self, x, *a, **k):
+        import jax
+
+        r = self._real.asarray(x, *a, **k)
+        if isinstance(x, jax.Array) and not isinstance(x, self._real.ndarray):
+            self.bytes += r.nbytes
+        return r
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_hull_device_inputs_fetch_o_candidates(monkeypatch):
+    """Round-5 VERDICT task 3: convex_hull on DEVICE arrays must move
+    O(candidates) bytes host-ward, never the full cloud (display hull used
+    to pull all N rows per overlay frame — ~180 MB at 15M)."""
+    import jax.numpy as jnp
+
+    from treee_tpu.utils import transfer
+
+    rng = np.random.default_rng(7)
+    n = 1_000_000
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    ref = hull3d.convex_hull(pts, mask, k_dirs=256)
+
+    pos_dev = jnp.asarray(pts)
+    mask_dev = jnp.asarray(mask)
+    proxy = _CountingNp(np)
+    monkeypatch.setattr(hull3d, "np", proxy)
+    transfer.fetched_bytes = 0
+    got = hull3d.convex_hull(pos_dev, mask_dev, k_dirs=256)
+    moved = proxy.bytes + transfer.fetched_bytes
+    # budget: 256 support indices (1 KB) + <=256 candidate rows (3 KB) +
+    # scalars; the full cloud is 12 MB — two orders of magnitude of margin
+    assert moved < 64 * 1024, f"hull moved {moved} bytes host-ward"
+    assert got is not None
+    assert abs(got.volume - ref.volume) / ref.volume < 1e-6
+    assert abs(got.area - ref.area) / ref.area < 1e-6
+
+
+def test_render_focus_hull_stays_on_device(monkeypatch):
+    """The display-hull call site hands DEVICE arrays to convex_hull (no
+    np.asarray(full cloud) at the boundary)."""
+    import jax
+
+    from treee_tpu.pipeline import Session
+
+    rng = np.random.default_rng(8)
+    pts = rng.normal(size=(20_000, 3)).astype(np.float32) * 3.0
+    s = Session.from_points(pts)
+    seg = np.ones(s.cloud.capacity, np.int32)
+    s.cloud = dataclasses.replace(
+        s.cloud, segment=jnp.asarray(seg),
+        classification=jnp.full(s.cloud.capacity, 2, jnp.int32))
+
+    seen = {}
+    real = hull3d.convex_hull
+
+    def spy(pos, mask, *a, **k):
+        seen["pos_is_device"] = isinstance(pos, jax.Array) and \
+            not isinstance(pos, np.ndarray)
+        seen["mask_is_device"] = isinstance(mask, jax.Array) and \
+            not isinstance(mask, np.ndarray)
+        return real(pos, mask, *a, **k)
+
+    import treee_tpu.hull3d as hull_mod
+    monkeypatch.setattr(hull_mod, "convex_hull", spy)
+    img = s.render_focus(1, show_hull=True, hull_include="all")
+    assert img.shape[2] == 3
+    assert seen.get("pos_is_device") and seen.get("mask_is_device")
 
 
 def test_camera_ray_through_center():

@@ -628,12 +628,9 @@ def test_corrupt_chunk_count_no_giant_alloc(tmp_path, fmt):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("fmt", [0, 6])
-def test_variable_chunk_table_decodes(tmp_path, fmt):
-    """Variable-size-chunk streams (VLR chunk_size == 0xFFFFFFFF; the chunk
-    table interleaves per-chunk point counts) decode through both framing
-    generations.  The fixture rewrites a fixed-chunk stream into variable
-    framing via a native test hook."""
+def _to_variable_framing(path, n, fmt, chunk=8_000):
+    """Rewrite a fixed-chunk .laz into variable-size-chunk framing via the
+    native test hook (VLR chunk_size -> 0xFFFFFFFF, table gains counts)."""
     import ctypes
     import struct as _struct
 
@@ -642,13 +639,6 @@ def test_variable_chunk_table_decodes(tmp_path, fmt):
     lib = native_build.load_library()
     if lib is None:
         pytest.skip("native library unavailable")
-
-    rng = np.random.default_rng(37)
-    n = 30_000
-    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
-    path = str(tmp_path / f"v{fmt}.laz")
-    las.write_laz(path, pos, point_format=fmt, chunk_size=8_000)
-    ref = las.load(path).pos.copy()
 
     def mutate(data, off):
         stream = np.frombuffer(bytes(data[off:]), np.uint8)
@@ -659,7 +649,7 @@ def test_variable_chunk_table_decodes(tmp_path, fmt):
         rc = fn(
             stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_uint64(len(stream)), ctypes.c_uint64(off),
-            ctypes.c_uint32(n), ctypes.c_uint32(8_000),
+            ctypes.c_uint32(n), ctypes.c_uint32(chunk),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_uint64(len(out)), ctypes.byref(out_len),
         )
@@ -671,8 +661,75 @@ def test_variable_chunk_table_decodes(tmp_path, fmt):
         return bytes(data[:off]) + out[: out_len.value].tobytes()
 
     _patch_laz(path, mutate)
+
+
+@pytest.mark.parametrize("fmt", [0, 6])
+def test_variable_chunk_table_decodes(tmp_path, fmt):
+    """Variable-size-chunk streams (VLR chunk_size == 0xFFFFFFFF; the chunk
+    table interleaves per-chunk point counts) decode through both framing
+    generations.  The fixture rewrites a fixed-chunk stream into variable
+    framing via a native test hook."""
+    rng = np.random.default_rng(37)
+    n = 30_000
+    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    path = str(tmp_path / f"v{fmt}.laz")
+    las.write_laz(path, pos, point_format=fmt, chunk_size=8_000)
+    ref = las.load(path).pos.copy()
+    _to_variable_framing(path, n, fmt)
     got = las.load(path).pos
     np.testing.assert_array_equal(got, ref)
+
+
+def test_variable_chunk_prefix_decode(tmp_path):
+    """A max_points prefix decode smaller than the file's chunk count is
+    LEGAL on variable-size-chunk files (advisor r4: the DoS bound used to
+    reject it as corrupt; now both framings clamp the table read)."""
+    rng = np.random.default_rng(38)
+    n = 30_000
+    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    path = str(tmp_path / "v.laz")
+    las.write_laz(path, pos, point_format=0, chunk_size=100)  # 300 chunks
+    ref = las.load(path).pos.copy()
+    _to_variable_framing(path, n, 0, chunk=100)
+    # 5 < 300 chunks: previously tripped `n_chunks > cap` -> CorruptFile
+    got = las.load(path, max_points=5).pos
+    np.testing.assert_array_equal(got, ref[:5])
+
+
+def test_variable_chunk_streaming_slabs(tmp_path):
+    """load_streaming slabs variable-size-chunk files on the chunk table's
+    own boundaries (advisor r4: they used to degrade to ONE slab, so the
+    ingest preview never fired mid-decode)."""
+    from treee_tpu.io import laz_native
+
+    rng = np.random.default_rng(39)
+    n = 30_000
+    pos = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    path = str(tmp_path / "v.laz")
+    las.write_laz(path, pos, point_format=0, chunk_size=4_000)
+    ref = las.load(path)
+    _to_variable_framing(path, n, 0, chunk=4_000)
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    header = las.LasHeader.parse(data)
+    vlr = las._find_laszip_vlr(data, header)
+    counts = laz_native.chunk_counts(data, header, vlr)
+    assert counts.sum() == n
+    assert len(counts) == (n + 3999) // 4000
+    assert (counts[:-1] == 4000).all()
+
+    slabs = []
+    scan = las.load_streaming(
+        path, lambda p, done, total: slabs.append((len(p), done, total)),
+        slab_points=8_000,
+    )
+    np.testing.assert_array_equal(scan.pos, ref.pos)
+    assert len(slabs) >= 3, f"one-slab degradation: {slabs}"
+    assert slabs[-1][1] == n and all(t == n for _, _, t in slabs)
+    # slab boundaries are chunk-aligned (multiples of 4000)
+    done_marks = [d for _, d, _ in slabs[:-1]]
+    assert all(d % 4000 == 0 for d in done_marks)
 
 
 def test_layered_item_size_sum_validated():

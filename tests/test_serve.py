@@ -268,6 +268,49 @@ def test_commands_decoupled_from_render_latency(server):
         _settle(server)
 
 
+def test_render_error_surfaces_after_first_frame(server):
+    """A persistently failing render AFTER the first good frame must not
+    freeze the canvas silently: /info carries render_error and stale
+    /frame.png responses carry X-Render-Error (advisor r4)."""
+    _settle(server)
+    status, _, _ = _get(server, "/frame.png")
+    assert status == 200  # a good frame exists
+
+    orig = server._frame_img_locked
+
+    def boom(focus=False):
+        raise RuntimeError("bad viewer state xyzzy")
+
+    server._frame_img_locked = boom
+    try:
+        server.request_render()
+        deadline = time.monotonic() + 10
+        while server._last_error_msg is None and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert server._last_error_msg and "xyzzy" in server._last_error_msg
+
+        _, _, body = _get(server, "/info")
+        assert "xyzzy" in json.loads(body)["render_error"]
+
+        # the long-poll path serves the STALE frame — with the error header
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/frame.png?wait=1&seq=0",
+            timeout=60,
+        ) as r:
+            assert r.status == 200
+            assert "xyzzy" in r.headers.get("X-Render-Error", "")
+    finally:
+        server._frame_img_locked = orig
+    # a successful render clears the sticky error
+    server.request_render()
+    _settle(server)
+    deadline = time.monotonic() + 10
+    while server._last_error_msg is not None and time.monotonic() < deadline:
+        time.sleep(0.05)
+    _, _, body = _get(server, "/info")
+    assert json.loads(body)["render_error"] is None
+
+
 def test_frame_seq_advances_and_long_poll_returns(server):
     _settle(server)
     seq0 = server.frame_seq

@@ -559,10 +559,12 @@ def main(argv=None) -> int:
         member = session.cloud.valid & (session.cloud.segment == args.segment_id)
 
         if args.export_hull_ply:
+            # device arrays straight through: the support reduction +
+            # candidate gather stay on device (O(candidates) fetched)
             h = hull3d.convex_hull(
-                np.asarray(session.cloud.pos),
-                np.asarray(member & include_mask(session.cloud.classification,
-                                                 args.hull_include)),
+                session.cloud.pos,
+                member & include_mask(session.cloud.classification,
+                                      args.hull_include),
             )
             if h is None:
                 print(f"hull: segment has too few {args.hull_include} points",

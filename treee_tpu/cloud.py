@@ -146,10 +146,16 @@ class PointCloud(flax.struct.PyTreeNode):
     # ---- host export ----------------------------------------------------------
 
     def to_numpy(self) -> dict[str, np.ndarray]:
-        """Copy valid points to host (for exports and checkpoints)."""
-        valid = np.asarray(self.valid)
+        """Copy valid points to host (for exports and checkpoints).
+
+        Selects on device and fetches only the valid rows in <32 MB chunks
+        (utils/transfer) — a full-capacity `np.asarray(pos)` costs ~10x at
+        scale on this host's slow fresh-page path."""
+        from .utils import transfer
+
+        ids, _ = transfer.mask_ids(self.valid)
         return {
-            "pos": np.asarray(self.pos)[valid],
-            "segment": np.asarray(self.segment)[valid],
-            "classification": np.asarray(self.classification)[valid],
+            "pos": transfer.gather_rows(self.pos, ids),
+            "segment": transfer.gather_rows(self.segment, ids),
+            "classification": transfer.gather_rows(self.classification, ids),
         }

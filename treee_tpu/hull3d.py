@@ -65,23 +65,40 @@ def convex_hull(
     exact: bool = False,
 ) -> HullResult | None:
     """Hull of the masked points; None when degenerate (< 10 points, like
-    hull.rs:483-489)."""
+    hull.rs:483-489).
+
+    Device-resident inputs stay device-resident: the support reduction,
+    the masked-index extraction, AND the candidate-row gather all run on
+    device, so only O(candidates) bytes ever cross to the host — never the
+    full cloud (round-5 fix: `display hull` used to pull all N rows per
+    overlay frame, ~180 MB at 15M on a ~10-20 MB/s host path).
+    """
     from scipy.spatial import ConvexHull as _QHull
     from scipy.spatial import QhullError
 
-    mask_np = np.asarray(mask)
-    n_masked = int(mask_np.sum())
+    from .utils import transfer
+
+    if transfer._is_device(mask):
+        n_masked = int(jnp.sum(mask))
+    else:
+        mask = np.asarray(mask)
+        n_masked = int(mask.sum())
     if n_masked < 10:
         return None
 
     if exact or n_masked <= k_dirs:
-        ids = np.flatnonzero(mask_np).astype(np.int32)
-        cand = np.asarray(pos)[ids]
+        if transfer._is_device(mask):
+            ids_dev, _ = transfer.mask_ids(mask, n_masked)
+            ids = np.asarray(ids_dev)
+        else:
+            ids = np.flatnonzero(mask).astype(np.int32)
+        cand = transfer.gather_rows(pos, ids)
     else:
         dirs = jnp.asarray(_fibonacci_sphere(k_dirs))
-        idx = np.asarray(support_candidates(jnp.asarray(pos), jnp.asarray(mask), dirs))
+        idx = np.asarray(
+            support_candidates(jnp.asarray(pos), jnp.asarray(mask), dirs))
         ids = np.unique(idx[idx >= 0]).astype(np.int32)
-        cand = np.asarray(pos)[ids]
+        cand = transfer.gather_rows(pos, ids)
 
     try:
         q = _QHull(cand.astype(np.float64))

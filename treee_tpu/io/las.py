@@ -301,8 +301,10 @@ def load_streaming(source, slab_cb, center: np.ndarray | None = None,
     fires after each slab, letting a viewer show imagery while a large
     ``.laz`` is still decompressing.  ``.laz`` slabs cover whole LASzip
     chunks (independent streams — native range decode, no re-decoding);
-    variable-size-chunk files fall back to a single slab.  Returns the
-    same :class:`LoadedScan` as :func:`load`.
+    variable-size-chunk files slab on the chunk table's own boundaries
+    (laz_native.chunk_counts), falling back to a single slab only when
+    the table is unreadable.  Returns the same :class:`LoadedScan` as
+    :func:`load`.
     """
     if isinstance(source, (bytes, bytearray)):
         data = bytes(source)
@@ -331,11 +333,27 @@ def load_streaming(source, slab_cb, center: np.ndarray | None = None,
             raise CorruptFile("compressed flag set but no LASzip VLR found")
         cs = laz_native.parse_vlr(vlr)["chunk_size"]
         if cs in (0, 0xFFFFFFFF):
-            slab = max(n, 1)  # variable-size chunks: one slab
+            # variable-size chunks: boundaries only exist in the chunk
+            # table — read it and group chunks into ~slab_points slabs
+            # (advisor r4: this used to degrade to ONE slab, silently
+            # disabling the mid-decode preview for exactly the large
+            # files it targets)
+            try:
+                counts = laz_native.chunk_counts(data, header, vlr)
+                starts = [0]
+                for c in np.cumsum(counts):
+                    if int(c) >= n:
+                        break
+                    if int(c) - starts[-1] >= slab_points:
+                        starts.append(int(c))
+            except Exception:
+                starts = [0]  # unreadable table: fall back to one slab
         else:
             slab = max(cs, slab_points // cs * cs)
+            starts = list(range(0, n, slab))
     else:
         slab = max(1, slab_points)
+        starts = list(range(0, n, slab))
 
     # preallocate AND pre-touch (np.zeros is calloc-backed and still
     # faults per page on first write): the post-device-init host
@@ -348,9 +366,10 @@ def load_streaming(source, slab_cb, center: np.ndarray | None = None,
     from . import native_build
 
     lib = native_build.load_library(required=False) if n >= 1_000_000 else None
-    done = 0
-    while done < n:
-        k = min(slab, n - done)
+    if n == 0:
+        starts = []
+    for i, done in enumerate(starts):
+        k = (starts[i + 1] if i + 1 < len(starts) else n) - done
         if compressed:
             part = laz_native.decompress(data, header, vlr, k,
                                          first_point=done)

@@ -126,6 +126,46 @@ def make_vlr(chunk_size: int = DEFAULT_CHUNK_SIZE, point_length: int = 20,
     return head + b"".join(packed)
 
 
+def chunk_counts(data: bytes, header, vlr: bytes | None) -> np.ndarray:
+    """Per-chunk point counts from the file's LAZ chunk table (u64[n_chunks]).
+
+    The streaming ingest path slabs on chunk boundaries; for variable-size-
+    chunk files those boundaries only exist in the table (advisor r4: such
+    files used to degrade to a single slab).  Fixed-size framing returns
+    ``chunk_size`` per entry with the last chunk clamped to the header
+    count.  Raises CorruptFile/UnsupportedFormat like :func:`decompress`.
+    """
+    if vlr is None:
+        raise CorruptFile("compressed flag set but no LASzip VLR found")
+    info = parse_vlr(vlr)
+    chunk_size = info["chunk_size"] or DEFAULT_CHUNK_SIZE
+    lib = native_build.load_library(required=True)
+    n = int(header.num_points)
+    cap = max(1, n)  # each chunk holds >= 1 point
+    counts = np.zeros(cap, np.uint32)
+    n_chunks = ctypes.c_uint64(0)
+    rc = lib.treee_laz_chunk_counts(
+        data, len(data), header.offset_to_point_data,
+        chunk_size, ctypes.c_uint64(n),
+        counts.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(cap),
+        ctypes.byref(n_chunks),
+    )
+    if rc == 1:
+        raise CorruptFile("LAZ chunk table corrupt")
+    if rc:
+        raise UnsupportedFormat(f"LAZ chunk table unsupported (rc={rc})")
+    out = counts[: min(int(n_chunks.value), cap)].astype(np.int64)
+    # clamp the tail so cumulative sums never exceed the header count
+    # (fixed framing reports chunk_size even for the final partial chunk)
+    cum = np.cumsum(out)
+    keep = int(np.searchsorted(cum, n, side="left")) + 1
+    out = out[:keep]
+    if len(out):
+        prev = int(cum[keep - 2]) if keep >= 2 else 0
+        out[-1] = min(int(out[-1]), n - prev)
+    return out
+
+
 def decompress(data: bytes, header, vlr: bytes | None, n_points: int,
                first_point: int = 0) -> np.ndarray:
     """Decompress LAZ point records -> raw record bytes u8[n*point_length].

@@ -112,6 +112,12 @@ def load_library(required: bool = True) -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
         ]
         lib.treee_laz_compress_items.restype = ctypes.c_int
+        lib.treee_laz_chunk_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.treee_laz_chunk_counts.restype = ctypes.c_int
         lib.treee_laz_decompress_layered.argtypes = (
             lib.treee_laz_decompress_items.argtypes
         )

@@ -910,10 +910,13 @@ class Session:
         )
         tf = trunk_axis.axis_transform(axis) if show_rbv or show_axis else None
         if show_hull:
+            # device arrays straight through: convex_hull reduces + gathers
+            # on device and fetches only the candidate rows (O(512), not
+            # O(N) — this used to pull the full cloud to host PER FRAME)
             h = hull3d.convex_hull(
-                np.asarray(self.cloud.pos),
-                np.asarray(member & include_mask(self.cloud.classification,
-                                                 hull_include)),
+                self.cloud.pos,
+                member & include_mask(self.cloud.classification,
+                                      hull_include),
             )
             if h is not None:
                 e = hull3d.hull_edges(h.faces)
@@ -952,8 +955,9 @@ class Session:
 
     def _alloc_id(self) -> int:
         if self._next_id is None:
-            seg = np.asarray(self.cloud.segment)
-            self._next_id = int(seg.max()) + 1 if seg.size else 1
+            # device-side max, scalar fetch (not a full-N segment pull)
+            seg = self.cloud.segment
+            self._next_id = (int(jnp.max(seg)) + 1 if seg.size else 1)
         nid = self._next_id
         self._next_id += 1
         return nid
@@ -1071,18 +1075,21 @@ class Session:
                 self.cloud.pos, member,
                 k=self.config.characteristics.neighbors, use_grid=True,
             )
-        keep = np.asarray(
-            member & include_mask(self.cloud.classification, include)
-        )
+        from .utils import transfer
+
+        # select ON DEVICE, fetch only the kept rows in <32 MB chunks —
+        # never `np.asarray(full_cloud)[keep]` (CLAUDE.md host-path rule)
+        keep_dev = member & include_mask(self.cloud.classification, include)
+        ids, n_keep = transfer.mask_ids(keep_dev)
         with open(path, "w") as fh:
             exports.save_points_ply(
                 fh,
-                np.asarray(self.cloud.pos)[keep],
-                np.asarray(exp)[keep],
-                np.asarray(hgt)[keep],
-                np.asarray(curve)[keep],
+                transfer.gather_rows(self.cloud.pos, ids),
+                transfer.gather_rows(exp, ids),
+                transfer.gather_rows(hgt, ids),
+                transfer.gather_rows(curve, ids),
             )
-        return int(keep.sum())
+        return n_keep
 
     # ASPRS standard classification codes for export_las
     _ASPRS_BY_CLASS = {0: 2, 1: 4, 2: 5}  # ground / trunk=medium / crown=high veg
@@ -1104,18 +1111,22 @@ class Session:
         """
         from .cloud import include_mask
 
+        from .utils import transfer
+
         if segment_id is not None:
             member = self.cloud.valid & (self.cloud.segment == segment_id)
         else:
             member = self.cloud.valid & (self.cloud.segment != DELETED_SEGMENT)
-        keep = np.asarray(member & include_mask(self.cloud.classification,
-                                                include))
-        n = int(keep.sum())
+        # device-side selection; only the kept rows cross to host (chunked)
+        keep_dev = member & include_mask(self.cloud.classification, include)
+        ids, n = transfer.mask_ids(keep_dev)
         if n == 0:
             raise ValueError("export_las: no points match the filter")
-        pos = np.asarray(self.cloud.pos)[keep]
-        cls = np.asarray(self.cloud.classification)[keep]
-        seg = np.asarray(self.cloud.segment)[keep]
+        pos = transfer.gather_rows(self.cloud.pos, ids)
+        cls = transfer.gather_rows(self.cloud.classification, ids)
+        seg = transfer.gather_rows(self.cloud.segment, ids)
+        # host-resident source attributes still index with a host mask
+        keep = transfer.fetch(keep_dev)
 
         # PDRF 7 (6 + RGB) when the source scan carried color; source
         # intensity/GPS-time ride along in either format (attributes are

@@ -234,6 +234,11 @@ class ViewerServer:
         self._cmd_waiting = 0    # commands queued/running (worker defers)
         self._last_cmd_done = 0.0
         self._render_error: Exception | None = None
+        # sticky error string for diagnostics: after the FIRST successful
+        # frame a persistently failing render would otherwise freeze the
+        # canvas silently (stale frames keep serving) — this surfaces on
+        # /info and as X-Render-Error on /frame.png until a render succeeds
+        self._last_error_msg: str | None = None
         self._stop = False
         self._render_thread = threading.Thread(
             target=self._render_loop, daemon=True)
@@ -279,6 +284,13 @@ class ViewerServer:
                     self.send_header("Content-Length", str(len(png)))
                     self.send_header("Cache-Control", "no-store")
                     self.send_header("X-Frame-Seq", str(seq))
+                    err = viewer._last_error_msg
+                    if err:
+                        # a stale frame is being served because rendering
+                        # is failing — make the frozen canvas diagnosable
+                        self.send_header(
+                            "X-Render-Error",
+                            err.replace("\n", " ")[:500])
                     self.end_headers()
                     self.wfile.write(png)
                 elif url.path == "/frame.rgb":
@@ -439,11 +451,13 @@ class ViewerServer:
                 # the error surfaces on the next synchronous frame_png
                 with self._frame_cond:
                     self._render_error = e
+                    self._last_error_msg = f"{type(e).__name__}: {e}"
                     self._done_gen = gen
                     self._frame_cond.notify_all()
                 continue
             with self._frame_cond:
                 self._render_error = None
+                self._last_error_msg = None
                 self._last_img = img
                 self._last_png = png
                 # a real frame supersedes any pushed preview; keeping the
@@ -568,6 +582,9 @@ class ViewerServer:
                 "lod": self.repl.use_lod,
                 "width": s.config.render.width,
                 "height": s.config.render.height,
+                # diagnosability: non-null while renders are failing (the
+                # canvas may be serving stale frames)
+                "render_error": self._last_error_msg,
             }
 
     # ---- lifecycle ---------------------------------------------------------
