@@ -268,6 +268,39 @@ def test_commands_decoupled_from_render_latency(server):
         _settle(server)
 
 
+def test_adaptive_by_default_above_threshold(server, monkeypatch):
+    """VERDICT r4 task 6: sessions above the auto threshold serve the
+    auto-tau adaptive path by default, /info carries the path + frame ms,
+    and an explicit lod command overrides permanently."""
+    import treee_tpu.repl as repl_mod
+
+    # policy test: lower the threshold instead of building a >1M cloud
+    monkeypatch.setattr(repl_mod, "AUTO_ADAPTIVE_MIN_POINTS", 1000)
+    server.repl._reset_view_path()
+    status, _, _ = _get(server, "/frame.png")
+    assert status == 200
+    _, _, body = _get(server, "/info")
+    info = json.loads(body)
+    assert info["view_path"].startswith("adaptive(tau="), info
+    assert info["frame_ms"] is not None and info["frame_ms"] > 0
+    assert info["lod"] is True
+
+    # explicit choice wins and sticks (auto disabled for the session)
+    out = _cmd(server, "lod off")
+    assert out["ok"]
+    _get(server, "/frame.png")
+    _, _, body = _get(server, "/info")
+    assert json.loads(body)["view_path"] == "full"
+
+
+def test_full_path_below_threshold(server):
+    """Small sessions keep the full-cloud frame (the fast path there)."""
+    _get(server, "/frame.png")
+    _, _, body = _get(server, "/info")
+    info = json.loads(body)
+    assert info["view_path"] == "full" and info["lod"] is False
+
+
 def test_render_error_surfaces_after_first_frame(server):
     """A persistently failing render AFTER the first good frame must not
     freeze the canvas silently: /info carries render_error and stale

@@ -143,7 +143,10 @@ function sendRotate(dx,dy){
 async function stats(){
   const j=await(await fetch('/info')).json();
   el('stats').textContent=j.points.toLocaleString()+' pts / '
-    +j.segments+' seg / sel '+(j.selected??'-');}
+    +j.segments+' seg / sel '+(j.selected??'-')
+    +' / '+(j.view_path??'full')
+    +(j.frame_ms!=null?' '+j.frame_ms+' ms':'')
+    +(j.render_error?' / RENDER ERROR: '+j.render_error:'');}
 /* mode radio (Modus widget, interactive/mod.rs:958-968) */
 const MODES=['view','draw','combine','spawn','delete'];let mode='view';
 for(const m of MODES){const b=document.createElement('button');
@@ -233,6 +236,8 @@ class ViewerServer:
         self._rendering = False  # worker holds self.lock for a render
         self._cmd_waiting = 0    # commands queued/running (worker defers)
         self._last_cmd_done = 0.0
+        self._last_frame_ms: float | None = None   # last whole-cloud frame
+        self._last_frame_path: str | None = None   # "full" / "adaptive(...)"
         self._render_error: Exception | None = None
         # sticky error string for diagnostics: after the FIRST successful
         # frame a persistently failing render would otherwise freeze the
@@ -557,14 +562,22 @@ class ViewerServer:
         else:
             from .repl import ATTR_DISPLAYS
 
+            # auto view path + camera-stale adaptive refresh (repl owns
+            # the policy: full below ~1M live points, auto-tau above)
+            r.prepare_frame()
             prop, pal = (None, None)
             if r.display in ATTR_DISPLAYS:
                 prop, pal = r.s.attribute_prop(r.display)
             elif r.display == "hag":
                 prop = r.s.hag_prop()
+            t0 = time.monotonic()
             img = r.s.render(use_lod=r.use_lod,
                              show_deleted=r.show_deleted,
                              prop=prop, palette=pal)
+            # wall time around the blocking render call: dispatch-inclusive,
+            # which is what the user actually waits for per frame
+            self._last_frame_ms = (time.monotonic() - t0) * 1e3
+            self._last_frame_path = r.view_path
         return np.asarray(img)
 
     def info(self) -> dict:
@@ -582,6 +595,11 @@ class ViewerServer:
                 "lod": self.repl.use_lod,
                 "width": s.config.render.width,
                 "height": s.config.render.height,
+                # latency budget, user-visible (VERDICT r4 task 6): which
+                # render path served the last frame and what it cost
+                "view_path": self._last_frame_path or self.repl.view_path,
+                "frame_ms": (round(self._last_frame_ms, 1)
+                             if self._last_frame_ms is not None else None),
                 # diagnosability: non-null while renders are failing (the
                 # canvas may be serving stale frames)
                 "render_error": self._last_error_msg,
