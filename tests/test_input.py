@@ -1,5 +1,7 @@
 """Input layer + camera controller tests (input crate, camera.rs semantics)."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -104,3 +106,59 @@ def test_input_controller_first_person_drag():
     assert np.allclose(np.asarray(c.camera.position), p0, atol=1e-4)
     t = np.asarray(c.camera.transform)[:3, :3]
     assert np.abs(t - np.eye(3)).max() > 1e-3  # actually rotated
+
+
+def test_repl_event_commands_drive_controller():
+    """VERDICT r4 task 7: the product consumes input.py — `event ...`
+    commands (what the browser page posts) fold through the shared
+    InputController: sub-2px click selects, left-drag rotates, right-drag
+    brushes, held WASD moves."""
+    import io
+
+    from treee_tpu.config import Config, SegmentationConfig
+    from treee_tpu.io import las
+    from treee_tpu.pipeline import Session
+    from treee_tpu.repl import Repl
+
+    cfg = Config(
+        segmentation=SegmentationConfig(
+            grid_size=128, max_bands=16, max_segments=256,
+            max_trees_per_band=32,
+        )
+    )
+    pts = las.synthetic_forest(n_trees=4, points_per_tree=4000,
+                               ground_points=4000, seed=3)
+    s = Session.from_points(pts, cfg)
+    s.segment(0.75)
+    r = Repl(s, out=io.StringIO())
+    w, h = s.config.render.width, s.config.render.height
+
+    # sub-2px left click at the frame center -> ray select (view mode)
+    assert r.handle(f"event down left {w/2} {h/2}")
+    assert r.handle(f"event up left {w/2} {h/2}")
+    assert r.selected is not None
+
+    # left-drag -> orbital rotate (camera changes), and NOT a click
+    sel_before = r.selected
+    t_before = np.asarray(s.camera.transform).copy()
+    assert r.handle("event down left 10 10")
+    assert r.handle("event move 60 10")
+    assert r.handle("event up left 60 10")
+    assert np.abs(np.asarray(s.camera.transform) - t_before).max() > 1e-4
+    assert r.selected == sel_before  # drag did not re-select
+
+    # right-drag in delete mode -> brush edit through on_drag
+    n_before = int(np.asarray(s.cloud.valid & (s.cloud.segment != 0)).sum())
+    assert r.handle("mode delete")
+    assert r.handle(f"event down right {w/2} {h/2}")
+    assert r.handle(f"event up right {w/2} {h/2}")
+    n_after = int(np.asarray(s.cloud.valid & (s.cloud.segment != 0)).sum())
+    assert n_after < n_before  # the brush deleted points under the cursor
+
+    # held 'w' + elapsed time -> forward movement via tick
+    pos_before = np.asarray(s.camera.position).copy()
+    assert r.handle("event key w 1")
+    time.sleep(0.03)
+    assert r.handle("event move 60 10")  # any event ticks held keys
+    assert r.handle("event key w 0")
+    assert np.abs(np.asarray(s.camera.position) - pos_before).max() > 1e-5

@@ -268,6 +268,21 @@ def test_commands_decoupled_from_render_latency(server):
         _settle(server)
 
 
+def test_raw_events_through_server(server):
+    """The page posts RAW pointer events; the server folds them through
+    the shared input.InputController (VERDICT r4 task 7) — a sub-2px
+    down/up pair selects a segment end-to-end over HTTP."""
+    _settle(server)
+    _, _, body = _get(server, "/")
+    assert b"event down" in body and b"event key" in body
+    assert b"event wheel" in body
+    w, h = server.repl.s.config.render.width, server.repl.s.config.render.height
+    assert _cmd(server, f"event down left {w / 2} {h / 2}")["ok"]
+    assert _cmd(server, f"event up left {w / 2} {h / 2}")["ok"]
+    _, _, body = _get(server, "/info")
+    assert json.loads(body)["selected"] is not None
+
+
 def test_adaptive_by_default_above_threshold(server, monkeypatch):
     """VERDICT r4 task 6: sessions above the auto threshold serve the
     auto-tau adaptive path by default, /info carries the path + frame ms,

@@ -88,6 +88,12 @@ class InputController:
     mode: str = "orbital"  # or "first_person" (camera.rs Controller variants)
     on_click: Callable[[float, float], None] | None = None
     on_drag: Callable[[float, float], None] | None = None
+    # rotation sensitivity multiplier on drag deltas: frontends that deliver
+    # FRAME-pixel positions (browser canvas downscaled from the client rect)
+    # see smaller deltas than the reference's window-pixel winit events —
+    # the serve page sets 4.0 to keep its historical drag feel.  Positions
+    # (clicks, brush) are never scaled.
+    rotate_scale: float = 1.0
 
     def __post_init__(self) -> None:
         self.keyboard = Keyboard()
@@ -126,7 +132,7 @@ class InputController:
             self.on_drag(*self.mouse.position)
 
     def mouse_move(self, x: float, y: float) -> None:
-        d = self.mouse.delta((x, y))
+        d = self.mouse.delta((x, y)) * self.rotate_scale
         if self.mouse.pressed("left"):
             if self.mode == "first_person":
                 self.camera = self.camera.rotate_first_person(d[0], d[1])

@@ -130,16 +130,16 @@ async function cmd(line,quiet){
   const j=await r.json();
   if(!quiet&&j.output)el('log').textContent+=j.output;
   el('log').scrollTop=1e9; stats(); return j;}
-/* drag coalescing: at most one rotate POST in flight; deltas arriving
-   while it runs accumulate into the next one */
-let rotPend=null,rotBusy=false;
-function sendRotate(dx,dy){
-  if(rotBusy){
-    rotPend=rotPend?[rotPend[0]+dx,rotPend[1]+dy]:[dx,dy];return;}
-  rotBusy=true;
-  fetch('/cmd',{method:'POST',body:`rotate ${dx} ${dy}`}).finally(()=>{
-    rotBusy=false;
-    if(rotPend){const[a,b]=rotPend;rotPend=null;sendRotate(a,b);}});}
+/* move coalescing: at most one move POST in flight; positions arriving
+   while it runs collapse to the newest (deltas fold server-side, so the
+   rotation sum is preserved) */
+let movPend=null,movBusy=false;
+function sendMove(x,y){
+  if(movBusy){movPend=[x,y];return;}
+  movBusy=true;
+  fetch('/cmd',{method:'POST',body:`event move ${x} ${y}`}).finally(()=>{
+    movBusy=false;
+    if(movPend){const[a,b]=movPend;movPend=null;sendMove(a,b);}});}
 async function stats(){
   const j=await(await fetch('/info')).json();
   el('stats').textContent=j.points.toLocaleString()+' pts / '
@@ -155,27 +155,34 @@ for(const m of MODES){const b=document.createElement('button');
     MODES.forEach(x=>el('m_'+x).classList.toggle('on',x===mode));};
   el('modes').appendChild(b);}
 el('m_view').classList.add('on');
-/* mouse: drag rotates, click dispatches per mode, shift-drag brushes,
-   wheel zooms (program.rs:412-450, mod.rs:713-954) */
-let down=null,moved=false;
+/* raw pointer/key events -> the server-side InputController (input.py):
+   ONE shared event->action layer — click discrimination, left-drag
+   rotate, right/shift-drag brush, WASD — instead of re-implementing it
+   here (program.rs:412-450, 555-622).  Shift maps to the right button
+   for touchpads without one. */
 function pix(e){const r=img.getBoundingClientRect();
   return[(e.clientX-r.left)*img.naturalWidth/r.width,
          (e.clientY-r.top)*img.naturalHeight/r.height];}
-img.onmousedown=e=>{down=[e.clientX,e.clientY];moved=false;e.preventDefault()};
+let downBtn=null;
+img.oncontextmenu=e=>e.preventDefault();
+img.onmousedown=e=>{
+  downBtn=(e.button===2||e.shiftKey)?'right':'left';
+  const[p,q]=pix(e);cmd(`event down ${downBtn} ${p} ${q}`,true);
+  e.preventDefault();};
 img.onmousemove=e=>{
-  if(!down)return;
-  const dx=e.clientX-down[0],dy=e.clientY-down[1];
-  if(Math.abs(dx)+Math.abs(dy)<3)return;
-  moved=true;down=[e.clientX,e.clientY];
-  if(e.shiftKey){const[p,q]=pix(e);cmd(`drag ${p|0} ${q|0}`,true);}
-  else sendRotate(dx*4,dy*4);};
+  if(!downBtn)return;
+  const[p,q]=pix(e);sendMove(p,q);};
 img.onmouseup=e=>{
-  if(down&&!moved){const[p,q]=pix(e);cmd(`click ${p|0} ${q|0}`);}
-  down=null;};
-img.onwheel=e=>{e.preventDefault();cmd('scroll '+(e.deltaY>0?1:-1),true);};
+  if(!downBtn)return;
+  const[p,q]=pix(e);cmd(`event up ${downBtn} ${p} ${q}`);downBtn=null;};
+img.onwheel=e=>{e.preventDefault();
+  cmd('event wheel '+(e.deltaY>0?1:-1),true);};
 window.onkeydown=e=>{
   if(e.target===el('cli'))return;
-  if('wasdqe'.includes(e.key))cmd('key '+e.key,true);};
+  if('wasdqe'.includes(e.key))cmd('event key '+e.key+' 1',true);};
+window.onkeyup=e=>{
+  if(e.target===el('cli'))return;
+  if('wasdqe'.includes(e.key))cmd('event key '+e.key+' 0',true);};
 /* widgets -> commands */
 el('lod').onchange=e=>cmd('lod '+(e.target.checked?'on':'off'),true);
 el('deleted').onchange=e=>cmd('showdeleted '+(e.target.checked?'on':'off'),true);
