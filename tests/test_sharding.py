@@ -608,6 +608,27 @@ def test_session_mesh_mode_end_to_end():
     exact = (img_m == img_1).all(axis=-1).mean()
     assert exact > 0.98, f"only {exact:.4f} of pixels identical"
 
+    # focused path (VERDICT r4 task 9): curvature / normals / focus frame
+    # with hull+axis overlays on the mesh session match single-device —
+    # the k-NN and covariance run on the sharded arrays (GSPMD partitions
+    # the tiled brute force; no hand-written gather of the cloud), and the
+    # hull fetches only the <=512 candidate rows (utils/transfer)
+    counts = np.asarray(tm.count)
+    live = np.where(np.asarray(tm.present), counts, 0)
+    sid = int(np.argmax(live[1:])) + 1  # biggest real segment
+    cm, c1 = np.asarray(sm.curvature(sid)), np.asarray(s1.curvature(sid))
+    np.testing.assert_allclose(cm, c1, atol=2e-3)
+    nm, n1v = np.asarray(sm.normals(sid)), np.asarray(s1.normals(sid))
+    member = np.asarray(sm.cloud.valid & (sm.cloud.segment == sid))
+    align = np.abs((nm * n1v).sum(-1))[member]
+    # near-degenerate neighborhoods may flip the smallest eigenvector under
+    # float psum reordering; the bulk must agree
+    assert np.quantile(align, 0.05) > 0.98, float(np.quantile(align, 0.05))
+    fm = sm.render_focus(sid, show_hull=True, show_axis=True)
+    f1 = s1.render_focus(sid, show_hull=True, show_axis=True)
+    focus_exact = (fm == f1).all(axis=-1).mean()
+    assert focus_exact > 0.97, f"focus frames diverge: {focus_exact:.4f}"
+
     # LOD + adaptive masks ride the CACHED sharded octree
     sm.build_lod(level=6)
     s1.build_lod(level=6)

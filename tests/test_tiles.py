@@ -181,3 +181,28 @@ def test_tiled_rasters_race_regression_under_load():
         stop.set()
         for t in threads:
             t.join(timeout=5)
+
+
+def test_tiled_pipeline_over_mesh_matches_single_device():
+    """VERDICT r4 task 5: tiles x mesh composed into ONE path.  The halo-
+    tile loop runs each tile's pipeline point-sharded over the 8-CPU mesh;
+    segment maps must be IDENTICAL to the single-device tile path (the
+    band scan allocates ids from the psum'd global grids, which is
+    row-order independent), classification to float-psum tolerance, and
+    the cross-tile reconciliation (ids, owners) unchanged."""
+    from treee_tpu.parallel import sharding
+
+    pts, _ = _forest()
+    seg_1, cls_1, tables_1, info_1 = tiles.tiled_pipeline(
+        pts, n_tiles=2, max_distance=0.75, cfg=CFG)
+    seg_m, cls_m, tables_m, info_m = tiles.tiled_pipeline(
+        pts, n_tiles=2, max_distance=0.75, cfg=CFG,
+        mesh=sharding.make_mesh())
+
+    np.testing.assert_array_equal(seg_m, seg_1)
+    assert (cls_m == cls_1).mean() > 0.999
+    assert info_m["n_segments"] == info_1["n_segments"]
+    assert info_m["owners"].keys() == info_1["owners"].keys()
+    # every global id's analytics row exists in its owner tile's table
+    for g, (t, local) in info_m["owners"].items():
+        assert bool(np.asarray(tables_m[t].present)[local])

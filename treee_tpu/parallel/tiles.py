@@ -95,16 +95,28 @@ def tiled_pipeline(
     cfg: Config = DEFAULT_CONFIG,
     halo: float = 12.0,
     progress=None,
+    mesh=None,
 ):
-    """Segment a host-resident survey tile by tile on one chip.
+    """Segment a host-resident survey tile by tile on one chip — or, with
+    ``mesh``, tile by tile ACROSS a device mesh (BASELINE config 5 as one
+    path: "100M+ sharded across a pod slice", VERDICT r4 task 5).
 
     Args:
       pos: f32[N,3] y-up positions (host memory).
       n_tiles: number of x-range tiles; size each tile's point count to the
-        single-chip ceiling (~40M on v5e).
+        single-chip ceiling (~40M on v5e) — or to the MESH's combined HBM
+        when sharding tiles.
       halo: overlap width [m]; must exceed the largest crown diameter so
         every tree is fully contained in at least one tile.
       progress: optional callable(tile_index, n_tiles).
+      mesh: optional jax.sharding.Mesh — each tile's pipeline then runs
+        point-sharded through parallel/sharding.py (Morton-preordered
+        shards, band-grid psum collectives), and per-point results are
+        unpermuted back to the tile's row order before the cross-tile
+        reconciliation, which is unchanged.  Segment maps are identical to
+        the single-device tile path (allocation order comes from the
+        replicated band scan over the psum'd global grids, which is
+        row-order independent).
 
     Returns (segment i32[N] global ids, tables list[SegmentTable], owners
     i32[S_global] -> (tile, local id) info dict).  Ids are dense from 1.
@@ -157,8 +169,19 @@ def tiled_pipeline(
         ext.append((a, b))
         cores.append((ka, kb))
 
-    # fixed capacity so every tile reuses ONE compiled executable
-    cap = max(1024, ((max(b - a for a, b in ext) + 1023) // 1024) * 1024)
+    # fixed capacity so every tile reuses ONE compiled executable; on a
+    # mesh, capacity is a multiple of 1024*D (the per-shard anchor-stride
+    # invariant segmentation's histogram psum relies on — Session mesh
+    # mode uses the same block rule)
+    block = 1024
+    sharded_step = None
+    if mesh is not None:
+        from . import sharding as psh
+
+        block = 1024 * int(np.prod(list(mesh.shape.values())))
+        sharded_step = psh.sharded_session_step(mesh, cfg)
+    cap = max(block,
+              ((max(b - a for a, b in ext) + block - 1) // block) * block)
 
     # --- preallocate & PRE-TOUCH every big host buffer BEFORE the first
     # device op.  Once the device client is live, faulting fresh anonymous
@@ -194,6 +217,16 @@ def tiled_pipeline(
     # ~360 MB up per 30M-point tile; i32 fetches would double the way down
     seg_dt = (jnp.uint16
               if cfg.segmentation.max_segments + 2 <= 0xFFFF else jnp.int32)
+    # mesh path: results come back Morton-ordered; stage them here, then
+    # one scatter per tile restores the tile's sorted-x row order
+    # (preallocated + pre-touched like everything else)
+    tmp_seg = tmp_cls = None
+    if sharded_step is not None:
+        tmp_seg = np.empty(
+            cap, np.uint16 if seg_dt == jnp.uint16 else np.int32)
+        tmp_seg.fill(0)
+        tmp_cls = np.empty(cap, np.uint8)
+        tmp_cls.fill(0)
     fetch_chunk = 1 << 22  # 8 MB u16 chunks stay under glibc's mmap
     # threshold, so the per-chunk numpy buffers recycle through the malloc
     # arena instead of re-faulting fresh pages (1.7 s vs 9.3 s per 30M rows)
@@ -214,20 +247,40 @@ def tiled_pipeline(
             tpos[m:] = 0
         np.less(rows, m, out=tvalid)
         t1 = _time.time()
-        seg, classification, table, _ = full_pipeline(
-            jnp.asarray(tpos), jnp.asarray(tvalid),
-            jnp.float32(max_distance), cfg,
-        )
+        if sharded_step is None:
+            seg, classification, table, _ = full_pipeline(
+                jnp.asarray(tpos), jnp.asarray(tvalid),
+                jnp.float32(max_distance), cfg,
+            )
+            order_t = None
+        else:
+            from . import sharding as psh
+
+            # Morton-preorder + shard the tile (padding rows sort last, so
+            # live results occupy shard rows [0, m) in Morton order)
+            pos_sh, valid_sh, order_t = psh.shard_points_morton(
+                mesh, tpos, tvalid)
+            seg, classification, table, _ = sharded_step(
+                pos_sh, valid_sh, jnp.float32(max_distance))
         seg16 = seg.astype(seg_dt)
         cls8 = classification.astype(jnp.uint8)
         if m > 0:
             # these fetches double as the staging-buffer sync for the next
             # iteration: materialized outputs => the step ran => its input
             # transfers out of tpos/tvalid completed
-            for lo in range(0, m, fetch_chunk):
-                hi = min(lo + fetch_chunk, m)
-                seg_store[t, lo:hi] = np.asarray(seg16[lo:hi])
-                cls_store[t, lo:hi] = np.asarray(cls8[lo:hi])
+            if order_t is None:
+                for lo in range(0, m, fetch_chunk):
+                    hi = min(lo + fetch_chunk, m)
+                    seg_store[t, lo:hi] = np.asarray(seg16[lo:hi])
+                    cls_store[t, lo:hi] = np.asarray(cls8[lo:hi])
+            else:
+                for lo in range(0, m, fetch_chunk):
+                    hi = min(lo + fetch_chunk, m)
+                    tmp_seg[lo:hi] = np.asarray(seg16[lo:hi])
+                    tmp_cls[lo:hi] = np.asarray(cls8[lo:hi])
+                rows_t = order_t[:m]
+                seg_store[t][rows_t] = tmp_seg[:m]
+                cls_store[t][rows_t] = tmp_cls[:m]
         else:
             pending = seg
         t2 = _time.time()
