@@ -448,6 +448,84 @@ def main() -> None:
     except Exception as e:  # pragma: no cover — aux metric, never fatal
         print(f"# bench: inventory skipped: {e}", file=sys.stderr, flush=True)
 
+    # --- focused-view analytics (VERDICT r4 task 8): the per-tree surface —
+    # curvature k-NN recompute + the focus frame — measured on the LARGEST
+    # segment of the bench scene (the ground-carrying segment at 15M, which
+    # routes through the grid-hash neighbor engine), scan-amortized like
+    # every other frame metric.  Reference analogue: the View-phase
+    # recompute is interactive there (calculations.rs:269-376).
+    try:
+        from treee_tpu import characteristics as ch_mod
+
+        tot = np.asarray(counts).sum(axis=1).astype(np.int64)
+        tot[0] = 0
+        sid = int(np.argmax(tot))
+        seg_n = int(tot[sid])
+        use_grid = seg_n > cfg.neighbors.brute_force_max
+        k_nn = cfg.characteristics.neighbors
+        member = valid & (segment == sid)
+
+        reps_c = 2
+
+        @jax.jit
+        def curvature_scan(pos, member, d_stack):
+            def body(acc, d_i):
+                m_i = member & (d_i > 0)  # defeat LICM; == member at runtime
+                cv = ch_mod.segment_curvature(pos, m_i, k=k_nn,
+                                              use_grid=use_grid)
+                return acc + cv[0] + cv[-1], None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), d_stack)
+            return total
+
+        d_stack_c = jnp.ones(reps_c, jnp.float32)
+        sync1(curvature_scan(pos, member, d_stack_c))  # compile
+        touch()
+        t0 = time.time()
+        sync1(curvature_scan(pos, member, d_stack_c))
+        curvature_ms = (time.time() - t0) / reps_c * 1e3
+        touch()
+        RESULT.update(
+            curvature_ms=round(curvature_ms, 1),
+            curvature_points=seg_n,
+            curvature_grid=bool(use_grid),
+        )
+        print(f"# bench: curvature {curvature_ms:.0f} ms "
+              f"({seg_n:,} pts, grid={use_grid})", file=sys.stderr,
+              flush=True)
+
+        # focus frame: the member-masked cloud through the classification-
+        # colored splat + eye-dome (Session.render_focus's device core) —
+        # cost scales with the PADDED row count, i.e. the full N rows here
+        cls_prop = jnp.take(
+            jnp.asarray([1 / 8, 3 / 8, 6 / 8], jnp.float32), out[2])
+
+        @jax.jit
+        def focus_sweep(pos, prop, member, cam_stack):
+            def body(acc, cam):
+                color, z01, _ = splat.render_points(
+                    pos, prop, member, cam, palette, cfg.render)
+                img = splat.eye_dome(color, z01, cfg.render)
+                return acc + jnp.sum(img), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), cam_stack)
+            return total
+
+        sync1(focus_sweep(pos, cls_prop, member, cam_stack))  # compile
+        touch()
+        t0 = time.time()
+        sync1(focus_sweep(pos, cls_prop, member, cam_stack))
+        focus_ms = (time.time() - t0) / n_frames * 1e3
+        touch()
+        RESULT.update(focus_frame_ms=round(focus_ms, 2))
+        print(f"# bench: focus frame {focus_ms:.1f} ms", file=sys.stderr,
+              flush=True)
+        del member, cls_prop
+    except Exception as e:  # pragma: no cover — aux metric, never fatal
+        print(f"# bench: focus metrics skipped: {e}", file=sys.stderr,
+              flush=True)
+
     # --- interactive edit latency (BASELINE config 3: incremental octree/LOD
     # update).  The reference re-uploads the whole edited segment to the GPU
     # per brush stroke (interactive/mod.rs:182-221); here the edit is a pure
