@@ -141,20 +141,29 @@ def chunk_counts(data: bytes, header, vlr: bytes | None) -> np.ndarray:
     chunk_size = info["chunk_size"] or DEFAULT_CHUNK_SIZE
     lib = native_build.load_library(required=True)
     n = int(header.num_points)
-    cap = max(1, n)  # each chunk holds >= 1 point
-    counts = np.zeros(cap, np.uint32)
+    # two calls: first sizes the buffer (counts_cap=0 still reports
+    # *n_chunks_out), so no n-point-sized host allocation is ever faulted
+    # (~10-20 MB/s fresh-page path, CLAUDE.md)
     n_chunks = ctypes.c_uint64(0)
-    rc = lib.treee_laz_chunk_counts(
-        data, len(data), header.offset_to_point_data,
-        chunk_size, ctypes.c_uint64(n),
-        counts.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(cap),
-        ctypes.byref(n_chunks),
-    )
+
+    def call(buf, cap):
+        return lib.treee_laz_chunk_counts(
+            data, len(data), header.offset_to_point_data,
+            chunk_size, ctypes.c_uint64(n),
+            buf, ctypes.c_uint64(cap), ctypes.byref(n_chunks),
+        )
+
+    rc = call(None, 0)
+    if rc == 0 and n_chunks.value:
+        counts = np.zeros(int(n_chunks.value), np.uint32)
+        rc = call(counts.ctypes.data_as(ctypes.c_void_p), len(counts))
+    else:
+        counts = np.zeros(0, np.uint32)
     if rc == 1:
         raise CorruptFile("LAZ chunk table corrupt")
     if rc:
         raise UnsupportedFormat(f"LAZ chunk table unsupported (rc={rc})")
-    out = counts[: min(int(n_chunks.value), cap)].astype(np.int64)
+    out = counts[: int(n_chunks.value)].astype(np.int64)
     # clamp the tail so cumulative sums never exceed the header count
     # (fixed framing reports chunk_size even for the final partial chunk)
     cum = np.cumsum(out)
