@@ -362,3 +362,41 @@ def test_build_keys_matches_build():
     tree = octree.build(jnp.asarray(pos), jnp.asarray(valid))
     keys = octree.build_keys(jnp.asarray(pos), jnp.asarray(valid))
     np.testing.assert_array_equal(np.asarray(keys), np.asarray(tree.keys))
+
+
+def test_transfer_fetch_chunked_and_gather_rows():
+    """utils/transfer: chunked device->host fetch is bit-identical to a
+    monolithic np.asarray, counts bytes, and gather_rows moves only the
+    selected rows."""
+    import jax.numpy as jnp
+
+    from treee_tpu.utils import transfer
+
+    rng = np.random.default_rng(3)
+    host = rng.normal(size=(5000, 3)).astype(np.float32)
+    dev = jnp.asarray(host)
+
+    transfer.fetched_bytes = 0
+    got = transfer.fetch(dev, chunk_bytes=4096)  # forces many chunks
+    np.testing.assert_array_equal(got, host)
+    assert transfer.fetched_bytes == host.nbytes
+
+    out = np.empty_like(host)
+    got2 = transfer.fetch(dev, chunk_bytes=4096, out=out)
+    assert got2 is out
+    np.testing.assert_array_equal(out, host)
+
+    # host arrays pass through without counting
+    transfer.fetched_bytes = 0
+    np.testing.assert_array_equal(transfer.fetch(host), host)
+    assert transfer.fetched_bytes == 0
+
+    ids = np.asarray([4999, 0, 17], np.int32)
+    np.testing.assert_array_equal(transfer.gather_rows(dev, ids), host[ids])
+    np.testing.assert_array_equal(transfer.gather_rows(host, ids), host[ids])
+
+    mask = jnp.asarray(np.arange(5000) % 7 == 0)
+    got_ids, cnt = transfer.mask_ids(mask)
+    assert cnt == int(np.asarray(mask).sum())
+    np.testing.assert_array_equal(np.asarray(got_ids),
+                                  np.flatnonzero(np.asarray(mask)))

@@ -292,6 +292,11 @@ def test_adaptive_by_default_above_threshold(server, monkeypatch):
     # policy test: lower the threshold instead of building a >1M cloud
     monkeypatch.setattr(repl_mod, "AUTO_ADAPTIVE_MIN_POINTS", 1000)
     server.repl._reset_view_path()
+    # let the worker resolve the auto path off-line first: under full-suite
+    # CPU contention the tau solve + LOD build can outlast frame_png's
+    # timeout, which would serve a stale frame and report "full"
+    server.request_render()
+    _settle(server, timeout=600)
     status, _, _ = _get(server, "/frame.png")
     assert status == 200
     _, _, body = _get(server, "/info")
