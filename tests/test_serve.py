@@ -291,7 +291,15 @@ def test_adaptive_by_default_above_threshold(server, monkeypatch):
 
     # policy test: lower the threshold instead of building a >1M cloud
     monkeypatch.setattr(repl_mod, "AUTO_ADAPTIVE_MIN_POINTS", 1000)
+    # the module-scoped server may have had an explicit `lod` command from
+    # an earlier test (which disables auto permanently): restore a fresh
+    # session's auto state for the policy under test
+    server.repl._auto_view = True
     server.repl._reset_view_path()
+    # ... and an earlier test may have left the focus variant on (the
+    # `?focus=1` fetch is sticky state), which bypasses the whole-cloud
+    # path entirely
+    assert _cmd(server, "focusview off")["ok"]
     # let the worker resolve the auto path off-line first: under full-suite
     # CPU contention the tau solve + LOD build can outlast frame_png's
     # timeout, which would serve a stale frame and report "full"
