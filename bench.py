@@ -466,13 +466,29 @@ def main() -> None:
         member = valid & (segment == sid)
 
         reps_c = 2
+        cap_sub = min(octree.snug_capacity(max(seg_n, 1), headroom=1.0), n)
 
         @jax.jit
         def curvature_scan(pos, member, d_stack):
             def body(acc, d_i):
                 m_i = member & (d_i > 0)  # defeat LICM; == member at runtime
-                cv = ch_mod.segment_curvature(pos, m_i, k=k_nn,
-                                              use_grid=use_grid)
+                if use_grid:
+                    cv = ch_mod.segment_curvature(pos, m_i, k=k_nn,
+                                                  use_grid=True)
+                else:
+                    # Session.curvature's brute path: compact the member
+                    # rows first (a [tile, N] distance slab against full
+                    # capacity is 61 GB at 15M — the OOM this round's
+                    # first bench run caught), k-NN among members, scatter
+                    # back — the full interactive cost
+                    count, idx = octree.compact_indices(m_i, cap_sub)
+                    sub_valid = jnp.arange(cap_sub, dtype=jnp.int32) < count
+                    sub = ch_mod.segment_curvature(
+                        jnp.take(pos, idx, axis=0), sub_valid, k=k_nn,
+                        use_grid=False)
+                    idx_p = jnp.where(sub_valid, idx, n)
+                    cv = jnp.zeros(n, sub.dtype).at[idx_p].set(
+                        sub, mode="drop")
                 return acc + cv[0] + cv[-1], None
 
             total, _ = jax.lax.scan(

@@ -604,25 +604,62 @@ class Session:
             # table absent or stale after edits: one scalar device sync for a
             # fresh count — never route a grown segment to brute force
             cnt = int(jnp.sum(member))
-        return member, cnt > ncfg.brute_force_max
+        return member, cnt, cnt > ncfg.brute_force_max
+
+    def _compact_member(self, member, cnt: int):
+        """(idx, sub_valid, cap): the segment's member rows compacted to a
+        snug power-of-two-granule buffer.
+
+        The exact brute-force k-NN must run AMONG MEMBERS, not against the
+        full capacity array: its [query_tile, N] distance tile is 61 GB at
+        15M points (a compile-time OOM caught by the round-5 focus bench),
+        while [tile, 64k] among members is 256 MB.  The reference does the
+        same — its KD-tree is built over the segment's points only
+        (calculations.rs:328-373).
+        """
+        from .ops import octree as otree
+
+        cap = min(otree.snug_capacity(max(int(cnt), 1), headroom=1.0),
+                  self.cloud.capacity)
+        count, idx = otree.compact_indices(member, cap)
+        sub_valid = jnp.arange(cap, dtype=jnp.int32) < count
+        return idx, sub_valid
 
     def curvature(self, segment_id: int):
-        member, use_grid = self._member_and_grid(segment_id)
-        return ch.segment_curvature(
-            self.cloud.pos, member, k=self.config.characteristics.neighbors,
-            use_grid=use_grid,
+        member, cnt, use_grid = self._member_and_grid(segment_id)
+        k = self.config.characteristics.neighbors
+        if use_grid:
+            return ch.segment_curvature(self.cloud.pos, member, k=k,
+                                        use_grid=True)
+        idx, sub_valid = self._compact_member(member, cnt)
+        sub = ch.segment_curvature(
+            jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
+            use_grid=False,
         )
+        # scatter back to cloud rows; padding slots drop out of range
+        cap_n = self.cloud.capacity
+        idx_p = jnp.where(sub_valid, idx, cap_n)
+        return jnp.zeros(cap_n, sub.dtype).at[idx_p].set(sub, mode="drop")
 
     def normals(self, segment_id: int):
         """Per-point unit surface normals for a segment (f32[N,3]): smallest
         eigenvector of the curvature neighborhoods' covariance — a capability
         beyond the reference viewer, which has no normals (its only depth cue
         is eye-dome lighting)."""
-        member, use_grid = self._member_and_grid(segment_id)
-        return ch.segment_normals(
-            self.cloud.pos, member, k=self.config.characteristics.neighbors,
-            use_grid=use_grid,
+        member, cnt, use_grid = self._member_and_grid(segment_id)
+        k = self.config.characteristics.neighbors
+        if use_grid:
+            return ch.segment_normals(self.cloud.pos, member, k=k,
+                                      use_grid=True)
+        idx, sub_valid = self._compact_member(member, cnt)
+        sub = ch.segment_normals(
+            jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
+            use_grid=False,
         )
+        cap_n = self.cloud.capacity
+        idx_p = jnp.where(sub_valid, idx, cap_n)
+        up = jnp.zeros((cap_n, 3), sub.dtype).at[:, 1].set(1.0)
+        return up.at[idx_p].set(sub, mode="drop")
 
     def segment_coords(self, segment_id: int):
         """(longitude, latitude) radians of a segment's center via the session
