@@ -305,3 +305,31 @@ def test_repl_adaptive_auto(session):
     r.handle("lod adaptive auto bogus 1")
     assert "error:" in out.getvalue()
     session._lod = None
+
+
+def test_focus_compaction_cache_invalidates_on_edit():
+    """The cached member-compaction for the brute-force k-NN (round-5:
+    replaces a [tile, N] 61 GB distance slab) must refresh after edits —
+    a stale index buffer would compute curvature over points that left
+    the segment."""
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=13)
+    s = Session.from_points(pts, CFG)
+    s.segment(0.75)
+    sid = _a_tree_segment(s)
+    c1 = np.asarray(s.curvature(sid))
+    member = np.asarray(s.cloud.valid & (s.cloud.segment == sid))
+    assert (np.abs(c1[member]) > 0).any()
+    # cache hit on the second call: same object is reused
+    idx_cached = s._focus_idx_cache[sid][0]
+    _ = s.curvature(sid)
+    assert s._focus_idx_cache[sid][0] is idx_cached
+
+    # delete the whole segment: curvature must drop to all-zero (a stale
+    # compaction would still index the old member rows)
+    pos_np = np.asarray(s.cloud.pos)
+    center = pos_np[member].mean(axis=0)
+    s.delete_sphere(center, radius=1e6)
+    assert sid not in s._focus_idx_cache  # edit cleared the cache
+    c2 = np.asarray(s.curvature(sid))
+    assert not (np.abs(c2) > 0).any()

@@ -173,6 +173,9 @@ class Session:
         # (CLAUDE.md primitive costs) vs a ~7 ms LOD frame, so per-frame
         # consumers (repl/serve `display hag`) must hit this cache
         self._hag_cache: dict[float, jax.Array] = {}
+        # focused-segment compaction indices (curvature/normals brute
+        # path); membership-derived, cleared with the other caches
+        self._focus_idx_cache: dict[int, tuple] = {}
 
     # ---- mesh-mode plumbing ---------------------------------------------------
 
@@ -446,6 +449,7 @@ class Session:
         self._tree = None
         self._lod = None
         self._hag_cache = {}
+        self._focus_idx_cache = {}
 
     # ---- phases ----------------------------------------------------------------
 
@@ -514,6 +518,7 @@ class Session:
         self._counts_np = None
         self._counts_stale = False  # table freshly derived from this cloud
         self._hag_cache = {}  # ground classification re-derived
+        self._focus_idx_cache = {}
         self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
@@ -554,6 +559,7 @@ class Session:
         self._counts_np = None
         self._counts_stale = False
         self._hag_cache = {}  # ground classification re-derived
+        self._focus_idx_cache = {}
         self._bbox_full = True
         return table
 
@@ -606,9 +612,9 @@ class Session:
             cnt = int(jnp.sum(member))
         return member, cnt, cnt > ncfg.brute_force_max
 
-    def _compact_member(self, member, cnt: int):
-        """(idx, sub_valid, cap): the segment's member rows compacted to a
-        snug power-of-two-granule buffer.
+    def _compact_member(self, segment_id: int, member, cnt: int):
+        """(idx, sub_valid): the segment's member rows compacted to a snug
+        power-of-two-granule buffer.
 
         The exact brute-force k-NN must run AMONG MEMBERS, not against the
         full capacity array: its [query_tile, N] distance tile is 61 GB at
@@ -616,13 +622,22 @@ class Session:
         while [tile, 64k] among members is 256 MB.  The reference does the
         same — its KD-tree is built over the segment's points only
         (calculations.rs:328-373).
+
+        The compaction itself is a full-N cumsum + scatter (~200 ms at 15M,
+        the bulk of curvature_ms=342 in BENCH_r05) and membership only
+        changes on edits, so it is cached per segment id; edits clear it
+        through :meth:`_mark_edited`.
         """
+        cached = self._focus_idx_cache.get(segment_id)
+        if cached is not None:
+            return cached
         from .ops import octree as otree
 
         cap = min(otree.snug_capacity(max(int(cnt), 1), headroom=1.0),
                   self.cloud.capacity)
         count, idx = otree.compact_indices(member, cap)
         sub_valid = jnp.arange(cap, dtype=jnp.int32) < count
+        self._focus_idx_cache[segment_id] = (idx, sub_valid)
         return idx, sub_valid
 
     def curvature(self, segment_id: int):
@@ -631,7 +646,7 @@ class Session:
         if use_grid:
             return ch.segment_curvature(self.cloud.pos, member, k=k,
                                         use_grid=True)
-        idx, sub_valid = self._compact_member(member, cnt)
+        idx, sub_valid = self._compact_member(segment_id, member, cnt)
         sub = ch.segment_curvature(
             jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
             use_grid=False,
@@ -651,7 +666,7 @@ class Session:
         if use_grid:
             return ch.segment_normals(self.cloud.pos, member, k=k,
                                       use_grid=True)
-        idx, sub_valid = self._compact_member(member, cnt)
+        idx, sub_valid = self._compact_member(segment_id, member, cnt)
         sub = ch.segment_normals(
             jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
             use_grid=False,
@@ -1008,6 +1023,7 @@ class Session:
         self._counts_np = None
         self._counts_stale = True
         self._hag_cache = {}  # live set changed -> DTM changes
+        self._focus_idx_cache = {}
 
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -1032,6 +1048,7 @@ class Session:
             self.cloud, jnp.asarray(center, jnp.float32), r, classification, segment
         )
         self._hag_cache = {}  # ground membership drives the DTM
+        self._focus_idx_cache = {}
         # the reference re-derives the separators from the edited class
         # extents after every focused-view stroke (mod.rs:182-221)
         if self.table is not None:
@@ -1511,6 +1528,7 @@ class Session:
         self._tree = None
         self._lod = None
         self._hag_cache = {}
+        self._focus_idx_cache = {}
 
 
 def _demo():  # pragma: no cover
