@@ -457,7 +457,22 @@ def main() -> None:
     try:
         from treee_tpu import characteristics as ch_mod
 
-        tot = np.asarray(counts).sum(axis=1).astype(np.int64)
+        try:
+            tot = np.asarray(counts).sum(axis=1).astype(np.int64)
+        except NameError:
+            # inventory (which normally provides the per-segment counts)
+            # failed: derive them directly so the focus rows survive
+            S_f = cfg.segmentation.max_segments + 1
+
+            @jax.jit
+            def _seg_totals(segment, valid):
+                live = valid & (segment > 0) & (segment < S_f)
+                return jnp.zeros(S_f, jnp.int32).at[
+                    jnp.where(live, segment, 0)
+                ].add(live.astype(jnp.int32))
+
+            tot = np.asarray(sync(_seg_totals(segment, valid))).astype(
+                np.int64)
         tot[0] = 0
         sid = int(np.argmax(tot))
         seg_n = int(tot[sid])

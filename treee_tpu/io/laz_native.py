@@ -165,12 +165,14 @@ def chunk_counts(data: bytes, header, vlr: bytes | None) -> np.ndarray:
         raise UnsupportedFormat(f"LAZ chunk table unsupported (rc={rc})")
     out = counts[: int(n_chunks.value)].astype(np.int64)
     # clamp the tail so cumulative sums never exceed the header count
-    # (fixed framing reports chunk_size even for the final partial chunk)
+    # (fixed framing reports chunk_size even for the final partial chunk);
+    # when the table covers FEWER than n points (truncated table / inflated
+    # header) leave the counts untouched — callers stop at the coverage
     cum = np.cumsum(out)
-    keep = int(np.searchsorted(cum, n, side="left")) + 1
-    out = out[:keep]
-    if len(out):
-        prev = int(cum[keep - 2]) if keep >= 2 else 0
+    pos = int(np.searchsorted(cum, n, side="left"))
+    if pos < len(out):
+        out = out[: pos + 1]
+        prev = int(cum[pos - 1]) if pos >= 1 else 0
         out[-1] = min(int(out[-1]), n - prev)
     return out
 

@@ -52,6 +52,55 @@ def _sync(x) -> None:
     np.asarray(jnp.reshape(x, (-1,))[0])
 
 
+def _tile_shard_morton(mesh, tpos_host, tvalid_host, axis: str = "data"):
+    """Morton-preorder + shard ONE tile, with the sort on device.
+
+    sharding.shard_points_morton's generic host path (monolithic key fetch,
+    full np.argsort, fresh fancy-index temps) costs tens of seconds per
+    30M-point tile on this host's ~10-20 MB/s fresh-page path (review r5;
+    CLAUDE.md memory rules).  Tiles upload the positions anyway, so the
+    keys, the (keys, iota) sort, and the permutation gather all run on
+    device; the host fetches only the [cap] i32 order (chunked) for the
+    result unpermute.  Padding rows key to int32 max and sort last, so the
+    tile's own valid mask is already the sorted one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import transfer
+    from . import sharding as psh
+
+    pos_dev = jnp.asarray(tpos_host)
+    valid_dev = jnp.asarray(tvalid_host)
+    order_dev, pos_sorted = _tile_morton_sort(pos_dev, valid_dev)
+    pos_sh, valid_sh = psh.shard_points(mesh, pos_sorted, valid_dev, axis)
+    order = transfer.fetch(order_dev)
+    return pos_sh, valid_sh, order
+
+
+def _tile_morton_sort(pos, valid):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import morton
+
+    @jax.jit
+    def run(pos, valid):
+        big = jnp.float32(3.0e38)
+        lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+        keys = morton.encode_positions(pos, lo, hi)
+        keys = jnp.where(valid, keys, jnp.int32(0x7FFFFFFF))
+        iota = jnp.arange(pos.shape[0], dtype=jnp.int32)
+        # stable: canonical tie order, matching shard_points_morton's
+        # stable host argsort (per-point outputs don't depend on it, but
+        # determinism across runs does)
+        _, order = jax.lax.sort((keys, iota), num_keys=1)
+        return order, jnp.take(pos, order, axis=0)
+
+    return run(pos, valid)
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict[int, int] = {}
@@ -254,11 +303,10 @@ def tiled_pipeline(
             )
             order_t = None
         else:
-            from . import sharding as psh
-
-            # Morton-preorder + shard the tile (padding rows sort last, so
-            # live results occupy shard rows [0, m) in Morton order)
-            pos_sh, valid_sh, order_t = psh.shard_points_morton(
+            # Morton-preorder + shard the tile, sort on device (padding
+            # rows sort last, so live results occupy shard rows [0, m) in
+            # Morton order)
+            pos_sh, valid_sh, order_t = _tile_shard_morton(
                 mesh, tpos, tvalid)
             seg, classification, table, _ = sharded_step(
                 pos_sh, valid_sh, jnp.float32(max_distance))

@@ -219,6 +219,14 @@ class Repl:
         c.mode = "first_person" if self.fp else "orbital"
         c.camera = self.s.camera  # session may have moved it (commands)
         before = c.camera
+        # tick FIRST, with the PRE-event key state: the elapsed interval
+        # belongs to the keys held DURING it — ticking after would drop the
+        # whole held interval on key-up and credit pre-press time on
+        # key-down (review r5)
+        now = time.monotonic()
+        dt = min(max(now - self._last_event_t, 0.0), 0.1)
+        self._last_event_t = now
+        c.tick(dt)
         if kind in ("down", "up"):
             x = float(args[1]) if len(args) > 1 else None
             y = float(args[2]) if len(args) > 2 else None
@@ -231,10 +239,6 @@ class Repl:
             c.key(args[0], len(args) < 2 or args[1] != "0")
         else:
             raise ValueError(f"unknown event kind {kind!r}")
-        now = time.monotonic()
-        dt = min(max(now - self._last_event_t, 0.0), 0.1)
-        self._last_event_t = now
-        c.tick(dt)  # held WASD/QE keys move per elapsed time
         if c.camera is not before:
             self.s.camera = c.camera
             if self._adaptive_tau is not None:

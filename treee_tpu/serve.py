@@ -130,16 +130,22 @@ async function cmd(line,quiet){
   const j=await r.json();
   if(!quiet&&j.output)el('log').textContent+=j.output;
   el('log').scrollTop=1e9; stats(); return j;}
-/* move coalescing: at most one move POST in flight; positions arriving
-   while it runs collapse to the newest (deltas fold server-side, so the
-   rotation sum is preserved) */
-let movPend=null,movBusy=false;
-function sendMove(x,y){
-  if(movBusy){movPend=[x,y];return;}
+/* move coalescing: at most one move POST in flight.  ROTATE (left-drag)
+   collapses queued positions to the newest — deltas fold server-side, so
+   the rotation sum is preserved.  BRUSH (right/shift-drag) must keep
+   every stroke point or the edit paints a gappy dotted line, so those
+   positions QUEUE (bounded) and send in order. */
+let movQ=[],movBusy=false;
+function pumpMove(){
+  if(movBusy||!movQ.length)return;
   movBusy=true;
+  const[x,y]=movQ.shift();
   fetch('/cmd',{method:'POST',body:`event move ${x} ${y}`}).finally(()=>{
-    movBusy=false;
-    if(movPend){const[a,b]=movPend;movPend=null;sendMove(a,b);}});}
+    movBusy=false;pumpMove();});}
+function sendMove(x,y,keepAll){
+  if(keepAll){if(movQ.length<256)movQ.push([x,y]);}
+  else movQ=[[x,y]];
+  pumpMove();}
 async function stats(){
   const j=await(await fetch('/info')).json();
   el('stats').textContent=j.points.toLocaleString()+' pts / '
@@ -171,7 +177,7 @@ img.onmousedown=e=>{
   e.preventDefault();};
 img.onmousemove=e=>{
   if(!downBtn)return;
-  const[p,q]=pix(e);sendMove(p,q);};
+  const[p,q]=pix(e);sendMove(p,q,downBtn==='right');};
 img.onmouseup=e=>{
   if(!downBtn)return;
   const[p,q]=pix(e);cmd(`event up ${downBtn} ${p} ${q}`);downBtn=null;};
