@@ -526,17 +526,34 @@ def main() -> None:
               f"({seg_n:,} pts, grid={use_grid})", file=sys.stderr,
               flush=True)
 
-        # focus frame: the member-masked cloud through the classification-
-        # colored splat + eye-dome (Session.render_focus's device core) —
-        # cost scales with the PADDED row count, i.e. the full N rows here
+        # focus frame: the classification-colored splat + eye-dome
+        # (Session.render_focus's device core).  Since round 5 the
+        # brute-path focused frame renders the cached index-compacted
+        # subset — splat cost scales with the PADDED row count, so the
+        # ~64k-row subset replaces the member-masked full cloud; the
+        # per-frame cost HERE includes the subset gathers through the
+        # cached indices (what Session pays per frame).  Grid-path
+        # (huge) segments still render the masked full cloud.
         cls_prop = jnp.take(
             jnp.asarray([1 / 8, 3 / 8, 6 / 8], jnp.float32), out[2])
 
         @jax.jit
         def focus_sweep(pos, prop, member, cam_stack):
+            if not use_grid:
+                count_f, idx_f = octree.compact_indices(member, cap_sub)
+                sub_valid_f = (jnp.arange(cap_sub, dtype=jnp.int32)
+                               < count_f)
+
             def body(acc, cam):
-                color, z01, _ = splat.render_points(
-                    pos, prop, member, cam, palette, cfg.render)
+                if use_grid:
+                    color, z01, _ = splat.render_points(
+                        pos, prop, member, cam, palette, cfg.render)
+                else:
+                    color, z01, _ = splat.render_points(
+                        jnp.take(pos, idx_f, axis=0),
+                        jnp.take(prop, idx_f),
+                        sub_valid_f & jnp.take(member, idx_f),
+                        cam, palette, cfg.render)
                 img = splat.eye_dome(color, z01, cfg.render)
                 return acc + jnp.sum(img), None
 

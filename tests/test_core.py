@@ -400,3 +400,30 @@ def test_transfer_fetch_chunked_and_gather_rows():
     assert cnt == int(np.asarray(mask).sum())
     np.testing.assert_array_equal(np.asarray(got_ids),
                                   np.flatnonzero(np.asarray(mask)))
+
+
+def test_compact_indices_matches_scatter_reference():
+    """The packed-sort compact_indices must be bit-identical to the
+    cumsum+scatter form it replaced (round 5: the sort form cut the
+    focused-segment compaction from ~200 ms to one ~25-45 ms key-only
+    unstable sort at 15M, octree.py compact_indices docstring)."""
+
+    def reference(mask, capacity):
+        pos_idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(mask & (pos_idx < capacity), pos_idx, capacity)
+        count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+        src = jnp.arange(mask.shape[0], dtype=jnp.int32)
+        idx = jnp.zeros(capacity + 1, jnp.int32).at[tgt].set(
+            src, mode="drop")
+        return count, idx[:capacity]
+
+    rng = np.random.default_rng(7)
+    for n, cap in [(257, 64), (1024, 1024), (100, 256), (4096, 512),
+                   (33, 1), (8, 8)]:
+        for p in (0.0, 0.03, 0.5, 1.0):
+            mask = jnp.asarray(rng.random(n) < p)
+            c0, i0 = reference(mask, cap)
+            c1, i1 = octree.compact_indices(mask, cap)
+            assert int(c0) == int(c1), (n, cap, p)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1),
+                                          err_msg=f"{(n, cap, p)}")

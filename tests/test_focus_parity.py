@@ -333,3 +333,48 @@ def test_focus_compaction_cache_invalidates_on_edit():
     assert sid not in s._focus_idx_cache  # edit cleared the cache
     c2 = np.asarray(s.curvature(sid))
     assert not (np.abs(c2) > 0).any()
+
+
+def test_focus_prop_cache_reuses_knn(session):
+    """Round-5: the brute-path curvature/normals SUB results are cached per
+    (kind, segment, k) so a focused `display curve`/`shaded` frame doesn't
+    pay the ~150 ms k-NN recompute per camera move; the full-N output is
+    rebuilt per call from the cached subset (bit-identical)."""
+    s = session
+    sid = _a_tree_segment(s)
+    c1 = np.asarray(s.curvature(sid))
+    key = ("curve", sid, s.config.characteristics.neighbors)
+    assert key in s._focus_prop_cache
+    sub_cached = s._focus_prop_cache[key]
+    c2 = np.asarray(s.curvature(sid))
+    assert s._focus_prop_cache[key] is sub_cached  # k-NN not recomputed
+    np.testing.assert_array_equal(c1, c2)
+    n1 = np.asarray(s.normals(sid))
+    assert ("normals", sid, s.config.characteristics.neighbors) \
+        in s._focus_prop_cache
+    np.testing.assert_array_equal(n1, np.asarray(s.normals(sid)))
+
+
+def test_render_focus_subset_matches_full_render():
+    """Round-5: the brute-path focused frame renders the index-compacted
+    subset instead of the member-masked full cloud (splat cost scales with
+    the padded row count).  The scatter-min z-buffer is order- and
+    padding-independent, so the image must be IDENTICAL to the full-N
+    masked render — pinned by routing the same scene through the grid
+    path (brute_force_max=0 forces every segment to the full-cloud
+    render)."""
+    import dataclasses as dc
+
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=17)
+    s_sub = Session.from_points(pts, CFG)
+    s_sub.segment(0.75)
+    cfg_grid = dc.replace(
+        CFG, neighbors=dc.replace(CFG.neighbors, brute_force_max=0))
+    s_full = Session.from_points(pts, cfg_grid)
+    s_full.segment(0.75)
+    sid = _a_tree_segment(s_sub)
+    for display in ("classification", "hag"):
+        img_sub = s_sub.render_focus(sid, display=display)
+        img_full = s_full.render_focus(sid, display=display)
+        np.testing.assert_array_equal(img_sub, img_full, err_msg=display)

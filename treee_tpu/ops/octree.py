@@ -497,11 +497,35 @@ def compact_indices(mask: jax.Array, capacity: int) -> tuple[jax.Array, jax.Arra
     (segment/valid) re-reads through the same indices with subset-sized
     gathers instead of full-N compaction passes (pipeline.Session.build_lod).
     Padding slots hold index 0 — mask them with ``arange < count``.
+
+    Implementation: pack ``(~mask << 30) | row`` into one i32 and key-only
+    unstable-sort it — masked rows land first, in ascending row order, so
+    the head slice IS the compaction.  On v5e a single-key unstable sort at
+    15M rows costs ~23-44 ms (tools/probe_sort4.py) vs ~200 ms for the
+    cumsum + [N]-operand scatter form this replaced (CLAUDE.md primitive
+    costs: scatter ~155 ms + cumsum; measured end-to-end in BENCH_r05's
+    curvature_ms).  Output is bit-identical: both forms keep the first
+    ``capacity`` masked rows in ascending original order with 0-padding.
+    The packed form needs row indices < 2^30; larger arrays take the
+    scatter fallback.
     """
+    n = mask.shape[0]
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    if n <= (1 << 30):
+        src = jnp.arange(n, dtype=jnp.int32)
+        keys = jnp.where(mask, src, src | (1 << 30))
+        keys = jax.lax.sort(keys, is_stable=False)
+        take = min(capacity, n)
+        head = keys[:take] & ((1 << 30) - 1)
+        if take < capacity:
+            head = jnp.concatenate(
+                [head, jnp.zeros(capacity - take, jnp.int32)])
+        idx = jnp.where(jnp.arange(capacity, dtype=jnp.int32) < count,
+                        head, 0)
+        return count, idx
     pos_idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
     tgt = jnp.where(mask & (pos_idx < capacity), pos_idx, capacity)
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
-    src = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    src = jnp.arange(n, dtype=jnp.int32)
     idx = jnp.zeros(capacity + 1, jnp.int32).at[tgt].set(src, mode="drop")
     return count, idx[:capacity]
 

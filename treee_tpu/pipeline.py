@@ -176,6 +176,13 @@ class Session:
         # focused-segment compaction indices (curvature/normals brute
         # path); membership-derived, cleared with the other caches
         self._focus_idx_cache: dict[int, tuple] = {}
+        # brute-path curvature/normals SUB results per (kind, segment, k):
+        # the k-NN recompute costs ~150 ms per call at bench scale, and a
+        # focused `display curve`/`shaded` frame would otherwise pay it
+        # per camera move.  Only the [cap(,3)] subset arrays are cached
+        # (<1 MB each); the full-N output is rebuilt per call with a
+        # cheap subset-operand scatter.  Cleared with _focus_idx_cache.
+        self._focus_prop_cache: dict[tuple, jax.Array] = {}
 
     # ---- mesh-mode plumbing ---------------------------------------------------
 
@@ -450,6 +457,7 @@ class Session:
         self._lod = None
         self._hag_cache = {}
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
 
     # ---- phases ----------------------------------------------------------------
 
@@ -519,6 +527,7 @@ class Session:
         self._counts_stale = False  # table freshly derived from this cloud
         self._hag_cache = {}  # ground classification re-derived
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
         self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
@@ -560,6 +569,7 @@ class Session:
         self._counts_stale = False
         self._hag_cache = {}  # ground classification re-derived
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
         self._bbox_full = True
         return table
 
@@ -647,10 +657,14 @@ class Session:
             return ch.segment_curvature(self.cloud.pos, member, k=k,
                                         use_grid=True)
         idx, sub_valid = self._compact_member(segment_id, member, cnt)
-        sub = ch.segment_curvature(
-            jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
-            use_grid=False,
-        )
+        key = ("curve", segment_id, k)
+        sub = self._focus_prop_cache.get(key)
+        if sub is None:
+            sub = ch.segment_curvature(
+                jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
+                use_grid=False,
+            )
+            self._focus_prop_cache[key] = sub
         # scatter back to cloud rows; padding slots drop out of range
         cap_n = self.cloud.capacity
         idx_p = jnp.where(sub_valid, idx, cap_n)
@@ -667,10 +681,14 @@ class Session:
             return ch.segment_normals(self.cloud.pos, member, k=k,
                                       use_grid=True)
         idx, sub_valid = self._compact_member(segment_id, member, cnt)
-        sub = ch.segment_normals(
-            jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
-            use_grid=False,
-        )
+        key = ("normals", segment_id, k)
+        sub = self._focus_prop_cache.get(key)
+        if sub is None:
+            sub = ch.segment_normals(
+                jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
+                use_grid=False,
+            )
+            self._focus_prop_cache[key] = sub
         cap_n = self.cloud.capacity
         idx_p = jnp.where(sub_valid, idx, cap_n)
         up = jnp.zeros((cap_n, 3), sub.dtype).at[:, 1].set(1.0)
@@ -915,7 +933,7 @@ class Session:
 
         cam = camera if camera is not None else self.camera
         pal = self.palette
-        member = self.cloud.valid & (self.cloud.segment == segment_id)
+        member, cnt, use_grid = self._member_and_grid(segment_id)
         if display in self.attributes:
             # source-attribute view (intensity/rgb/..., attribute_prop)
             prop, pal_over = self.attribute_prop(display)
@@ -950,9 +968,25 @@ class Session:
         else:
             raise ValueError(f"unknown display {display!r}")
 
-        color, z01, _ = splat.render_points(
-            self.cloud.pos, prop, member, cam, pal, self.config.render
-        )
+        if use_grid:
+            # huge segment (e.g. ground): render the masked full cloud
+            color, z01, _ = splat.render_points(
+                self.cloud.pos, prop, member, cam, pal, self.config.render
+            )
+        else:
+            # splat cost scales with the PADDED row count (CLAUDE.md /
+            # profile_frame.py), so render the cached index-compacted
+            # subset (~64k rows, <1 ms) instead of the member-masked full
+            # cloud (~120 ms at 15M).  The scatter-min z-buffer is order-
+            # and padding-independent, so the image is identical.  The
+            # member re-gather guards against a stale cache entry.
+            idx, sub_valid = self._compact_member(segment_id, member, cnt)
+            color, z01, _ = splat.render_points(
+                jnp.take(self.cloud.pos, idx, axis=0),
+                jnp.take(prop, idx),
+                sub_valid & jnp.take(member, idx),
+                cam, pal, self.config.render,
+            )
 
         overlays = []
         axis_fn = (trunk_axis.low_high_layer if axis_algo == "lowhigh"
@@ -1024,6 +1058,7 @@ class Session:
         self._counts_stale = True
         self._hag_cache = {}  # live set changed -> DTM changes
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
 
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -1049,6 +1084,7 @@ class Session:
         )
         self._hag_cache = {}  # ground membership drives the DTM
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
         # the reference re-derives the separators from the edited class
         # extents after every focused-view stroke (mod.rs:182-221)
         if self.table is not None:
@@ -1529,6 +1565,7 @@ class Session:
         self._lod = None
         self._hag_cache = {}
         self._focus_idx_cache = {}
+        self._focus_prop_cache = {}
 
 
 def _demo():  # pragma: no cover
