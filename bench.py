@@ -544,20 +544,28 @@ def main() -> None:
                 sub_valid_f = (jnp.arange(cap_sub, dtype=jnp.int32)
                                < count_f)
 
-            def body(acc, cam):
+            def body(acc, xs):
+                cam, d_i = xs
                 if use_grid:
                     color, z01, _ = splat.render_points(
                         pos, prop, member, cam, palette, cfg.render)
                 else:
+                    # idx_i depends on the scanned d_i so the three
+                    # subset gathers stay INSIDE the loop (LICM would
+                    # otherwise hoist them and under-report the
+                    # per-frame cost Session pays; == idx_f at runtime)
+                    idx_i = jnp.where(d_i > 0, idx_f, 0)
                     color, z01, _ = splat.render_points(
-                        jnp.take(pos, idx_f, axis=0),
-                        jnp.take(prop, idx_f),
-                        sub_valid_f & jnp.take(member, idx_f),
+                        jnp.take(pos, idx_i, axis=0),
+                        jnp.take(prop, idx_i),
+                        sub_valid_f & jnp.take(member, idx_i),
                         cam, palette, cfg.render)
                 img = splat.eye_dome(color, z01, cfg.render)
                 return acc + jnp.sum(img), None
 
-            total, _ = jax.lax.scan(body, jnp.float32(0.0), cam_stack)
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                (cam_stack, jnp.ones(n_frames, jnp.int32)))
             return total
 
         sync1(focus_sweep(pos, cls_prop, member, cam_stack))  # compile

@@ -378,3 +378,30 @@ def test_render_focus_subset_matches_full_render():
         img_sub = s_sub.render_focus(sid, display=display)
         img_full = s_full.render_focus(sid, display=display)
         np.testing.assert_array_equal(img_sub, img_full, err_msg=display)
+
+
+def test_focus_count_cache_and_eviction():
+    """Round-5 review fixes: (a) while _counts_stale the member count
+    syncs once per segment and is then host-cached — a focused frame
+    after a brush stroke must not block on a device fetch per camera
+    move; (b) the focused-view caches are bounded (device-HBM arrays
+    would otherwise accumulate per segment browsed)."""
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=19)
+    s = Session.from_points(pts, CFG)
+    s.segment(0.75)
+    sid = _a_tree_segment(s)
+    # trigger staleness the way a brush stroke does
+    s.delete_sphere(np.array([1e6, 1e6, 1e6], np.float32), radius=0.1)
+    assert s._counts_stale and s._focus_cnt_cache == {}
+    _ = s.render_focus(sid, display="classification")
+    assert sid in s._focus_cnt_cache  # synced once...
+    cnt = s._focus_cnt_cache[sid]
+    _ = s.render_focus(sid, display="classification")
+    assert s._focus_cnt_cache[sid] == cnt  # ...reused, not re-synced
+
+    # eviction bound: fake-browse many segments
+    from treee_tpu.pipeline import _evict_oldest
+    d = {i: i for i in range(100)}
+    _evict_oldest(d, 8)
+    assert len(d) == 8 and list(d) == list(range(92, 100))

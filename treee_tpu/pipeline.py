@@ -29,6 +29,16 @@ from .render import Camera, palettes, splat
 from .segmentation import SegmentationResult, segment_points
 
 
+def _evict_oldest(d: dict, cap: int) -> None:
+    """Bound a per-session cache dict to ``cap`` entries, dropping the
+    oldest inserts (Python dicts preserve insertion order).  The focused-
+    view caches hold device-HBM arrays; without a bound, browsing many
+    segments in one session would pin unbounded HBM (review finding,
+    round 5)."""
+    while len(d) > cap:
+        d.pop(next(iter(d)))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def full_pipeline(
     pos: jax.Array,
@@ -177,12 +187,18 @@ class Session:
         # path); membership-derived, cleared with the other caches
         self._focus_idx_cache: dict[int, tuple] = {}
         # brute-path curvature/normals SUB results per (kind, segment, k):
-        # the k-NN recompute costs ~150 ms per call at bench scale, and a
+        # the k-NN recompute costs ~240 ms per call at bench scale, and a
         # focused `display curve`/`shaded` frame would otherwise pay it
         # per camera move.  Only the [cap(,3)] subset arrays are cached
-        # (<1 MB each); the full-N output is rebuilt per call with a
+        # (<1 MB each); the full-N output is rebuilt on demand with a
         # cheap subset-operand scatter.  Cleared with _focus_idx_cache.
         self._focus_prop_cache: dict[tuple, jax.Array] = {}
+        # device-synced member counts per segment id, used only while
+        # _counts_stale (table absent or edited): without this, EVERY
+        # focused frame after a brush stroke would block on a scalar
+        # device fetch (~30 ms tunnel floor) in _member_and_grid.
+        # Cleared with _focus_idx_cache (same staleness domain).
+        self._focus_cnt_cache: dict[int, int] = {}
 
     # ---- mesh-mode plumbing ---------------------------------------------------
 
@@ -458,6 +474,7 @@ class Session:
         self._hag_cache = {}
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
 
     # ---- phases ----------------------------------------------------------------
 
@@ -528,6 +545,7 @@ class Session:
         self._hag_cache = {}  # ground classification re-derived
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
         self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
@@ -570,6 +588,7 @@ class Session:
         self._hag_cache = {}  # ground classification re-derived
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
         self._bbox_full = True
         return table
 
@@ -617,9 +636,15 @@ class Session:
             if 0 <= segment_id < len(counts):
                 cnt = int(counts[segment_id])
         if cnt is None:
+            cnt = self._focus_cnt_cache.get(segment_id)
+        if cnt is None:
             # table absent or stale after edits: one scalar device sync for a
-            # fresh count — never route a grown segment to brute force
+            # fresh count — never route a grown segment to brute force.
+            # Cached per segment (cleared on edits) so interactive focused
+            # frames don't pay the sync per camera move.
             cnt = int(jnp.sum(member))
+            self._focus_cnt_cache[segment_id] = cnt
+            _evict_oldest(self._focus_cnt_cache, 64)
         return member, cnt, cnt > ncfg.brute_force_max
 
     def _compact_member(self, segment_id: int, member, cnt: int):
@@ -648,7 +673,26 @@ class Session:
         count, idx = otree.compact_indices(member, cap)
         sub_valid = jnp.arange(cap, dtype=jnp.int32) < count
         self._focus_idx_cache[segment_id] = (idx, sub_valid)
+        _evict_oldest(self._focus_idx_cache, 8)
         return idx, sub_valid
+
+    def _focus_sub(self, kind: str, segment_id: int, member, cnt: int):
+        """Brute-path per-point result on the COMPACTED member rows:
+        (sub, idx, sub_valid) with ``sub`` cached per (kind, segment, k)
+        so repeat focused frames skip the ~240 ms exact k-NN
+        (tools/probe_knn.py).  ``kind`` is "curve" or "normals"."""
+        k = self.config.characteristics.neighbors
+        idx, sub_valid = self._compact_member(segment_id, member, cnt)
+        key = (kind, segment_id, k)
+        sub = self._focus_prop_cache.get(key)
+        if sub is None:
+            fn = (ch.segment_curvature if kind == "curve"
+                  else ch.segment_normals)
+            sub = fn(jnp.take(self.cloud.pos, idx, axis=0), sub_valid,
+                     k=k, use_grid=False)
+            self._focus_prop_cache[key] = sub
+            _evict_oldest(self._focus_prop_cache, 16)
+        return sub, idx, sub_valid
 
     def curvature(self, segment_id: int):
         member, cnt, use_grid = self._member_and_grid(segment_id)
@@ -656,15 +700,8 @@ class Session:
         if use_grid:
             return ch.segment_curvature(self.cloud.pos, member, k=k,
                                         use_grid=True)
-        idx, sub_valid = self._compact_member(segment_id, member, cnt)
-        key = ("curve", segment_id, k)
-        sub = self._focus_prop_cache.get(key)
-        if sub is None:
-            sub = ch.segment_curvature(
-                jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
-                use_grid=False,
-            )
-            self._focus_prop_cache[key] = sub
+        sub, idx, sub_valid = self._focus_sub("curve", segment_id,
+                                              member, cnt)
         # scatter back to cloud rows; padding slots drop out of range
         cap_n = self.cloud.capacity
         idx_p = jnp.where(sub_valid, idx, cap_n)
@@ -680,15 +717,8 @@ class Session:
         if use_grid:
             return ch.segment_normals(self.cloud.pos, member, k=k,
                                       use_grid=True)
-        idx, sub_valid = self._compact_member(segment_id, member, cnt)
-        key = ("normals", segment_id, k)
-        sub = self._focus_prop_cache.get(key)
-        if sub is None:
-            sub = ch.segment_normals(
-                jnp.take(self.cloud.pos, idx, axis=0), sub_valid, k=k,
-                use_grid=False,
-            )
-            self._focus_prop_cache[key] = sub
+        sub, idx, sub_valid = self._focus_sub("normals", segment_id,
+                                              member, cnt)
         cap_n = self.cloud.capacity
         idx_p = jnp.where(sub_valid, idx, cap_n)
         up = jnp.zeros((cap_n, 3), sub.dtype).at[:, 1].set(1.0)
@@ -934,6 +964,7 @@ class Session:
         cam = camera if camera is not None else self.camera
         pal = self.palette
         member, cnt, use_grid = self._member_and_grid(segment_id)
+        sub_prop = None  # set when a display computes on the subset directly
         if display in self.attributes:
             # source-attribute view (intensity/rgb/..., attribute_prop)
             prop, pal_over = self.attribute_prop(display)
@@ -954,17 +985,31 @@ class Session:
             if display == "expansion":
                 prop = prop / jnp.maximum(jnp.max(jnp.where(member, prop, 0.0)), 1e-6)
         elif display == "curve":
-            prop = self.curvature(segment_id)
+            if use_grid:
+                prop = self.curvature(segment_id)
+            else:
+                # consume the cached SUB directly: routing through
+                # curvature() would scatter the subset to a full-N
+                # buffer only for the render branch to gather it
+                # straight back (review finding, round 5)
+                sub_prop, _, _ = self._focus_sub(
+                    "curve", segment_id, member, cnt)
         elif display == "shaded":
             # Lambert brightness from the k-NN surface normals: prop rides
             # the palette coordinate, so `palette white` gives a grayscale
             # lit view (beyond the reference, whose only depth cue is
             # eye-dome lighting)
             light = jnp.asarray([0.45, 0.76, 0.47], jnp.float32)  # unit, y-up
-            lam = jnp.maximum(
-                jnp.sum(self.normals(segment_id) * light, axis=-1), 0.0
-            )
-            prop = 0.15 + 0.85 * lam
+            if use_grid:
+                lam = jnp.maximum(
+                    jnp.sum(self.normals(segment_id) * light, axis=-1), 0.0
+                )
+                prop = 0.15 + 0.85 * lam
+            else:
+                sub_n, _, _ = self._focus_sub(
+                    "normals", segment_id, member, cnt)
+                lam = jnp.maximum(jnp.sum(sub_n * light, axis=-1), 0.0)
+                sub_prop = 0.15 + 0.85 * lam
         else:
             raise ValueError(f"unknown display {display!r}")
 
@@ -979,11 +1024,13 @@ class Session:
             # subset (~64k rows, <1 ms) instead of the member-masked full
             # cloud (~120 ms at 15M).  The scatter-min z-buffer is order-
             # and padding-independent, so the image is identical.  The
-            # member re-gather guards against a stale cache entry.
+            # member re-gather can only HIDE ex-members of a stale cache
+            # entry, never restore joiners — every membership-mutating
+            # path must (and does) clear _focus_idx_cache.
             idx, sub_valid = self._compact_member(segment_id, member, cnt)
             color, z01, _ = splat.render_points(
                 jnp.take(self.cloud.pos, idx, axis=0),
-                jnp.take(prop, idx),
+                sub_prop if sub_prop is not None else jnp.take(prop, idx),
                 sub_valid & jnp.take(member, idx),
                 cam, pal, self.config.render,
             )
@@ -1059,6 +1106,7 @@ class Session:
         self._hag_cache = {}  # live set changed -> DTM changes
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
 
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -1085,6 +1133,7 @@ class Session:
         self._hag_cache = {}  # ground membership drives the DTM
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
         # the reference re-derives the separators from the edited class
         # extents after every focused-view stroke (mod.rs:182-221)
         if self.table is not None:
@@ -1566,6 +1615,7 @@ class Session:
         self._hag_cache = {}
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
+        self._focus_cnt_cache = {}
 
 
 def _demo():  # pragma: no cover
