@@ -374,10 +374,21 @@ def test_render_focus_subset_matches_full_render():
     s_full = Session.from_points(pts, cfg_grid)
     s_full.segment(0.75)
     sid = _a_tree_segment(s_sub)
-    for display in ("classification", "hag"):
+    # curve/shaded are excluded: the grid path uses a different k-NN
+    # engine.  expansion/height ARE pinned: segment_properties on the
+    # subset is bit-identical for member rows (support maxima and the
+    # table-derived quantization are order-independent).
+    for display in ("classification", "hag", "height", "expansion"):
         img_sub = s_sub.render_focus(sid, display=display)
         img_full = s_full.render_focus(sid, display=display)
         np.testing.assert_array_equal(img_sub, img_full, err_msg=display)
+    # overlays on the subset point set must match the full-cloud overlays
+    img_sub = s_sub.render_focus(sid, show_hull=True, show_axis=True,
+                                 show_rbv=True)
+    img_full = s_full.render_focus(sid, show_hull=True, show_axis=True,
+                                   show_rbv=True)
+    mismatch = float(np.mean(np.any(img_sub != img_full, axis=-1)))
+    assert mismatch < 0.005, mismatch  # mean-based axis fit: float-order
 
 
 def test_focus_count_cache_and_eviction():

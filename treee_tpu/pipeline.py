@@ -619,13 +619,24 @@ class Session:
             self.config.segmentation.max_segments + 1, self.config.characteristics,
         )
 
-    def _member_and_grid(self, segment_id: int):
+    def _member_mask(self, segment_id: int):
+        """Full-N member mask of a segment (two [N] elementwise passes —
+        ~10 ms at 15M in eager mode, so per-frame paths avoid building it
+        when subset-side gathers suffice; see _member_and_grid)."""
+        return self.cloud.valid & (self.cloud.segment == segment_id)
+
+    def _member_and_grid(self, segment_id: int, build_member: bool = True):
         """(member mask, use_grid): typical trees brute-force exactly; huge
         segments (e.g. ground) switch to the grid-hash neighbor engine so
         selection can't hit an O(N^2) wall.  The member count comes from a
         host-cached copy of the segment table so the interactive path doesn't
-        block on a per-call device sync."""
-        member = self.cloud.valid & (self.cloud.segment == segment_id)
+        block on a per-call device sync.
+
+        ``build_member=False`` returns member=None when the count is host-
+        resolvable: eager jnp ops EXECUTE when constructed, so a caller that
+        only needs subset-side membership (render_focus's brute path) skips
+        two full-N device passes per frame by not building the mask."""
+        member = self._member_mask(segment_id) if build_member else None
         ncfg = self.config.neighbors
         cnt = None
         if self.table is not None and not getattr(self, "_counts_stale", False):
@@ -642,6 +653,8 @@ class Session:
             # fresh count — never route a grown segment to brute force.
             # Cached per segment (cleared on edits) so interactive focused
             # frames don't pay the sync per camera move.
+            if member is None:
+                member = self._member_mask(segment_id)
             cnt = int(jnp.sum(member))
             self._focus_cnt_cache[segment_id] = cnt
             _evict_oldest(self._focus_cnt_cache, 64)
@@ -668,6 +681,8 @@ class Session:
             return cached
         from .ops import octree as otree
 
+        if member is None:  # lazy-member caller missed the cache
+            member = self._member_mask(segment_id)
         cap = min(otree.snug_capacity(max(int(cnt), 1), headroom=1.0),
                   self.cloud.capacity)
         count, idx = otree.compact_indices(member, cap)
@@ -963,36 +978,83 @@ class Session:
 
         cam = camera if camera is not None else self.camera
         pal = self.palette
-        member, cnt, use_grid = self._member_and_grid(segment_id)
-        sub_prop = None  # set when a display computes on the subset directly
+        member, cnt, use_grid = self._member_and_grid(
+            segment_id, build_member=False)
+        # (f_pos, f_member, f_cls): the point set EVERY focused computation
+        # below runs on.  Brute-path segments use the cached index-compacted
+        # subset so the whole frame — display prop, splat, overlays — is
+        # O(cap≈64k) instead of O(N) (the full-N splat alone was ~120 ms at
+        # 15M; so were per-frame full-N props like segment_properties).
+        # The member set is identical either way, so results match: the
+        # scatter-min z-buffer is order/padding-independent, support maxima
+        # and min/max reductions are exact, and mean-based axis fits differ
+        # only by float summation order.  Grid-path (huge) segments keep
+        # the full-cloud arrays.  The member re-gather can only HIDE
+        # ex-members of a stale cache entry, never restore joiners — every
+        # membership-mutating path must (and does) clear _focus_idx_cache.
+        if use_grid:
+            idx = None
+            member = self._member_mask(segment_id) if member is None \
+                else member
+            f_pos = self.cloud.pos
+            f_member = member
+            f_cls = self.cloud.classification
+        else:
+            idx, sub_valid = self._compact_member(segment_id, member, cnt)
+            seg_sub = jnp.take(self.cloud.segment, idx)
+            # subset-side membership == member[idx] without ever building
+            # the full-N mask (two [N] passes per frame in eager mode)
+            f_member = (sub_valid & jnp.take(self.cloud.valid, idx)
+                        & (seg_sub == segment_id))
+            f_pos = jnp.take(self.cloud.pos, idx, axis=0)
+            f_cls = jnp.take(self.cloud.classification, idx)
+
         if display in self.attributes:
-            # source-attribute view (intensity/rgb/..., attribute_prop)
+            # source-attribute view (intensity/rgb/..., attribute_prop);
+            # the full-N prop is cached per attribute on device — the
+            # subset path gathers cap rows from it
             prop, pal_over = self.attribute_prop(display)
             if pal_over is not None:
                 pal = pal_over
+            f_prop = prop if use_grid else jnp.take(prop, idx)
         elif display == "hag":
-            prop = self.hag_prop()
+            prop = self.hag_prop()  # cached full-N device array
+            f_prop = prop if use_grid else jnp.take(prop, idx)
         elif display == "classification":
             # Ground -> 1/8, Trunk -> 3/8, Crown -> 6/8 of the palette
             # (mod.rs:1031-1039)
-            prop = jnp.take(
-                jnp.asarray([1 / 8, 3 / 8, 6 / 8], jnp.float32),
-                self.cloud.classification,
+            f_prop = jnp.take(
+                jnp.asarray([1 / 8, 3 / 8, 6 / 8], jnp.float32), f_cls,
             )
         elif display in ("expansion", "height"):
-            exp, hgt = self.properties()
-            prop = exp if display == "expansion" else hgt
+            if use_grid:
+                exp, hgt = self.properties()
+            else:
+                # segment_properties' slice-area reduction is segment-
+                # local and the subset holds ALL the focused segment's
+                # rows, so running it on cap rows yields identical values
+                # for member rows (support maxima are duplication-proof;
+                # padding rows are masked out entirely)
+                if self.table is None:
+                    self.characteristics()
+                exp, hgt = ch.segment_properties(
+                    f_pos, seg_sub, f_member,
+                    f_cls, self.table,
+                    self.config.segmentation.max_segments + 1,
+                    self.config.characteristics,
+                )
+            f_prop = exp if display == "expansion" else hgt
             if display == "expansion":
-                prop = prop / jnp.maximum(jnp.max(jnp.where(member, prop, 0.0)), 1e-6)
+                f_prop = f_prop / jnp.maximum(
+                    jnp.max(jnp.where(f_member, f_prop, 0.0)), 1e-6)
         elif display == "curve":
             if use_grid:
-                prop = self.curvature(segment_id)
+                f_prop = self.curvature(segment_id)
             else:
                 # consume the cached SUB directly: routing through
                 # curvature() would scatter the subset to a full-N
-                # buffer only for the render branch to gather it
-                # straight back (review finding, round 5)
-                sub_prop, _, _ = self._focus_sub(
+                # buffer only to gather it straight back
+                f_prop, _, _ = self._focus_sub(
                     "curve", segment_id, member, cnt)
         elif display == "shaded":
             # Lambert brightness from the k-NN surface normals: prop rides
@@ -1001,55 +1063,35 @@ class Session:
             # eye-dome lighting)
             light = jnp.asarray([0.45, 0.76, 0.47], jnp.float32)  # unit, y-up
             if use_grid:
-                lam = jnp.maximum(
-                    jnp.sum(self.normals(segment_id) * light, axis=-1), 0.0
-                )
-                prop = 0.15 + 0.85 * lam
+                nrm = self.normals(segment_id)
             else:
-                sub_n, _, _ = self._focus_sub(
+                nrm, _, _ = self._focus_sub(
                     "normals", segment_id, member, cnt)
-                lam = jnp.maximum(jnp.sum(sub_n * light, axis=-1), 0.0)
-                sub_prop = 0.15 + 0.85 * lam
+            lam = jnp.maximum(jnp.sum(nrm * light, axis=-1), 0.0)
+            f_prop = 0.15 + 0.85 * lam
         else:
             raise ValueError(f"unknown display {display!r}")
 
-        if use_grid:
-            # huge segment (e.g. ground): render the masked full cloud
-            color, z01, _ = splat.render_points(
-                self.cloud.pos, prop, member, cam, pal, self.config.render
-            )
-        else:
-            # splat cost scales with the PADDED row count (CLAUDE.md /
-            # profile_frame.py), so render the cached index-compacted
-            # subset (~64k rows, <1 ms) instead of the member-masked full
-            # cloud (~120 ms at 15M).  The scatter-min z-buffer is order-
-            # and padding-independent, so the image is identical.  The
-            # member re-gather can only HIDE ex-members of a stale cache
-            # entry, never restore joiners — every membership-mutating
-            # path must (and does) clear _focus_idx_cache.
-            idx, sub_valid = self._compact_member(segment_id, member, cnt)
-            color, z01, _ = splat.render_points(
-                jnp.take(self.cloud.pos, idx, axis=0),
-                sub_prop if sub_prop is not None else jnp.take(prop, idx),
-                sub_valid & jnp.take(member, idx),
-                cam, pal, self.config.render,
-            )
+        color, z01, _ = splat.render_points(
+            f_pos, f_prop, f_member, cam, pal, self.config.render
+        )
 
         overlays = []
-        axis_fn = (trunk_axis.low_high_layer if axis_algo == "lowhigh"
-                   else trunk_axis.average_direction)
-        axis = axis_fn(
-            self.cloud.pos, member & (self.cloud.classification == 1)
-        )
-        tf = trunk_axis.axis_transform(axis) if show_rbv or show_axis else None
+        tf = None
+        axis = None
+        if show_rbv or show_axis:
+            # only computed when an overlay needs it (was an unconditional
+            # full-N reduction per frame)
+            axis_fn = (trunk_axis.low_high_layer if axis_algo == "lowhigh"
+                       else trunk_axis.average_direction)
+            axis = axis_fn(f_pos, f_member & (f_cls == 1))
+            tf = trunk_axis.axis_transform(axis)
         if show_hull:
             # device arrays straight through: convex_hull reduces + gathers
             # on device and fetches only the candidate rows (O(512), not
             # O(N) — this used to pull the full cloud to host PER FRAME)
             h = hull3d.convex_hull(
-                self.cloud.pos,
-                member & include_mask(self.cloud.classification,
-                                      hull_include),
+                f_pos, f_member & include_mask(f_cls, hull_include),
             )
             if h is not None:
                 e = hull3d.hull_edges(h.faces)
@@ -1067,13 +1109,13 @@ class Session:
                 rbv_kw.update(crown_sectors=rbv_sectors,
                               trunk_sectors=rbv_sectors)
             crown, trunk = rbv_mod.split_rbv(
-                self.cloud.pos, self.cloud.classification, member, **rbv_kw
+                f_pos, f_cls, f_member, **rbv_kw
             )
             overlays.append(rbv_mod.rbv_lines(crown))
             overlays.append(rbv_mod.rbv_lines(trunk))
         if show_axis and bool(axis.found):
-            lo_y = float(jnp.min(jnp.where(member, self.cloud.pos[:, 1], 3e38)))
-            hi_y = float(jnp.max(jnp.where(member, self.cloud.pos[:, 1], -3e38)))
+            lo_y = float(jnp.min(jnp.where(f_member, f_pos[:, 1], 3e38)))
+            hi_y = float(jnp.max(jnp.where(f_member, f_pos[:, 1], -3e38)))
             overlays.append(np.asarray(trunk_axis.axis_lines(axis, hi_y - lo_y)))
 
         for ep in overlays:
