@@ -405,14 +405,53 @@ def test_focus_count_cache_and_eviction():
     # trigger staleness the way a brush stroke does
     s.delete_sphere(np.array([1e6, 1e6, 1e6], np.float32), radius=0.1)
     assert s._counts_stale and s._focus_cnt_cache == {}
+    # count the full-N mask builds: the stale-count sync is the only
+    # thing that should build one on the brute-path frame, and only ONCE
+    calls = []
+    orig = s._member_mask
+
+    def counting(sid2):
+        calls.append(sid2)
+        return orig(sid2)
+
+    s._member_mask = counting
     _ = s.render_focus(sid, display="classification")
     assert sid in s._focus_cnt_cache  # synced once...
-    cnt = s._focus_cnt_cache[sid]
+    first_calls = len(calls)
+    assert first_calls >= 1
     _ = s.render_focus(sid, display="classification")
-    assert s._focus_cnt_cache[sid] == cnt  # ...reused, not re-synced
+    # ...and the second frame neither re-syncs the count nor rebuilds the
+    # mask (warm cnt + compaction caches; membership is subset-gathered)
+    assert len(calls) == first_calls
+    s._member_mask = orig
 
-    # eviction bound: fake-browse many segments
-    from treee_tpu.pipeline import _evict_oldest
+    # eviction bound: fake-browse many segments; a get() via _lru_get
+    # refreshes recency, so the hit entry survives the next eviction
+    from treee_tpu.pipeline import _evict_oldest, _lru_get
     d = {i: i for i in range(100)}
     _evict_oldest(d, 8)
     assert len(d) == 8 and list(d) == list(range(92, 100))
+    assert _lru_get(d, 92) == 92
+    d[100] = 100
+    _evict_oldest(d, 8)
+    assert 92 in d and 93 not in d  # LRU: the hit entry outlived FIFO order
+
+
+def test_render_focus_expansion_first_frame_matches_steady():
+    """Round-5 review (repro-confirmed): render_focus(display="expansion")
+    on a session whose table isn't derived yet must settle
+    characteristics() BEFORE gathering classification — characteristics()
+    replaces cloud.classification, and a post-gather settle rendered the
+    FIRST frame from the stale array (first frame != second frame)."""
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=23)
+    s = Session.from_points(pts, CFG)
+    s.segment(0.75)
+    sid = _a_tree_segment(s)
+    # the open()/merge-like state: points + segments live, table not yet
+    # derived for this cloud state
+    s.table = None
+    s._counts_np = None
+    i1 = s.render_focus(sid, display="expansion")
+    i2 = s.render_focus(sid, display="expansion")
+    np.testing.assert_array_equal(i1, i2)

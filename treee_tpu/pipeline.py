@@ -31,12 +31,22 @@ from .segmentation import SegmentationResult, segment_points
 
 def _evict_oldest(d: dict, cap: int) -> None:
     """Bound a per-session cache dict to ``cap`` entries, dropping the
-    oldest inserts (Python dicts preserve insertion order).  The focused-
-    view caches hold device-HBM arrays; without a bound, browsing many
-    segments in one session would pin unbounded HBM (review finding,
-    round 5)."""
+    least-recently-used (``_lru_get`` refreshes recency on hit; Python
+    dicts preserve insertion order).  The focused-view caches hold
+    device-HBM arrays; without a bound, browsing many segments in one
+    session would pin unbounded HBM (review finding, round 5)."""
     while len(d) > cap:
         d.pop(next(iter(d)))
+
+
+def _lru_get(d: dict, key):
+    """dict.get that re-inserts on hit, making _evict_oldest LRU — plain
+    FIFO would evict the hottest entry when round-robin browsing one more
+    segment than the cache cap holds (review finding, round 5)."""
+    val = d.get(key)
+    if val is not None:
+        d[key] = d.pop(key)
+    return val
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -647,7 +657,7 @@ class Session:
             if 0 <= segment_id < len(counts):
                 cnt = int(counts[segment_id])
         if cnt is None:
-            cnt = self._focus_cnt_cache.get(segment_id)
+            cnt = _lru_get(self._focus_cnt_cache, segment_id)
         if cnt is None:
             # table absent or stale after edits: one scalar device sync for a
             # fresh count — never route a grown segment to brute force.
@@ -676,7 +686,7 @@ class Session:
         changes on edits, so it is cached per segment id; edits clear it
         through :meth:`_mark_edited`.
         """
-        cached = self._focus_idx_cache.get(segment_id)
+        cached = _lru_get(self._focus_idx_cache, segment_id)
         if cached is not None:
             return cached
         from .ops import octree as otree
@@ -699,7 +709,7 @@ class Session:
         k = self.config.characteristics.neighbors
         idx, sub_valid = self._compact_member(segment_id, member, cnt)
         key = (kind, segment_id, k)
-        sub = self._focus_prop_cache.get(key)
+        sub = _lru_get(self._focus_prop_cache, key)
         if sub is None:
             fn = (ch.segment_curvature if kind == "curve"
                   else ch.segment_normals)
@@ -710,9 +720,12 @@ class Session:
         return sub, idx, sub_valid
 
     def curvature(self, segment_id: int):
-        member, cnt, use_grid = self._member_and_grid(segment_id)
+        member, cnt, use_grid = self._member_and_grid(
+            segment_id, build_member=False)
         k = self.config.characteristics.neighbors
         if use_grid:
+            member = self._member_mask(segment_id) if member is None \
+                else member
             return ch.segment_curvature(self.cloud.pos, member, k=k,
                                         use_grid=True)
         sub, idx, sub_valid = self._focus_sub("curve", segment_id,
@@ -727,9 +740,12 @@ class Session:
         eigenvector of the curvature neighborhoods' covariance — a capability
         beyond the reference viewer, which has no normals (its only depth cue
         is eye-dome lighting)."""
-        member, cnt, use_grid = self._member_and_grid(segment_id)
+        member, cnt, use_grid = self._member_and_grid(
+            segment_id, build_member=False)
         k = self.config.characteristics.neighbors
         if use_grid:
+            member = self._member_mask(segment_id) if member is None \
+                else member
             return ch.segment_normals(self.cloud.pos, member, k=k,
                                       use_grid=True)
         sub, idx, sub_valid = self._focus_sub("normals", segment_id,
@@ -978,6 +994,13 @@ class Session:
 
         cam = camera if camera is not None else self.camera
         pal = self.palette
+        if display in ("expansion", "height") and self.table is None:
+            # settle the table BEFORE any gathers below: characteristics()
+            # replaces cloud.classification, and expansion's crown filter
+            # (plus the overlay class masks) must see the fresh one — a
+            # post-gather settle rendered the first frame from stale
+            # classification (review finding, round 5, repro-confirmed)
+            self.characteristics()
         member, cnt, use_grid = self._member_and_grid(
             segment_id, build_member=False)
         # (f_pos, f_member, f_cls): the point set EVERY focused computation
@@ -1034,9 +1057,8 @@ class Session:
                 # local and the subset holds ALL the focused segment's
                 # rows, so running it on cap rows yields identical values
                 # for member rows (support maxima are duplication-proof;
-                # padding rows are masked out entirely)
-                if self.table is None:
-                    self.characteristics()
+                # padding rows are masked out entirely).  self.table is
+                # non-None here: settled at the top, before the gathers.
                 exp, hgt = ch.segment_properties(
                     f_pos, seg_sub, f_member,
                     f_cls, self.table,
