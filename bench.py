@@ -483,19 +483,31 @@ def main() -> None:
         reps_c = 2
         cap_sub = min(octree.snug_capacity(max(seg_n, 1), headroom=1.0), n)
 
-        @jax.jit
-        def curvature_scan(pos, member, d_stack):
-            def body(acc, d_i):
-                m_i = member & (d_i > 0)  # defeat LICM; == member at runtime
-                if use_grid:
-                    cv = ch_mod.segment_curvature(pos, m_i, k=k_nn,
-                                                  use_grid=True)
-                else:
+        if use_grid:
+            # grid path MUST run eagerly: knn_grid_reduce's host-side
+            # slab/block dispatch (the only form that survives the v5e
+            # in-map array-size limit, ops/neighbors.py) can't execute
+            # under jit.  Eager dispatch overhead (~30 ms/block) is
+            # noise against the multi-second computation — and one
+            # timed rep after the compile warm-up is plenty for a
+            # minutes-scale aux row.
+            sync1(ch_mod.segment_curvature(pos, member, k=k_nn,
+                                           use_grid=True))  # warm-up
+            touch()
+            t0 = time.time()
+            sync1(ch_mod.segment_curvature(pos, member, k=k_nn,
+                                           use_grid=True))
+            curvature_ms = (time.time() - t0) * 1e3
+        else:
+            @jax.jit
+            def curvature_scan(pos, member, d_stack):
+                def body(acc, d_i):
                     # Session.curvature's brute path: compact the member
                     # rows first (a [tile, N] distance slab against full
                     # capacity is 61 GB at 15M — the OOM this round's
                     # first bench run caught), k-NN among members, scatter
                     # back — the full interactive cost
+                    m_i = member & (d_i > 0)  # defeat LICM
                     count, idx = octree.compact_indices(m_i, cap_sub)
                     sub_valid = jnp.arange(cap_sub, dtype=jnp.int32) < count
                     sub = ch_mod.segment_curvature(
@@ -504,18 +516,18 @@ def main() -> None:
                     idx_p = jnp.where(sub_valid, idx, n)
                     cv = jnp.zeros(n, sub.dtype).at[idx_p].set(
                         sub, mode="drop")
-                return acc + cv[0] + cv[-1], None
+                    return acc + cv[0] + cv[-1], None
 
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0.0), d_stack)
-            return total
+                total, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), d_stack)
+                return total
 
-        d_stack_c = jnp.ones(reps_c, jnp.float32)
-        sync1(curvature_scan(pos, member, d_stack_c))  # compile
-        touch()
-        t0 = time.time()
-        sync1(curvature_scan(pos, member, d_stack_c))
-        curvature_ms = (time.time() - t0) / reps_c * 1e3
+            d_stack_c = jnp.ones(reps_c, jnp.float32)
+            sync1(curvature_scan(pos, member, d_stack_c))  # compile
+            touch()
+            t0 = time.time()
+            sync1(curvature_scan(pos, member, d_stack_c))
+            curvature_ms = (time.time() - t0) / reps_c * 1e3
         touch()
         RESULT.update(
             curvature_ms=round(curvature_ms, 1),

@@ -427,3 +427,39 @@ def test_compact_indices_matches_scatter_reference():
             assert int(c0) == int(c1), (n, cap, p)
             np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1),
                                           err_msg=f"{(n, cap, p)}")
+
+
+def test_knn_grid_reduce_slab_matches_direct():
+    """Round-5: above GRID_SRC_MAX rows the fused grid k-NN runs as an
+    exact slab decomposition (x-cell slices + one-cell halos, recursing
+    along y/z for oversized slices) because v5e map executables touching
+    >= 4M-row arrays crash the worker.  Slab results must equal the
+    single-hash path bit-for-bit when no cell overflows cell_capacity
+    (the global grid origin is shared, so quantization is identical)."""
+    from treee_tpu.ops import eigen
+
+    def per_row(i, d, nb):
+        cov = neighbors.neighbor_covariance_from(nb, nbr_valid=d < 3.0e38)
+        return eigen.curvature_from_cov(cov)
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    member = jnp.asarray(rng.random(n) < 0.8)
+    saved = neighbors.GRID_SRC_MAX
+    try:
+        for scale in ([60, 20, 20], [0.2, 40, 40]):  # 2nd forces y-recursion
+            pos = jnp.asarray(
+                rng.random((n, 3), dtype=np.float32)
+                * np.asarray(scale, np.float32))
+            neighbors.GRID_SRC_MAX = 1 << 30
+            direct = np.asarray(
+                neighbors.knn_grid_reduce(pos, member, 0.5, per_row, k=15))
+            neighbors.GRID_SRC_MAX = 8192
+            slab = np.asarray(
+                neighbors.knn_grid_reduce(pos, member, 0.5, per_row, k=15,
+                                          query_block=4096))
+            m = np.asarray(member)
+            np.testing.assert_array_equal(direct[m], slab[m],
+                                          err_msg=str(scale))
+    finally:
+        neighbors.GRID_SRC_MAX = saved

@@ -714,7 +714,13 @@ def segment_properties(
     return expansion, height
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_grid"))
+def _curv_per_row(i, d, nb):
+    """knn_grid_reduce per_row: covariance eigenvalue ratio (stable
+    module-level identity so eager op caches hit across calls)."""
+    return eigen.curvature_from_cov(
+        neighbors.neighbor_covariance_from(nb, nbr_valid=d < INF))
+
+
 def segment_curvature(
     pos: jax.Array,
     member: jax.Array,
@@ -732,14 +738,30 @@ def segment_curvature(
     sets, where O(N^2) distances would not fit the time or memory budget —
     the reference's unbounded KD-tree query has no such cliff but also no
     vectorization (k-nearest/src/kd_tree.rs:105-143).
+
+    NOT itself jitted: the grid branch must stay EAGER so
+    knn_grid_reduce's host-side slab/block dispatch can run (a traced
+    multi-million-row grid call takes the single fused map and crashes
+    the v5e worker — CLAUDE.md crash rules; an earlier @jit on this
+    function silently forced exactly that).  The brute path dispatches
+    to a jitted inner function, so jitted callers inline it as before.
     """
     if use_grid:
-        idx, dist = neighbors.knn_grid(pos, member, cell_size, k=k)
-    else:
-        idx, dist = neighbors.knn_bruteforce(pos, member, k=k)
+        # fused per-tile k-NN + covariance + eigenvalues: the separate
+        # [N,k] / [N,k,3] forms compile-OOM at 30M rows on v5e (15-46 GB
+        # lane-padded; see knn_grid_reduce)
+        curve = neighbors.knn_grid_reduce(pos, member, cell_size,
+                                          _curv_per_row, k=k)
+        return jnp.where(member, curve, 0.0)
+    return _segment_curvature_brute(pos, member, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _segment_curvature_brute(pos, member, k=31):
     # segments with < k members (fresh brush spawns, sparse understory) pad
     # the k slots with INF-distance non-members — exclude them from the
     # covariance like the reference's KD-tree, which only returns members
+    idx, dist = neighbors.knn_bruteforce(pos, member, k=k)
     cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
     curve = eigen.curvature_from_cov(cov)
     return jnp.where(member, curve, 0.0)
@@ -761,10 +783,19 @@ def segment_normals(
     non-members get the +y fallback so downstream shading stays defined.
     """
     if use_grid:
-        idx, dist = neighbors.knn_grid(pos, member, cell_size, k=k)
+        def per_row(i, d, nb):
+            # per-component [T] leaves: a stacked [c,T,3] output takes
+            # v5e's trailing-dim lane padding (see knn_grid_reduce)
+            v = eigen.smallest_eigenvector(
+                neighbors.neighbor_covariance_from(nb, nbr_valid=d < INF))
+            return v[:, 0], v[:, 1], v[:, 2]
+
+        nx, ny, nz = neighbors.knn_grid_reduce(
+            pos, member, cell_size, per_row, k=k)
+        nrm = jnp.stack([nx, ny, nz], axis=-1)
     else:
         idx, dist = neighbors.knn_bruteforce(pos, member, k=k)
-    cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
-    nrm = eigen.smallest_eigenvector(cov)
+        cov = neighbors.neighbor_covariance(pos, idx, nbr_valid=dist < INF)
+        nrm = eigen.smallest_eigenvector(cov)
     up = jnp.zeros_like(nrm).at[:, 1].set(1.0)
     return jnp.where(member[:, None], nrm, up)
