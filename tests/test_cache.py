@@ -58,7 +58,9 @@ def test_second_process_reuses_compilation_cache(tmp_path):
     if not warm < cold:
         warm = min(warm, _run(cmd, env))
     assert warm < cold * 1.5, (
-        f"warm {warm:.1f}s not faster than cold {cold:.1f}s")
+        f"warm {warm:.1f}s exceeds the 1.5x-of-cold bound "
+        f"(cold {cold:.1f}s) even after a retry — cache loading appears "
+        "more expensive than compiling")
 
 
 def test_cache_opt_out(tmp_path):

@@ -455,3 +455,34 @@ def test_render_focus_expansion_first_frame_matches_steady():
     i1 = s.render_focus(sid, display="expansion")
     i2 = s.render_focus(sid, display="expansion")
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_focus_grid_path_caches_result():
+    """Round-5 review: the grid-path (huge-segment) curvature/normals
+    results must be cached per selection — the slab k-NN costs minutes
+    at scan scale, and a focused curve/shaded frame would otherwise pay
+    it per camera move."""
+    import dataclasses as dc
+
+    pts = las.synthetic_forest(n_trees=2, points_per_tree=3000,
+                               ground_points=2000, seed=29)
+    cfg_grid = dc.replace(
+        CFG, neighbors=dc.replace(CFG.neighbors, brute_force_max=0))
+    s = Session.from_points(pts, cfg_grid)
+    s.segment(0.75)
+    sid = _a_tree_segment(s)
+    c1 = np.asarray(s.curvature(sid))
+    key = ("curve", sid, s.config.characteristics.neighbors)
+    assert key in s._focus_grid_cache
+    cached = s._focus_grid_cache[key]
+    c2 = np.asarray(s.curvature(sid))
+    assert s._focus_grid_cache[key] is cached  # not recomputed
+    np.testing.assert_array_equal(c1, c2)
+    _ = np.asarray(s.normals(sid))
+    assert ("normals", sid, s.config.characteristics.neighbors) \
+        in s._focus_grid_cache
+    # edits clear it
+    member = np.asarray(s.cloud.valid & (s.cloud.segment == sid))
+    s.delete_sphere(np.asarray(s.cloud.pos)[member].mean(axis=0),
+                    radius=0.5)
+    assert s._focus_grid_cache == {}

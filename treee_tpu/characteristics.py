@@ -721,6 +721,15 @@ def _curv_per_row(i, d, nb):
         neighbors.neighbor_covariance_from(nb, nbr_valid=d < INF))
 
 
+def _normals_per_row(i, d, nb):
+    """knn_grid_reduce per_row: smallest eigenvector split into
+    per-component [T] leaves — a stacked [c,T,3] map output takes v5e's
+    trailing-dim lane padding (see knn_grid_reduce)."""
+    v = eigen.smallest_eigenvector(
+        neighbors.neighbor_covariance_from(nb, nbr_valid=d < INF))
+    return v[:, 0], v[:, 1], v[:, 2]
+
+
 def segment_curvature(
     pos: jax.Array,
     member: jax.Array,
@@ -783,15 +792,8 @@ def segment_normals(
     non-members get the +y fallback so downstream shading stays defined.
     """
     if use_grid:
-        def per_row(i, d, nb):
-            # per-component [T] leaves: a stacked [c,T,3] output takes
-            # v5e's trailing-dim lane padding (see knn_grid_reduce)
-            v = eigen.smallest_eigenvector(
-                neighbors.neighbor_covariance_from(nb, nbr_valid=d < INF))
-            return v[:, 0], v[:, 1], v[:, 2]
-
         nx, ny, nz = neighbors.knn_grid_reduce(
-            pos, member, cell_size, per_row, k=k)
+            pos, member, cell_size, _normals_per_row, k=k)
         nrm = jnp.stack([nx, ny, nz], axis=-1)
     else:
         idx, dist = neighbors.knn_bruteforce(pos, member, k=k)

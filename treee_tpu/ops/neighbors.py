@@ -109,7 +109,6 @@ def _knn_grid_map(
     tile: int,
     grid_bits: int,
     with_nbrs: bool = False,
-    lo=None,
 ):
     """Shared grid-hash query machinery: map ``per_tile(idx [T,k],
     dist [T,k][, nbrs [T,k,3]]) -> pytree of [T,...] leaves`` over query
@@ -143,8 +142,7 @@ def _knn_grid_map(
     ``with_nbrs=True`` additionally hands per_tile the top-k neighbor
     coordinates so reduction callers never touch ``pos`` themselves."""
     n = pos.shape[0]
-    if lo is None:
-        lo, cell_size = _effective_cell(pos, valid, cell_size, grid_bits)
+    lo, cell_size = _effective_cell(pos, valid, cell_size, grid_bits)
     hash_arrays = _build_grid_hash(pos, valid, cell_size, grid_bits, lo=lo)
     pad = (-n) % tile
     q_cells = jnp.pad(hash_arrays[-1], ((0, pad), (0, 0)))
@@ -317,7 +315,9 @@ def knn_grid_reduce(
     eagerly instead (bench.py's grid branch does).
     """
     n = pos.shape[0]
-    if isinstance(pos, jax.core.Tracer) or n <= query_block:
+    traced = any(isinstance(a, jax.core.Tracer)
+                 for a in (pos, valid, cell_size))
+    if traced or n <= query_block:
         return _knn_grid_map(pos, valid, cell_size, per_row,
                              k, cell_capacity, tile, grid_bits,
                              with_nbrs=True)
@@ -332,14 +332,25 @@ def knn_grid_reduce(
 
 
 def _blocked_queries(pos, valid, cell_size, per_row, k, cell_capacity,
-                     tile, grid_bits, query_block, lo):
+                     tile, grid_bits, query_block, lo, row_ids=None):
     """One hash, one map execution per <= query_block query rows (the
-    proven-clean execution size; see knn_grid_reduce)."""
+    proven-clean execution size; see knn_grid_reduce).
+
+    ``row_ids`` (i32[n], optional): global id of each local row.  The slab
+    path passes its compaction indices so per_row's ``idx`` argument is
+    in GLOBAL cloud-row space in every regime — without the remap, slab
+    callers using idx would silently receive slab-local indices."""
     n = pos.shape[0]
     if lo is None:
         lo, cell_size = _effective_cell(pos, valid, cell_size, grid_bits)
     qb = query_block - (query_block % tile) or tile
     hash_arrays = _build_grid_hash(pos, valid, cell_size, grid_bits, lo=lo)
+    if row_ids is not None:
+        # remap the hash's point order to global ids: cand/idx become
+        # global everywhere downstream (one [n] gather, outside the map)
+        ha = list(hash_arrays)
+        ha[2] = jnp.take(row_ids, ha[2])
+        hash_arrays = tuple(ha)
     cell = hash_arrays[-1]
     pad = (-n) % qb
     cells_p = jnp.pad(cell, ((0, pad), (0, 0)))
@@ -359,7 +370,7 @@ GRID_SRC_MAX = 1 << 21  # largest empirically-clean in-map array size (v5e)
 
 def _grid_slab_reduce(pos, valid, cell_size, per_row, k, cell_capacity,
                       tile, grid_bits, query_block, src_max,
-                      axis=0, lo=None):
+                      axis=0, lo=None, row_ids=None):
     """Exact slab decomposition for > src_max rows; see knn_grid_reduce.
 
     Splits along ``axis``'s cell slices (one-cell halos both sides).  A
@@ -407,20 +418,24 @@ def _grid_slab_reduce(pos, valid, cell_size, per_row, k, cell_capacity,
         cnt_s, idx_s = octree.compact_indices(sel, cap_s)
         row_ok = jnp.arange(cap_s, dtype=jnp.int32) < cnt_s
         sub_pos = jnp.take(pos, idx_s, axis=0)
+        # global cloud-row id of each slab row, composed through any
+        # recursion level, so per_row's idx stays global everywhere
+        sub_ids = idx_s if row_ids is None else jnp.take(row_ids, idx_s)
         if m <= src_max:
             res = _blocked_queries(sub_pos, row_ok, cell_size, per_row,
                                    k, cell_capacity, tile, grid_bits,
-                                   query_block, lo=lo)
+                                   query_block, lo=lo, row_ids=sub_ids)
         elif axis < 2:
             res = _grid_slab_reduce(sub_pos, row_ok, cell_size, per_row,
                                     k, cell_capacity, tile, grid_bits,
                                     query_block, src_max,
-                                    axis=axis + 1, lo=lo)
+                                    axis=axis + 1, lo=lo, row_ids=sub_ids)
         else:
             raise RuntimeError(
-                f"grid k-NN: a single grid cell holds > {src_max} points "
-                "— beyond the v5e in-map array bound on every axis; "
-                "coarsen cell_size or raise grid_bits")
+                "grid k-NN: a one-cell 3x3x3 neighborhood holds > "
+                f"{src_max} points after splitting along all three axes "
+                "— beyond the v5e in-map array bound; raise grid_bits "
+                "(finer effective cells) to split it further")
         # keep interior rows only (halo rows belong to their own slab)
         interior = (row_ok
                     & (jnp.take(cell_a, idx_s) >= xa)

@@ -209,6 +209,9 @@ class Session:
         # device fetch (~30 ms tunnel floor) in _member_and_grid.
         # Cleared with _focus_idx_cache (same staleness domain).
         self._focus_cnt_cache: dict[int, int] = {}
+        # grid-path (huge-segment) curvature/normals full-N results: the
+        # slab k-NN costs minutes at scan scale — see _focus_grid
+        self._focus_grid_cache: dict[tuple, jax.Array] = {}
 
     # ---- mesh-mode plumbing ---------------------------------------------------
 
@@ -485,6 +488,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
 
     # ---- phases ----------------------------------------------------------------
 
@@ -556,6 +560,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
         self._bbox_full = False  # full_pipeline reduces only the y extent
         self._next_id = None
         self._lod = None  # subset colors/membership derive from segments
@@ -599,6 +604,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
         self._bbox_full = True
         return table
 
@@ -719,6 +725,24 @@ class Session:
             _evict_oldest(self._focus_prop_cache, 16)
         return sub, idx, sub_valid
 
+    def _focus_grid(self, kind: str, segment_id: int, member):
+        """Cached full-N grid-path result for a huge segment: the slab
+        k-NN costs MINUTES at scan scale (ops/neighbors.knn_grid_reduce),
+        so a focused curve/shaded frame must never recompute it per
+        camera move.  Bounded to 2 entries (a [N]+[N,3] pair is ~240 MB
+        at 15M); cleared with the other focus caches on edits."""
+        k = self.config.characteristics.neighbors
+        key = (kind, segment_id, k)
+        hit = _lru_get(self._focus_grid_cache, key)
+        if hit is not None:
+            return hit
+        fn = (ch.segment_curvature if kind == "curve"
+              else ch.segment_normals)
+        res = fn(self.cloud.pos, member, k=k, use_grid=True)
+        self._focus_grid_cache[key] = res
+        _evict_oldest(self._focus_grid_cache, 2)
+        return res
+
     def curvature(self, segment_id: int):
         member, cnt, use_grid = self._member_and_grid(
             segment_id, build_member=False)
@@ -726,8 +750,7 @@ class Session:
         if use_grid:
             member = self._member_mask(segment_id) if member is None \
                 else member
-            return ch.segment_curvature(self.cloud.pos, member, k=k,
-                                        use_grid=True)
+            return self._focus_grid("curve", segment_id, member)
         sub, idx, sub_valid = self._focus_sub("curve", segment_id,
                                               member, cnt)
         # scatter back to cloud rows; padding slots drop out of range
@@ -746,8 +769,7 @@ class Session:
         if use_grid:
             member = self._member_mask(segment_id) if member is None \
                 else member
-            return ch.segment_normals(self.cloud.pos, member, k=k,
-                                      use_grid=True)
+            return self._focus_grid("normals", segment_id, member)
         sub, idx, sub_valid = self._focus_sub("normals", segment_id,
                                               member, cnt)
         cap_n = self.cloud.capacity
@@ -1171,6 +1193,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
 
     def delete_sphere(self, center, radius=None):
         r = radius if radius is not None else self.config.interactive.draw_radius
@@ -1198,6 +1221,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
         # the reference re-derives the separators from the edited class
         # extents after every focused-view stroke (mod.rs:182-221)
         if self.table is not None:
@@ -1680,6 +1704,7 @@ class Session:
         self._focus_idx_cache = {}
         self._focus_prop_cache = {}
         self._focus_cnt_cache = {}
+        self._focus_grid_cache = {}
 
 
 def _demo():  # pragma: no cover
