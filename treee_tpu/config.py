@@ -208,8 +208,13 @@ class NeighborConfig:
     k: int = 31
     # candidate cap per neighboring cell; 27 cells * cap = candidate pool
     cell_capacity: int = 16
-    # brute-force threshold: segments smaller than this use exact tiled brute force
-    brute_force_max: int = 65536
+    # brute-force threshold: segments smaller than this use exact tiled
+    # brute force.  Tuned round 5 against the slab grid engine's real v5e
+    # cost: brute at 41k members = 238 ms and scales ~quadratically
+    # (~2.5 s at this cap), while the grid fallback costs ~18 s for a 78k
+    # segment (BENCH 30M focus row) — so brute wins comfortably up to
+    # 128k and keeps the focused subset render (~9 ms frames) too
+    brute_force_max: int = 131072
     query_tile: int = 1024              # queries per brute-force tile
 
 
