@@ -442,6 +442,12 @@ def test_knn_grid_reduce_slab_matches_direct():
         cov = neighbors.neighbor_covariance_from(nb, nbr_valid=d < 3.0e38)
         return eigen.curvature_from_cov(cov)
 
+    def per_row_ids(i, d, nb):
+        # consumes the GLOBAL neighbor ids: pins the slab path's
+        # row_ids remap (slab-local indices would change this sum)
+        return jnp.sum(jnp.where(d < 3.0e38, i, 0), axis=-1).astype(
+            jnp.float32)
+
     rng = np.random.default_rng(5)
     n = 50_000
     member = jnp.asarray(rng.random(n) < 0.8)
@@ -451,15 +457,16 @@ def test_knn_grid_reduce_slab_matches_direct():
             pos = jnp.asarray(
                 rng.random((n, 3), dtype=np.float32)
                 * np.asarray(scale, np.float32))
-            neighbors.GRID_SRC_MAX = 1 << 30
-            direct = np.asarray(
-                neighbors.knn_grid_reduce(pos, member, 0.5, per_row, k=15))
-            neighbors.GRID_SRC_MAX = 8192
-            slab = np.asarray(
-                neighbors.knn_grid_reduce(pos, member, 0.5, per_row, k=15,
-                                          query_block=4096))
-            m = np.asarray(member)
-            np.testing.assert_array_equal(direct[m], slab[m],
-                                          err_msg=str(scale))
+            for pr in (per_row, per_row_ids):
+                neighbors.GRID_SRC_MAX = 1 << 30
+                direct = np.asarray(
+                    neighbors.knn_grid_reduce(pos, member, 0.5, pr, k=15))
+                neighbors.GRID_SRC_MAX = 8192
+                slab = np.asarray(
+                    neighbors.knn_grid_reduce(pos, member, 0.5, pr, k=15,
+                                              query_block=4096))
+                m = np.asarray(member)
+                np.testing.assert_array_equal(
+                    direct[m], slab[m], err_msg=f"{scale} {pr.__name__}")
     finally:
         neighbors.GRID_SRC_MAX = saved

@@ -435,7 +435,9 @@ def _grid_slab_reduce(pos, valid, cell_size, per_row, k, cell_capacity,
                 "grid k-NN: a one-cell 3x3x3 neighborhood holds > "
                 f"{src_max} points after splitting along all three axes "
                 "— beyond the v5e in-map array bound; raise grid_bits "
-                "(finer effective cells) to split it further")
+                "when the effective cell is extent-limited "
+                "(_effective_cell coarsening), or reduce cell_size when "
+                "the caller's raw granularity is what's binding")
         # keep interior rows only (halo rows belong to their own slab)
         interior = (row_ok
                     & (jnp.take(cell_a, idx_s) >= xa)
@@ -490,7 +492,8 @@ def neighbor_covariance(
 
     WARNING: materializes a [N,k,3] neighbor gather — 46 GB at 30M rows
     x k=31 on v5e (compile-time HBM OOM).  Fine for brute-path segment
-    subsets (<=64k rows); full-cloud callers must fuse through
+    subsets (<=131072 rows at the default brute_force_max: ~0.5 GB
+    padded); full-cloud callers must fuse through
     :func:`knn_grid_reduce`.
     """
     return _cov_block(pos, nbr_idx, nbr_valid)

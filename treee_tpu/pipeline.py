@@ -683,7 +683,8 @@ class Session:
         The exact brute-force k-NN must run AMONG MEMBERS, not against the
         full capacity array: its [query_tile, N] distance tile is 61 GB at
         15M points (a compile-time OOM caught by the round-5 focus bench),
-        while [tile, 64k] among members is 256 MB.  The reference does the
+        while [tile, 128k] among members is 512 MB at the default
+        brute_force_max.  The reference does the
         same — its KD-tree is built over the segment's points only
         (calculations.rs:328-373).
 
@@ -725,17 +726,21 @@ class Session:
             _evict_oldest(self._focus_prop_cache, 16)
         return sub, idx, sub_valid
 
-    def _focus_grid(self, kind: str, segment_id: int, member):
+    def _focus_grid(self, kind: str, segment_id: int, member=None):
         """Cached full-N grid-path result for a huge segment: the slab
         k-NN costs MINUTES at scan scale (ops/neighbors.knn_grid_reduce),
         so a focused curve/shaded frame must never recompute it per
         camera move.  Bounded to 2 entries (a [N]+[N,3] pair is ~240 MB
-        at 15M); cleared with the other focus caches on edits."""
+        at 15M); cleared with the other focus caches on edits.  The
+        member mask is built ONLY on a miss — a cache hit must not pay
+        the two eager full-N passes per frame (review finding)."""
         k = self.config.characteristics.neighbors
         key = (kind, segment_id, k)
         hit = _lru_get(self._focus_grid_cache, key)
         if hit is not None:
             return hit
+        if member is None:
+            member = self._member_mask(segment_id)
         fn = (ch.segment_curvature if kind == "curve"
               else ch.segment_normals)
         res = fn(self.cloud.pos, member, k=k, use_grid=True)
@@ -746,10 +751,7 @@ class Session:
     def curvature(self, segment_id: int):
         member, cnt, use_grid = self._member_and_grid(
             segment_id, build_member=False)
-        k = self.config.characteristics.neighbors
         if use_grid:
-            member = self._member_mask(segment_id) if member is None \
-                else member
             return self._focus_grid("curve", segment_id, member)
         sub, idx, sub_valid = self._focus_sub("curve", segment_id,
                                               member, cnt)
@@ -765,10 +767,7 @@ class Session:
         is eye-dome lighting)."""
         member, cnt, use_grid = self._member_and_grid(
             segment_id, build_member=False)
-        k = self.config.characteristics.neighbors
         if use_grid:
-            member = self._member_mask(segment_id) if member is None \
-                else member
             return self._focus_grid("normals", segment_id, member)
         sub, idx, sub_valid = self._focus_sub("normals", segment_id,
                                               member, cnt)
